@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** M0 + M1 (SURVEY.md §7.1): flagship aggregation, projection / filter /
+  * scalar-derivation layer, and date/time functions (SURVEY.md §2.B, §2.G).
+  *
+  * Determinism rules used throughout the engine (needed for the driver's
+  * DuckDB hash compare, SURVEY.md §5):
+  *  - money sums go through [[Tables.revenueSum]] (per-row exact integer
+  *    cents → exact long sum → one final /100.0), so results are
+  *    independent of partitioning / add order and bit-match DuckDB;
+  *  - integer-valued doubles (quantities, counts) sum exactly in IEEE double,
+  *    so plain `sum` is safe;
+  *  - every ORDER BY carries a full tie-breaking key.
+  */
+object CoreQueries {
+
+  /** Flagship (SURVEY.md §2.D `agg_daily_product`, dashboard.py:54-106):
+    * daily units & revenue per product. lineitem ⋈ part is
+    * broadcast (part is a dimension at every SF); the groupBy is one
+    * shuffle on (date, product) with partial aggregation map-side —
+    * at 100 TB the explode→partial-agg pipeline stays in one stage.
+    */
+  val aggDailyProduct: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(
+        to_date(col("l_shipdate")).as("sale_date"),
+        col("p_name").as("product"))
+      .agg(
+        sum(col("l_quantity")).as("total_quantity"),
+        Tables.revenueSum.as("total_revenue"))
+      .orderBy(col("sale_date"), col("product"))
+  }
+
+  val aggDailyProductSql: String =
+    """SELECT CAST(l_shipdate AS DATE) AS sale_date, p_name AS product,
+      |       SUM(l_quantity) AS total_quantity,
+      |       SUM(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)) / 100.0 AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** §2.B `prj_project` (dashboard.py:191-199): keep 3 fields, drop the rest.
+    * Column pruning reaches the parquet scan (ReadSchema shows 3 cols). */
+  val prjProject: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+
+  /** §2.B `flt_notnull` (dashboard.py:70): `$match saleDate ≠ null`. */
+  val fltNotNull: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+
+  /** §2.B `prj_cond_coerce` (dashboard.py:57-67): defensive string→date
+    * coercion. Here the "string-typed saleDate" case is produced by
+    * formatting, then re-parsed null-safe (try_to_timestamp ≙ Mongo
+    * `$toDate`; ANSI mode is on in Spark 4, so the try_ variant is the
+    * `onError: null` equivalent). */
+  val prjCondCoerce: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        try_to_timestamp(
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+          lit("yyyy-MM-dd HH:mm:ss")).as("sale_ts"))
+
+  /** §2.G `dt_parse_nullsafe` (dashboard.py:645-650): `$dateFromString
+    * {onError: null}` — a third of the inputs are garbage and must come
+    * back null, not error. */
+  val dtParseNullsafe: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        try_to_timestamp(
+          when(col("o_orderkey") % 3 === 0, lit("not-a-date"))
+            .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")),
+          lit("yyyy-MM-dd HH:mm:ss")).as("sale_ts"))
+
+  /** §2.B `flt_isin_range` (dashboard.py:268-272): the dashboard master
+    * filter — product ∈ selection ∧ start ≤ date ≤ end. Both predicates
+    * push down to the parquet scan. */
+  val fltIsinRange: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate").between("1996-01-01", "1998-12-31"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_shipdate"))
+
+  /** §2.B `flt_eq` (dashboard.py:351): per-product drill-down equality. */
+  val fltEq: Q = (spark, dir) =>
+    Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_retailprice"))
+
+  /** §2.B `prj_safe_div` (dashboard.py:138-142): divide-by-zero-guarded
+    * derived column (avg price = revenue/quantity if quantity>0 else 0). */
+  val prjSafeDiv: Q = (spark, dir) =>
+    aggDailyProduct(spark, dir)
+      .withColumn("avg_price",
+        when(col("total_quantity") > 0,
+          col("total_revenue") / col("total_quantity")).otherwise(lit(0.0)))
+
+  /** §2.G `dt_parts` (dashboard.py:113-116): month / weekday / is_weekend
+    * calendar features. `weekday` is pandas-parity Mon=0..Sun=6
+    * (SURVEY.md §2.J.3 — Spark's `dayofweek` is Sun=1, deliberately not
+    * used). */
+  val dtParts: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("sale_date"),
+        month(col("o_orderdate")).as("month"),
+        weekday(col("o_orderdate")).as("weekday"),
+        (weekday(col("o_orderdate")) >= 5).cast("int").as("is_weekend"))
+
+  /** §2.G `dt_format_day` + day-name (dashboard.py:78-83,603). */
+  val dtFormatDay: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day_str"),
+        date_format(col("o_orderdate"), "EEEE").as("day_name"))
+
+  /** §2.G `dt_hour` (EDA.ipynb:650 (cell 13)): `$hour` over event time. */
+  val dtHour: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(col("event_id"), hour(col("ts")).as("hour"))
+
+  /** §2.G `dt_week_trunc` (EDA.ipynb:2042 (cell 21)): Monday-anchored
+    * weekly revenue rollup (`to_period('W')` parity: both Spark and the
+    * oracle truncate to Monday). */
+  val dtWeekTrunc: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(to_date(date_trunc("week", col("l_shipdate"))).as("week_start"))
+      .agg(Tables.revenueSum.as("weekly_revenue"))
+      .orderBy(col("week_start"))
+
+  /** §2.G `dt_offset` (dashboard.py:246-255,717-718): "today" = max(date);
+    * derived 6-month and 14-day cutoffs. One-row result, computed with a
+    * single full-scan max (no driver-side collect). */
+  val dtOffset: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .agg(max(to_date(col("o_orderdate"))).as("max_date"))
+      .select(
+        col("max_date"),
+        add_months(col("max_date"), -6).as("six_months_ago"),
+        date_sub(col("max_date"), 14).as("cutoff_14d"))
+
+  def queries: Map[String, Q] = Map(
+    "agg_daily_product" -> aggDailyProduct,
+    "prj_project"       -> prjProject,
+    "flt_notnull"       -> fltNotNull,
+    "prj_cond_coerce"   -> prjCondCoerce,
+    "dt_parse_nullsafe" -> dtParseNullsafe,
+    "flt_isin_range"    -> fltIsinRange,
+    "flt_eq"            -> fltEq,
+    "prj_safe_div"      -> prjSafeDiv,
+    "dt_parts"          -> dtParts,
+    "dt_format_day"     -> dtFormatDay,
+    "dt_hour"           -> dtHour,
+    "dt_week_trunc"     -> dtWeekTrunc,
+    "dt_offset"         -> dtOffset,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "agg_daily_product" -> aggDailyProductSql,
+    "prj_project" ->
+      "SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders",
+    "flt_notnull" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate IS NOT NULL""".stripMargin,
+    "prj_cond_coerce" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS sale_ts
+        |FROM orders""".stripMargin,
+    "dt_parse_nullsafe" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-date'
+        |                ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END
+        |           AS TIMESTAMP) AS sale_ts
+        |FROM orders""".stripMargin,
+    "flt_isin_range" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R')
+        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                     AND TIMESTAMP '1998-12-31 00:00:00'""".stripMargin,
+    "flt_eq" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+        |WHERE p_brand = 'Brand#13'""".stripMargin,
+    "prj_safe_div" ->
+      ("""SELECT *, CASE WHEN total_quantity > 0
+        |               THEN total_revenue / total_quantity
+        |               ELSE 0.0 END AS avg_price
+        |FROM (""".stripMargin + aggDailyProductSql + ") t"),
+    "dt_parts" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS sale_date,
+        |  month(o_orderdate) AS month,
+        |  isodow(o_orderdate) - 1 AS weekday,
+        |  CAST(isodow(o_orderdate) - 1 >= 5 AS INT) AS is_weekend
+        |FROM orders""".stripMargin,
+    "dt_format_day" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS day_str,
+        |  trim(strftime(o_orderdate, '%A')) AS day_name
+        |FROM orders""".stripMargin,
+    "dt_hour" ->
+      "SELECT event_id, hour(ts) AS hour FROM events",
+    "dt_week_trunc" ->
+      """SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
+        |  SUM(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)) / 100.0 AS weekly_revenue
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dt_offset" ->
+      """SELECT max_date,
+        |  CAST(max_date - INTERVAL 6 MONTH AS DATE) AS six_months_ago,
+        |  CAST(max_date - INTERVAL 14 DAY AS DATE) AS cutoff_14d
+        |FROM (SELECT CAST(max(o_orderdate) AS DATE) AS max_date FROM orders) t""".stripMargin,
+  )
+}

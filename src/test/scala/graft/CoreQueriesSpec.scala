@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all specs — one JVM-wide SparkSession (local[4]). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class CoreQueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry smoke: flagship returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("cross-pipeline revenue invariant (reference's own check, SURVEY.md §5): " +
+    "daily×product total == weekly total") {
+    val daily = operators.CoreQueries.aggDailyProduct(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("total_revenue")).head.getDouble(0)
+    val weekly = operators.CoreQueries.dtWeekTrunc(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("weekly_revenue")).head.getDouble(0)
+    assert(math.abs(daily - weekly) < 1e-6, s"daily=$daily weekly=$weekly")
+  }
+
+  test("weekday parity: pandas convention Mon=0..Sun=6 (SURVEY.md §2.J.3)") {
+    val rows = operators.CoreQueries.dtParts(spark, sf)
+      .select("sale_date", "weekday", "is_weekend").distinct().collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val expected = d.getDayOfWeek.getValue - 1 // java.time: Mon=1..Sun=7
+      assert(r.getInt(1) == expected, s"$d: got ${r.getInt(1)}, want $expected")
+      assert(r.getInt(2) == (if (expected >= 5) 1 else 0))
+    }
+  }
+
+  test("null-safe parse: exactly the orderkey%3==0 third is null, rest parse") {
+    import spark.implicits._
+    val df = operators.CoreQueries.dtParseNullsafe(spark, sf).cache()
+    val bad = df.where($"sale_ts".isNull)
+    assert(bad.count() > 0)
+    assert(bad.where($"o_orderkey" % 3 =!= 0).count() == 0)
+    assert(df.where($"sale_ts".isNotNull && $"o_orderkey" % 3 === 0).count() == 0)
+    df.unpersist()
+  }
+
+  test("every declared query has matching column names with its oracle usage " +
+    "and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, q) =>
+      val df = q(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("flagship plan: broadcast join + partial aggregation, no extra shuffle") {
+    val plan = operators.CoreQueries.aggDailyProduct(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "part dim should broadcast")
+    assert(!plan.contains("SortMergeJoin"), "flagship must not sort-merge join")
+  }
+}
