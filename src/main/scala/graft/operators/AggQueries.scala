@@ -1,0 +1,285 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M2 — aggregation layer (SURVEY.md §2.D).
+  *
+  * Scale notes: every query here is a single hash-aggregate shuffle with
+  * map-side partial aggregation (Catalyst's HashAggregate pair); scalar
+  * denominators (`agg_ratio_of_total`) are broadcast, never collected to
+  * the driver. Non-exact float aggregates (stddev/corr) are rounded to 6
+  * decimals — well above the ~1e-10 cross-engine numeric noise, well
+  * below anything semantically meaningful.
+  */
+object AggQueries {
+
+  /** §2.A `agg_count_star` (dashboard.py:377): `count_documents` ≙ count(*). */
+  val aggCountStar: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir).agg(count(lit(1)).as("n"))
+
+  /** §2.D `agg_kpis` (dashboard.py:287-296): one-row global KPI panel —
+    * total revenue, line count, distinct orders/customers, revenue per
+    * order. All five in ONE aggregate pass (a dashboard that scans 100 TB
+    * five times is five times too expensive). */
+  val aggKpis: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .agg(
+        Tables.revenueSum.as("total_revenue"),
+        count(lit(1)).as("n_line_items"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"))
+      .withColumn("revenue_per_order", col("total_revenue") / col("n_orders"))
+
+  /** §2.D `agg_count_by_key` (dashboard.py:380-383): item-line frequency
+    * per product — deliberately counts *line items*, not distinct sales
+    * (SURVEY.md §2.J.2: the reference's "probability" can exceed 1). */
+  val aggCountByKey: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_name").as("product"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("product"))
+  }
+
+  /** §2.D `agg_ratio_of_total` (dashboard.py:216-218,388-390): per-product
+    * line count over total sale count — the scalar total is computed once
+    * and broadcast-joined (never `.collect()`ed; SURVEY.md §4). Keeps the
+    * reference's lines/total-sales semantics, so values may exceed 1. */
+  val aggRatioOfTotal: Q = (spark, dir) => {
+    val counts = aggCountByKey(spark, dir)
+    val total  = Tables.orders(spark, dir).agg(count(lit(1)).as("total_sales"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("probability", col("n").cast("double") / col("total_sales"))
+      .select("product", "n", "probability")
+      .orderBy("product")
+  }
+
+  /** §2.D `agg_value_counts` (dashboard.py:546-572): `value_counts()` —
+    * frequency table, most-common first (priority asc as tie-break). */
+  val aggValueCounts: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+
+  /** §2.D `agg_ngroups` (dashboard.py:290): distinct group count. At
+    * 100 TB prefer `approx_count_distinct`; exact here for oracle parity. */
+  val aggNgroups: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .agg(countDistinct(to_date(col("l_shipdate"))).as("n_dates"))
+
+  /** §2.D `agg_nunique` (dashboard.py:280,531): nunique over two
+    * dimensions, one row. Two independent single-row aggs cross-joined —
+    * both sides broadcast, no driver round-trip. */
+  val aggNunique: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+      .crossJoin(broadcast(
+        Tables.part(spark, dir).agg(countDistinct(col("p_name")).as("n_products"))))
+
+  /** §2.D `agg_group_size` (dashboard.py:310): tickets/day time series. */
+  val aggGroupSize: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("sale_date"))
+      .agg(count(lit(1)).as("n_tickets"))
+      .orderBy(col("sale_date"))
+
+  /** §2.D `agg_named_multi` (dashboard.py:400-403): named multi-aggregate
+    * per brand. */
+  val aggNamedMulti: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        Tables.revenueSum.as("total_revenue"),
+        sum(col("l_quantity")).as("total_units"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** §2.D `agg_mean_group` (EDA.ipynb:3319 (cell 39)): per-product means.
+    * Exact: quantity sums are integer-valued doubles, revenue goes through
+    * cents; the final divide-by-count is one deterministic IEEE op. */
+  val aggMeanGroup: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_name").as("product"))
+      .agg(
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_quantity"),
+        (Tables.revenueSum / count(lit(1))).as("avg_revenue"))
+      .orderBy(col("product"))
+  }
+
+  /** §2.D `agg_stats_cv` (EDA.ipynb:2897 (cell 32)): demand-volatility
+    * ranking — per-product stddev/mean/cv of daily quantity. */
+  val aggStatsCv: Q = (spark, dir) =>
+    CoreQueries.aggDailyProduct(spark, dir)
+      .groupBy(col("product"))
+      .agg(
+        round(stddev_samp(col("total_quantity")), 6).as("std_quantity"),
+        (sum(col("total_quantity")) / count(lit(1))).as("mean_quantity"))
+      .withColumn("cv", round(col("std_quantity") / col("mean_quantity"), 6))
+      .orderBy(col("product"))
+
+  /** §2.D `agg_corr_group` (EDA.ipynb:450 (cell 10)): per-group Pearson
+    * correlation — built-in `corr` aggregate, no UDAF (SURVEY.md §2.K). */
+  val aggCorrGroup: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+        .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** §2.D `agg_mode` (dashboard.py:601-603): most frequent value per
+    * group with the reference's deterministic tie-break (pandas mode
+    * returns the lexicographically first — SURVEY.md §2.J.7; Spark's
+    * built-in `mode` is nondeterministic on ties, so rank explicitly). */
+  val aggMode: Q = (spark, dir) => {
+    val counted = graft.Tables.salesHeader(spark, dir)
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    counted
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
+        col("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** §2.D `agg_bucket_hist` (dashboard.py:564-566): `pd.cut`-style fixed
+    * bucketing → histogram, with exact label parity via chained `when`. */
+  val aggBucketHist: Q = (spark, dir) => {
+    val b = col("c_acctbal")
+    Tables.customer(spark, dir)
+      .withColumn("balance_bin",
+        when(b < 0, "negative")
+          .when(b < 1000, "0-1k")
+          .when(b < 5000, "1k-5k")
+          .otherwise("5k+"))
+      .groupBy(col("balance_bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("balance_bin"))
+  }
+
+  /** §2.D seasonality (EDA.ipynb:2444 (cell 27)): revenue by calendar
+    * month across years. */
+  val aggSeasonality: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(month(col("l_shipdate")).as("month"))
+      .agg(Tables.revenueSum.as("total_revenue"))
+      .orderBy(col("month"))
+
+  /** §2.D `agg_avg` (EDA.ipynb:244 (cell 6)): date×hour×type grain with
+    * an average — event values are 2-decimal, so the cents path keeps the
+    * mean exact. */
+  val aggAvg: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(
+        to_date(col("ts")).as("event_date"),
+        hour(col("ts")).as("hour"),
+        col("event_type"))
+      .agg((sum(Tables.cents(col("value"))) / lit(100.0) / count(lit(1)))
+        .as("avg_value"))
+      .orderBy(col("event_date"), col("hour"), col("event_type"))
+
+  def queries: Map[String, Q] = Map(
+    "agg_count_star"     -> aggCountStar,
+    "agg_kpis"           -> aggKpis,
+    "agg_count_by_key"   -> aggCountByKey,
+    "agg_ratio_of_total" -> aggRatioOfTotal,
+    "agg_value_counts"   -> aggValueCounts,
+    "agg_ngroups"        -> aggNgroups,
+    "agg_nunique"        -> aggNunique,
+    "agg_group_size"     -> aggGroupSize,
+    "agg_named_multi"    -> aggNamedMulti,
+    "agg_mean_group"     -> aggMeanGroup,
+    "agg_stats_cv"       -> aggStatsCv,
+    "agg_corr_group"     -> aggCorrGroup,
+    "agg_mode"           -> aggMode,
+    "agg_bucket_hist"    -> aggBucketHist,
+    "agg_seasonality"    -> aggSeasonality,
+    "agg_avg"            -> aggAvg,
+  )
+
+  private val R = Tables.revenueSumSql // exact money-sum fragment
+
+  def oracles: Map[String, String] = Map(
+    "agg_count_star" -> "SELECT count(*) AS n FROM lineitem",
+    "agg_kpis" ->
+      s"""SELECT *, total_revenue / n_orders AS revenue_per_order FROM (
+         |  SELECT $R AS total_revenue,
+         |         count(*) AS n_line_items,
+         |         count(DISTINCT l_orderkey) AS n_orders,
+         |         count(DISTINCT l_suppkey) AS n_suppliers
+         |  FROM lineitem) t""".stripMargin,
+    "agg_count_by_key" ->
+      """SELECT p_name AS product, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_ratio_of_total" ->
+      """SELECT p_name AS product, count(*) AS n,
+        |  CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM orders) AS probability
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_value_counts" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin,
+    "agg_ngroups" ->
+      "SELECT count(DISTINCT CAST(l_shipdate AS DATE)) AS n_dates FROM lineitem",
+    "agg_nunique" ->
+      """SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS n_customers,
+        |       (SELECT count(DISTINCT p_name) FROM part) AS n_products""".stripMargin,
+    "agg_group_size" ->
+      """SELECT CAST(o_orderdate AS DATE) AS sale_date, count(*) AS n_tickets
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_named_multi" ->
+      s"""SELECT p_brand, $R AS total_revenue, SUM(l_quantity) AS total_units
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_mean_group" ->
+      s"""SELECT p_name AS product,
+         |  SUM(l_quantity) / count(*) AS avg_quantity,
+         |  $R / count(*) AS avg_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_stats_cv" ->
+      ("""SELECT product,
+        |  round(stddev_samp(total_quantity), 6) AS std_quantity,
+        |  SUM(total_quantity) / count(*) AS mean_quantity,
+        |  round(round(stddev_samp(total_quantity), 6)
+        |        / (SUM(total_quantity) / count(*)), 6) AS cv
+        |FROM (""".stripMargin + CoreQueries.aggDailyProductSql +
+        ") t GROUP BY 1 ORDER BY 1"),
+    "agg_corr_group" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_mode" ->
+      """SELECT c_mktsegment, o_orderpriority AS mode_priority, n FROM (
+        |  SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY count(*) DESC, o_orderpriority) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2) t
+        |WHERE rk = 1 ORDER BY 1""".stripMargin,
+    "agg_bucket_hist" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 1000 THEN '0-1k'
+        |            WHEN c_acctbal < 5000 THEN '1k-5k'
+        |            ELSE '5k+' END AS balance_bin,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_seasonality" ->
+      s"""SELECT month(l_shipdate) AS month, $R AS total_revenue
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_avg" ->
+      """SELECT CAST(ts AS DATE) AS event_date, hour(ts) AS hour, event_type,
+        |  SUM(floor(value * 100.0 + 0.5)) / 100.0 / count(*) AS avg_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+  )
+}
