@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     operators.CoreQueries.queries ++
-      operators.AggQueries.queries
+      operators.AggQueries.queries ++
+      operators.NestedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.CoreQueries.oracles ++
-      operators.AggQueries.oracles
+      operators.AggQueries.oracles ++
+      operators.NestedQueries.oracles
 }
