@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, Q] =
     operators.CoreQueries.queries ++
       operators.AggQueries.queries ++
-      operators.NestedQueries.queries
+      operators.NestedQueries.queries ++
+      operators.JoinWindowQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.CoreQueries.oracles ++
       operators.AggQueries.oracles ++
-      operators.NestedQueries.oracles
+      operators.NestedQueries.oracles ++
+      operators.JoinWindowQueries.oracles
 }

@@ -1,0 +1,298 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M4 — joins, set operations, sorts/top-k, and window functions
+  * (SURVEY.md §2.E, §2.F, §2.H).
+  *
+  * Scale notes:
+  *  - dimension enrichments broadcast (`join_left_enrich`) — never
+  *    shuffle a fact table against a small dim;
+  *  - top-k per group uses `row_number` over a partitioned window (one
+  *    shuffle, streaming rank) rather than sort+head;
+  *  - the pair self-join (§2.J.1) is quadratic in basket size by
+  *    construction (reference semantics) — baskets are small and bounded,
+  *    so the blow-up factor is ~avg_basket²/2, not data-sized;
+  *  - lag features are one window shuffle per product partition; at
+  *    100 TB the daily×product grain upstream has already reduced the
+  *    data by ~lineitem/(dates×products), so WindowExec input is tiny.
+  */
+object JoinWindowQueries {
+
+  /** §2.E `join_left_enrich` (dashboard.py:411): enrich a per-product
+    * aggregate with the purchase-probability dimension — broadcast-hash
+    * left join on the 7-ish-row dim. */
+  val joinLeftEnrich: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    val base = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_name").as("product"))
+      .agg(Tables.revenueSum.as("total_revenue"))
+    val dim = AggQueries.aggRatioOfTotal(spark, dir)
+      .select(col("product"), col("probability"))
+    base.join(broadcast(dim), Seq("product"), "left")
+      .orderBy(col("product"))
+  }
+
+  /** §2.E `set_union_concat` (EDA.ipynb:5211 (cell 66)): `pd.concat` of
+    * heterogeneous frames → `unionByName(allowMissingColumns)`; the
+    * `metric` discriminator keeps sort keys null-free (Spark and SQL
+    * engines disagree on default null ordering). */
+  val setUnionConcat: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    val joined = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    val rev = joined.groupBy(col("p_brand"))
+      .agg(Tables.revenueSum.as("total_revenue"))
+      .withColumn("metric", lit("revenue"))
+    val units = joined.groupBy(col("p_brand"))
+      .agg(sum(col("l_quantity")).as("total_units"))
+      .withColumn("metric", lit("units"))
+    rev.unionByName(units, allowMissingColumns = true)
+      .orderBy(col("p_brand"), col("metric"))
+  }
+
+  /** §2.E `join_pair_selfjoin` + §2.J.1 (dashboard.py:205-213): product
+    * pair co-occurrence with the reference's EXACT multiset semantics —
+    * `combinations(sorted(items), 2)` over the raw item list: duplicates
+    * kept, self-pairs possible, probability = count/total_sales may
+    * exceed 1 (binder–notepad 1.5288 in the reference data).
+    *
+    * Implementation: re-nest names per sale sorted, `posexplode`, and
+    * theta-self-join on `a.pos < b.pos` — pair identity by position, not
+    * value, which is what makes it a multiset. */
+  val joinPairSelfjoin: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    val names = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("p_name"))).as("names"))
+    val pos = names.select(col("l_orderkey"),
+      posexplode(col("names")).as(Seq("pos", "name")))
+    val pairs = pos.as("a").join(pos.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.pos") < col("b.pos"))
+      .groupBy(col("a.name").as("product_1"), col("b.name").as("product_2"))
+      .agg(count(lit(1)).as("n"))
+    val total = Tables.orders(spark, dir).agg(count(lit(1)).as("total_sales"))
+    pairs.crossJoin(broadcast(total))
+      .withColumn("probability", col("n").cast("double") / col("total_sales"))
+      .select("product_1", "product_2", "n", "probability")
+      .orderBy(col("n").desc, col("product_1"), col("product_2"))
+  }
+
+  /** §2.F `srt_multikey` (dashboard.py:440): mixed asc/desc multi-key
+    * sort with full tie-break. */
+  val srtMultikey: Q = (spark, dir) =>
+    CoreQueries.aggDailyProduct(spark, dir)
+      .orderBy(col("sale_date").asc, col("total_revenue").desc,
+        col("product").asc)
+
+  /** §2.F `srt_distinct` (dashboard.py:225,521): ordered unique values. */
+  val srtDistinct: Q = (spark, dir) =>
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment")).distinct().orderBy(col("c_mktsegment"))
+
+  /** §2.F `topk_head_per_group` (dashboard.py:440-441): top-10 per group
+    * via ranked window (sort-then-head in the reference). */
+  val topkHeadPerGroup: Q = (spark, dir) => {
+    val base = Tables.salesHeader(spark, dir)
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg((sum(Tables.cents(col("o_totalprice"))) / lit(100.0))
+        .as("customer_revenue"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("customer_revenue").desc, col("o_custkey"))
+    base.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .orderBy(col("c_mktsegment"), col("rank"))
+  }
+
+  /** §2.F `topk_argmax_per_group` (EDA.ipynb:2214 (cell 23)): best-revenue
+    * product per day (`idxmax`), ties broken lexicographically. */
+  val topkArgmaxPerGroup: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("sale_date"))
+      .orderBy(col("total_revenue").desc, col("product"))
+    CoreQueries.aggDailyProduct(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select("sale_date", "product", "total_revenue")
+      .orderBy(col("sale_date"))
+  }
+
+  /** §2.F `topk_first_after_sort` (EDA.ipynb:2576 (cell 29)): global
+    * argmax — sort desc, take 1 (TakeOrderedAndProject, no full sort). */
+  val topkFirstAfterSort: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_name").as("product"), month(col("l_shipdate")).as("month"))
+      .agg(sum(col("l_quantity")).as("total_quantity"))
+      .orderBy(col("total_quantity").desc, col("product"), col("month"))
+      .limit(1)
+  }
+
+  /** §2.F `lim_tail` (dashboard.py:770): last-n-days slice, expressed as
+    * a date-based filter (deterministic, unlike positional `.tail`). */
+  val limTail: Q = (spark, dir) => {
+    val daily = CoreQueries.aggDailyProduct(spark, dir)
+    val maxd = Tables.lineitem(spark, dir)
+      .agg(max(to_date(col("l_shipdate"))).as("max_date"))
+    daily.crossJoin(broadcast(maxd))
+      .where(col("sale_date") > date_sub(col("max_date"), 14))
+      .select("sale_date", "product", "total_quantity", "total_revenue")
+      .orderBy(col("sale_date"), col("product"))
+  }
+
+  /** §2.H `win_cutoff_split` (dashboard.py:717-731): train/test split at
+    * max(date)−14d — per-split cardinality + date range. */
+  val winCutoffSplit: Q = (spark, dir) => {
+    val daily = CoreQueries.aggDailyProduct(spark, dir)
+    val maxd = Tables.lineitem(spark, dir)
+      .agg(max(to_date(col("l_shipdate"))).as("max_date"))
+    daily.crossJoin(broadcast(maxd))
+      .withColumn("split",
+        when(col("sale_date") <= date_sub(col("max_date"), 14), "train")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("sale_date")).as("min_date"),
+        max(col("sale_date")).as("max_date"))
+      .orderBy(col("split"))
+  }
+
+  /** §2.H `win_lag_features` (dashboard.py:39-52): the 14-lag demand
+    * matrix per product, date-ordered, incomplete rows dropped — the
+    * forecasting feature pipeline. */
+  val winLagFeatures: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("product")).orderBy(col("sale_date"))
+    val withLags = (1 to 14).foldLeft(CoreQueries.aggDailyProduct(spark, dir)) {
+      (d, i) => d.withColumn(s"lag_$i", lag(col("total_quantity"), i).over(w))
+    }
+    withLags
+      .withColumn("month", month(col("sale_date")))
+      .withColumn("weekday", weekday(col("sale_date")))
+      .withColumn("is_weekend", (weekday(col("sale_date")) >= 5).cast("int"))
+      .where(col("lag_14").isNotNull)
+      .drop("total_revenue")
+      .orderBy(col("product"), col("sale_date"))
+  }
+
+  /** Extension (beyond the reference, §2.H note): frame-spec rolling
+    * window — 7-row trailing average of daily demand per product. Exact:
+    * integer-valued sums divided once. */
+  val winRollingAvg: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("product")).orderBy(col("sale_date"))
+      .rowsBetween(-6, 0)
+    CoreQueries.aggDailyProduct(spark, dir)
+      .withColumn("rolling_avg_quantity",
+        sum(col("total_quantity")).over(w) / count(lit(1)).over(w))
+      .select("sale_date", "product", "total_quantity", "rolling_avg_quantity")
+      .orderBy(col("product"), col("sale_date"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "join_left_enrich"      -> joinLeftEnrich,
+    "set_union_concat"      -> setUnionConcat,
+    "join_pair_selfjoin"    -> joinPairSelfjoin,
+    "srt_multikey"          -> srtMultikey,
+    "srt_distinct"          -> srtDistinct,
+    "topk_head_per_group"   -> topkHeadPerGroup,
+    "topk_argmax_per_group" -> topkArgmaxPerGroup,
+    "topk_first_after_sort" -> topkFirstAfterSort,
+    "lim_tail"              -> limTail,
+    "win_cutoff_split"      -> winCutoffSplit,
+    "win_lag_features"      -> winLagFeatures,
+    "win_rolling_avg"       -> winRollingAvg,
+  )
+
+  private val R = Tables.revenueSumSql
+  private val dailySql = CoreQueries.aggDailyProductSql
+
+  def oracles: Map[String, String] = Map(
+    "join_left_enrich" ->
+      s"""SELECT b.product, b.total_revenue, d.probability
+         |FROM (SELECT p_name AS product, $R AS total_revenue
+         |      FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1) b
+         |LEFT JOIN (SELECT p_name AS product,
+         |             CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM orders) AS probability
+         |           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1) d
+         |USING (product) ORDER BY product""".stripMargin,
+    "set_union_concat" ->
+      s"""SELECT p_brand, $R AS total_revenue,
+         |       CAST(NULL AS DOUBLE) AS total_units, 'revenue' AS metric
+         |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
+         |UNION ALL
+         |SELECT p_brand, CAST(NULL AS DOUBLE), SUM(l_quantity), 'units'
+         |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
+         |ORDER BY p_brand, metric""".stripMargin,
+    "join_pair_selfjoin" ->
+      """WITH it AS (
+        |  SELECT l_orderkey, p_name,
+        |    row_number() OVER (PARTITION BY l_orderkey) AS uid
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT a.p_name AS product_1, b.p_name AS product_2, count(*) AS n,
+        |  CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM orders) AS probability
+        |FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+        | AND (a.p_name < b.p_name
+        |      OR (a.p_name = b.p_name AND a.uid < b.uid))
+        |GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2""".stripMargin,
+    "srt_multikey" ->
+      s"SELECT * FROM ($dailySql) t ORDER BY sale_date ASC, total_revenue DESC, product ASC",
+    "srt_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1",
+    "topk_head_per_group" ->
+      """SELECT * FROM (
+        |  SELECT c_mktsegment, o_custkey,
+        |    SUM(floor(o_totalprice * 100.0 + 0.5)) / 100.0 AS customer_revenue,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY SUM(floor(o_totalprice * 100.0 + 0.5)) / 100.0 DESC,
+        |               o_custkey) AS rank
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2) t
+        |WHERE rank <= 10 ORDER BY c_mktsegment, rank""".stripMargin,
+    "topk_argmax_per_group" ->
+      s"""SELECT sale_date, product, total_revenue FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY sale_date
+         |    ORDER BY total_revenue DESC, product) AS rk
+         |  FROM ($dailySql) d) t
+         |WHERE rk = 1 ORDER BY sale_date""".stripMargin,
+    "topk_first_after_sort" ->
+      """SELECT p_name AS product, month(l_shipdate) AS month,
+        |  SUM(l_quantity) AS total_quantity
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2 LIMIT 1""".stripMargin,
+    "lim_tail" ->
+      s"""SELECT sale_date, product, total_quantity, total_revenue
+         |FROM ($dailySql) t
+         |WHERE sale_date > (SELECT CAST(max(l_shipdate) AS DATE) - 14 FROM lineitem)
+         |ORDER BY sale_date, product""".stripMargin,
+    "win_cutoff_split" ->
+      s"""SELECT CASE WHEN sale_date <= (SELECT CAST(max(l_shipdate) AS DATE) - 14 FROM lineitem)
+         |            THEN 'train' ELSE 'test' END AS split,
+         |  count(*) AS n_rows, min(sale_date) AS min_date, max(sale_date) AS max_date
+         |FROM ($dailySql) t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "win_lag_features" -> {
+      val lags = (1 to 14).map(i =>
+        s"lag(total_quantity, $i) OVER (PARTITION BY product ORDER BY sale_date) AS lag_$i")
+        .mkString(",\n    ")
+      s"""SELECT * FROM (
+         |  SELECT sale_date, product, total_quantity,
+         |    $lags,
+         |    month(sale_date) AS month,
+         |    isodow(sale_date) - 1 AS weekday,
+         |    CAST(isodow(sale_date) - 1 >= 5 AS INT) AS is_weekend
+         |  FROM ($dailySql) d) t
+         |WHERE lag_14 IS NOT NULL
+         |ORDER BY product, sale_date""".stripMargin
+    },
+    "win_rolling_avg" ->
+      s"""SELECT sale_date, product, total_quantity,
+         |  SUM(total_quantity) OVER w / COUNT(*) OVER w AS rolling_avg_quantity
+         |FROM ($dailySql) t
+         |WINDOW w AS (PARTITION BY product ORDER BY sale_date
+         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY product, sale_date""".stripMargin,
+  )
+}

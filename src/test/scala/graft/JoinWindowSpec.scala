@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinWindowSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("pair counting is a multiset over combinations (SURVEY.md §2.J.1): " +
+    "duplicates kept, self-pairs present, total = Σ C(k,2)") {
+    import spark.implicits._
+    // in-memory fixture replicating the reference trap: a sale with two
+    // 'notepad' lines must yield a (notepad, notepad) self-pair
+    val names = Seq(
+      (1L, Seq("binder", "notepad", "notepad")),
+      (2L, Seq("notepad", "binder")),
+      (3L, Seq("pens"))
+    ).toDF("l_orderkey", "names")
+      .select(col("l_orderkey"),
+        posexplode(sort_array(col("names"))).as(Seq("pos", "name")))
+    val pairs = names.as("a").join(names.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.pos") < col("b.pos"))
+      .groupBy(col("a.name").as("p1"), col("b.name").as("p2"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // sale 1: [binder,notepad,notepad] -> (b,n),(b,n),(n,n); sale 2: (b,n)
+    assert(pairs(("binder", "notepad")) == 3)
+    assert(pairs(("notepad", "notepad")) == 1) // the self-pair
+    assert(pairs.values.sum == 3 + 1 + 0) // C(3,2)+C(2,2)+C(1,2)... = 3+1+0
+  }
+
+  test("pair query total equals Σ C(basket,2) on testdata") {
+    val total = operators.JoinWindowQueries.joinPairSelfjoin(spark, sf)
+      .agg(sum("n")).head.getLong(0)
+    val expected = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("k"))
+      .agg(sum(expr("k * (k - 1) / 2"))).head.getDouble(0).toLong
+    assert(total == expected)
+  }
+
+  test("lag features: lag_i(row) == quantity at row-i within partition") {
+    import spark.implicits._
+    val lf = operators.JoinWindowQueries.winLagFeatures(spark, sf)
+      .where($"product" === $"product") // no-op, keeps lineage simple
+      .limit(0) // schema check only below; data check via one product
+    assert((1 to 14).forall(i => lf.columns.contains(s"lag_$i")))
+    val one = operators.JoinWindowQueries.winLagFeatures(spark, sf)
+      .orderBy("product", "sale_date").limit(30).collect()
+    // lag_1 of row n should equal total_quantity of previous row when same product
+    one.sliding(2).foreach {
+      case Array(prev, cur) if prev.getString(1) == cur.getString(1) =>
+        assert(cur.getAs[Double]("lag_1") == prev.getAs[Double]("total_quantity"))
+      case _ =>
+    }
+  }
+
+  test("top-k per group returns at most k rows per group, ranked") {
+    val df = operators.JoinWindowQueries.topkHeadPerGroup(spark, sf)
+    val per = df.groupBy("c_mktsegment").count().collect()
+    assert(per.forall(_.getLong(1) <= 10))
+  }
+
+  test("left enrich plan broadcasts the dimension") {
+    val plan = operators.JoinWindowQueries.joinLeftEnrich(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
