@@ -21,7 +21,12 @@ object SparkEntry {
     operators.CoreQueries.queries ++
       operators.AggQueries.queries ++
       operators.NestedQueries.queries ++
-      operators.JoinWindowQueries.queries
+      operators.JoinWindowQueries.queries ++
+      sources.SourceQueries.queries ++
+      operators.TextQueries.queries ++
+      operators.DedupQueries.queries ++
+      operators.SimilarityQueries.queries ++
+      operators.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +34,10 @@ object SparkEntry {
     operators.CoreQueries.oracles ++
       operators.AggQueries.oracles ++
       operators.NestedQueries.oracles ++
-      operators.JoinWindowQueries.oracles
+      operators.JoinWindowQueries.oracles ++
+      sources.SourceQueries.oracles ++
+      operators.TextQueries.oracles ++
+      operators.DedupQueries.oracles ++
+      operators.SimilarityQueries.oracles ++
+      operators.MultimodalQueries.oracles
 }

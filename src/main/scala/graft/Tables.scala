@@ -67,6 +67,18 @@ object Tables {
   def centsSumSql(expr: String): String =
     s"SUM(floor(($expr) * 100.0 + 0.5)) / 100.0"
 
+  /** Cross-engine-stable 6-decimal rounding: pure IEEE ops, identical in
+    * Spark and DuckDB. Spark's `round()` goes through the decimal string
+    * representation (HALF_UP on Double.toString) and can disagree with a
+    * binary-value rounder at repr boundaries — never use it where the
+    * oracle must match. */
+  def round6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  /** Oracle-SQL fragment matching [[round6]]. */
+  def round6Sql(expr: String): String =
+    s"floor(($expr) * 1000000.0 + 0.5) / 1000000.0"
+
   /** Nested sales view — rebuilds the reference's fundamental
     * `sales{items: array<struct>}` abstraction (SURVEY.md §1.1) from the
     * flat testdata: one row per order with an `items` array of

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text primitives for the training-data pipeline operators
+  * (tokenization, shingling, normalization). All pure built-in
+  * expressions — codegen-friendly, no UDFs (SURVEY.md §2.K discipline).
+  */
+object TextFunctions {
+
+  /** BPE-ish word tokenizer: maximal runs of `[a-z0-9]` over lowercased
+    * text. Matches the oracle's `regexp_extract_all` exactly (both Java
+    * and RE2 regex treat this ASCII class identically). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Distinct word k-shingles (k=3): the n-gram unit for Jaccard/MinHash
+    * dedup. Documents with fewer than k tokens get an empty set. */
+  def shingles(toks: Column, k: Int = 3): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Whitespace-collapsed lowercase normal form for fingerprinting. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(text), "\\s+", " ")
+
+  /** Count of tokens that appear in a fixed stopword list. */
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  val EN_STOP: Seq[String] = Seq("the", "and", "of", "a", "to", "in")
+  val ES_STOP: Seq[String] = Seq("el", "la", "de", "y", "en", "los")
+  val DE_STOP: Seq[String] = Seq("der", "die", "und", "das", "ein", "zu")
+  val FR_STOP: Seq[String] = Seq("le", "la", "et", "les", "des", "un")
+  val ZH_STOP: Seq[String] = Seq("de5", "shi4", "le5", "zai4", "he2", "you3")
+}

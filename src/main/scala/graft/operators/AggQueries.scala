@@ -120,9 +120,9 @@ object AggQueries {
     CoreQueries.aggDailyProduct(spark, dir)
       .groupBy(col("product"))
       .agg(
-        round(stddev_samp(col("total_quantity")), 6).as("std_quantity"),
+        Tables.round6(stddev_samp(col("total_quantity"))).as("std_quantity"),
         (sum(col("total_quantity")) / count(lit(1))).as("mean_quantity"))
-      .withColumn("cv", round(col("std_quantity") / col("mean_quantity"), 6))
+      .withColumn("cv", Tables.round6(col("std_quantity") / col("mean_quantity")))
       .orderBy(col("product"))
 
   /** §2.D `agg_corr_group` (EDA.ipynb:450 (cell 10)): per-group Pearson
@@ -130,7 +130,7 @@ object AggQueries {
   val aggCorrGroup: Q = (spark, dir) =>
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+      .agg(Tables.round6(corr(col("l_quantity"), col("l_extendedprice")))
         .as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
 
@@ -250,14 +250,14 @@ object AggQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_stats_cv" ->
       ("""SELECT product,
-        |  round(stddev_samp(total_quantity), 6) AS std_quantity,
+        |  floor(stddev_samp(total_quantity) * 1000000.0 + 0.5) / 1000000.0 AS std_quantity,
         |  SUM(total_quantity) / count(*) AS mean_quantity,
-        |  round(round(stddev_samp(total_quantity), 6)
-        |        / (SUM(total_quantity) / count(*)), 6) AS cv
+        |  floor(floor(stddev_samp(total_quantity) * 1000000.0 + 0.5) / 1000000.0
+        |        / (SUM(total_quantity) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS cv
         |FROM (""".stripMargin + CoreQueries.aggDailyProductSql +
         ") t GROUP BY 1 ORDER BY 1"),
     "agg_corr_group" ->
-      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+      """SELECT l_returnflag, floor(corr(l_quantity, l_extendedprice) * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_mode" ->
       """SELECT c_mktsegment, o_orderpriority AS mode_priority, n FROM (

@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** North-star deduplication operators over `documents` (BASELINE.json):
+  * exact, n-gram Jaccard, MinHash+LSH, and SimHash near-dup detection.
+  *
+  * Scale design:
+  *  - exact dedup is one hash-shuffle on the text hash (group by
+  *    fingerprint, not by the full text — 100 TB of text never travels
+  *    through the shuffle, only 16-byte digests + ids);
+  *  - brute Jaccard is the O(n²) correctness baseline, length-blocked so
+  *    the quadratic term is per-bucket, not corpus-wide;
+  *  - MinHash+LSH is the scale path: cost is O(n·bands) shuffle of
+  *    fixed-width signatures, candidate pairs only within equal band
+  *    buckets, exact-Jaccard verification only on candidates;
+  *  - SimHash gives the complementary hamming-distance family with
+  *    pigeonhole chunk blocking (any pair within distance d shares one
+  *    of d+1 chunks).
+  */
+object DedupQueries {
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id.
+    * Returns one row per duplicate *group* (singletons included so the
+    * result is a full keeper map). */
+  val dedupExact: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("text_hash"))
+
+  /** Shingle sets per document, with a 100-char length block key. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("n_chars div 100").as("len_bucket"),
+        shingles(tokens(col("text"))).as("sh"))
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** N-gram (word-3-shingle) Jaccard near-dup pairs at ≥0.5, blocked by
+    * identical 100-char length bucket (near-dups have near-equal length;
+    * the block bounds the quadratic join). The oracle replays the same
+    * semantics in SQL. */
+  val dedupNgramJaccard: Q = (spark, dir) => {
+    val sh = shingled(spark, dir)
+    sh.as("a").join(sh.as("b"),
+        col("a.len_bucket") === col("b.len_bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------
+
+  val NumHashes = 64
+  val Bands     = 16 // × 4 rows; P(candidate | j=0.9) ≈ 1 − 4e-8
+  val Rows      = NumHashes / Bands
+  private val Prime = 2147483647L // 2^31 − 1
+
+  /** 64 minhash values per doc: h_i(s) = (a_i·murmur3(s) + b_i) mod p,
+    * folded over the shingle set (order-independent: min). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val sigCols = (0 until NumHashes).map { i =>
+      val a = 2L * i + 1   // odd multipliers
+      val b = 7919L * i + 1
+      min(pmod(hash(col("shingle")).cast("long") * a + b, lit(Prime)))
+        .as(s"sig_$i")
+    }
+    shingled(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH candidate generation + exact-Jaccard verification. Output
+    * matches `dedup_ngram_jaccard` without any length blocking whenever
+    * LSH recall holds (asserted in DedupSpec, not oracled — the hash
+    * functions are engine-specific). */
+  val dedupMinhashLsh: Q = (spark, dir) => {
+    val sigs = minhashSignatures(spark, dir)
+    val bandStructs = array((0 until Bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("_", (0 until Rows).map(r => col(s"sig_${bnd * Rows + r}")): _*)
+          .as("key"))
+    }: _*)
+    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = shingled(spark, dir).select(col("doc_id"), col("sh"))
+    candidates
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- SimHash ------------------------------------------------------
+
+  private val SimBits = 64
+
+  /** 64-bit SimHash: per-bit majority vote over murmur3-hashed shingles. */
+  def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    val h = hash(col("shingle")).cast("long") * 2654435761L + 104729L // spread to 64 bit
+    val bitVotes = (0 until SimBits).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1))
+        .as(s"v_$j")
+    }
+    val votes = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("h", h)
+      .groupBy(col("doc_id"))
+      .agg(bitVotes.head, bitVotes.tail: _*)
+    val simhash = (0 until SimBits).map { j =>
+      when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at hamming distance ≤ 3, blocked by the
+    * pigeonhole principle on 4×16-bit chunks (distance ≤3 ⇒ at least one
+    * of 4 chunks is identical) — candidate join is equi, not quadratic. */
+  val dedupSimhash: Q = (spark, dir) => {
+    val sim = simhashes(spark, dir)
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val pairs = chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+    pairs.where(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "dedup_exact"         -> dedupExact,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_minhash_lsh"   -> dedupMinhashLsh,
+    "dedup_simhash"       -> dedupSimhash,
+  )
+
+  private val SH =
+    """list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |               FOR i IN range(1, len(w) - 1)])""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, n_chars // 100 AS len_bucket,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, len_bucket,
+         |    CASE WHEN len(w) >= 3 THEN $SH ELSE [] END AS s
+         |  FROM tok)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |FROM sh a JOIN sh b
+         |  ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
+    // dedup_minhash_lsh / dedup_simhash: rows-only (hash functions are
+    // engine-specific); cross-checked against the brute-force baseline
+    // in DedupSpec instead.
+  )
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** North-star text-analysis operators over `documents` (BASELINE.json
+  * north_star; beyond the reference's surface, as required for a
+  * training-data pipeline): token stats, quality scoring, n-gram
+  * language ID, and document fingerprinting.
+  *
+  * Scale: all four are embarrassingly parallel scans (no shuffle except
+  * final ordering); at 100 TB they pipeline entirely inside one
+  * WholeStageCodegen over the parquet scan.
+  */
+object TextQueries {
+
+  /** Token counting (whitespace/regex tokenizer): totals, uniques,
+    * type-token ratio. Integer counts + one division → exact. */
+  val txtTokens: Q = (spark, dir) => {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_unique_tokens"))
+      .withColumn("type_token_ratio",
+        col("n_unique_tokens").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length/alpha/stopword signals combined into a
+    * [0,1] score — the standard pre-training corpus filter shape. */
+  val txtQuality: Q = (spark, dir) => {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        size(t).as("n_tokens"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).as("n_alpha"),
+        stopwordCount(t, EN_STOP).as("n_stopwords"))
+      .withColumn("alpha_ratio",
+        col("n_alpha").cast("double") / col("n_chars_actual"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        Tables.round6(
+          least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4)
+            + col("alpha_ratio") * lit(0.4)
+            + least(col("stopword_ratio") * lit(5.0), lit(1.0)) * lit(0.2)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** N-gram-heuristic language ID: per-language stopword-token scores,
+    * fixed-priority argmax (deterministic tie-break), compared against
+    * the labeled `lang`. */
+  val txtLangid: Q = (spark, dir) => {
+    val t = tokens(col("text"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        stopwordCount(t, EN_STOP).as("s_en"),
+        stopwordCount(t, ES_STOP).as("s_es"),
+        stopwordCount(t, DE_STOP).as("s_de"),
+        stopwordCount(t, FR_STOP).as("s_fr"),
+        stopwordCount(t, ZH_STOP).as("s_zh"))
+    scored
+      .withColumn("predicted_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+          col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") &&
+            col("s_es") >= col("s_zh"), "es")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+      .withColumn("is_correct", (col("predicted_lang") === col("lang")).cast("int"))
+      .select("doc_id", "lang", "predicted_lang", "is_correct")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: md5 over the whitespace-collapsed normal
+    * form + a 2-hex-char shard key (the bucketing used to partition a
+    * 100 TB dedup by fingerprint prefix). */
+  val txtFingerprint: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(normalized(col("text"))).as("fingerprint"),
+        substring(md5(normalized(col("text"))), 1, 2).as("shard"))
+      .orderBy(col("doc_id"))
+
+  def queries: Map[String, Q] = Map(
+    "txt_tokens"      -> txtTokens,
+    "txt_quality"     -> txtQuality,
+    "txt_langid"      -> txtLangid,
+    "txt_fingerprint" -> txtFingerprint,
+  )
+
+  private def sqlStop(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+  private val T = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private def sw(ws: Seq[String]) =
+    s"len(list_filter($T, t -> t IN ${sqlStop(ws)}))"
+
+  def oracles: Map[String, String] = Map(
+    "txt_tokens" ->
+      s"""SELECT doc_id, len($T) AS n_tokens,
+         |  len(list_distinct($T)) AS n_unique_tokens,
+         |  CAST(len(list_distinct($T)) AS DOUBLE) / len($T) AS type_token_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_quality" ->
+      s"""SELECT doc_id, n_chars_actual, n_tokens, n_alpha, n_stopwords,
+         |  alpha_ratio, stopword_ratio,
+         |  floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |        + alpha_ratio * 0.4
+         |        + least(stopword_ratio * 5.0, 1.0) * 0.2) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS quality_score
+         |FROM (
+         |  SELECT doc_id, length(text) AS n_chars_actual,
+         |    len($T) AS n_tokens,
+         |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+         |    ${sw(EN_STOP)} AS n_stopwords,
+         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS alpha_ratio,
+         |    CAST(${sw(EN_STOP)} AS DOUBLE) / len($T) AS stopword_ratio
+         |  FROM documents) t ORDER BY doc_id""".stripMargin,
+    "txt_langid" ->
+      s"""SELECT doc_id, lang, predicted_lang,
+         |  CAST(predicted_lang = lang AS INT) AS is_correct
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    ${sw(EN_STOP)} AS s_en, ${sw(ES_STOP)} AS s_es,
+         |    ${sw(DE_STOP)} AS s_de, ${sw(FR_STOP)} AS s_fr,
+         |    ${sw(ZH_STOP)} AS s_zh
+         |  FROM documents) s,
+         |LATERAL (SELECT CASE
+         |  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |  WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |  WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |  WHEN s_fr >= s_zh THEN 'fr'
+         |  ELSE 'zh' END AS predicted_lang) p
+         |ORDER BY doc_id""".stripMargin,
+    "txt_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+        |  substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 2) AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

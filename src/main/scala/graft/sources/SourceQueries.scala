@@ -1,0 +1,99 @@
+package graft.sources
+
+import graft.{Q, Tables}
+import graft.operators.CoreQueries
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.A sources/sinks: Mongo extended-JSON ingestion and the CSV
+  * round-trip sink (SURVEY.md §2.A; loader df.ipynb:91 (cell 5)).
+  *
+  * The reference's loader parses `$oid` → string, `$date` → timestamp,
+  * `$numberDecimal` → number, with malformed documents nulled rather than
+  * failing the batch. Here the extended-JSON input is synthesized
+  * deterministically from `orders` (a ~7th of rows corrupted), parsed
+  * with `from_json` + `try_to_timestamp`, and the oracle states the
+  * expected decoded values directly from the flat table.
+  */
+object SourceQueries {
+
+  private val extJsonSchema = StructType(Seq(
+    StructField("_id", StructType(Seq(StructField("$oid", StringType)))),
+    StructField("saleDate", StructType(Seq(StructField("$date", StringType)))),
+    StructField("price", StructType(Seq(StructField("$numberDecimal", StringType))))
+  ))
+
+  /** §2.A `src_extjson_load`: extended-JSON parse with null-on-malformed.
+    * Price strings are built from exact integer cents so the re-parsed
+    * double bit-matches the oracle's floor-cents arithmetic. */
+  val srcExtjsonLoad: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val centsCol = Tables.cents(col("o_totalprice")).cast("long")
+    val priceStr = concat(floor(centsCol / 100).cast("long").cast("string"),
+      lit("."), lpad((centsCol % 100).cast("string"), 2, "0"))
+    val json = concat(
+      lit("""{"_id": {"$oid": """"),
+      lpad(col("o_orderkey").cast("string"), 24, "0"),
+      lit(""""}, "saleDate": {"$date": """"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+      lit(""""}, "price": {"$numberDecimal": """"), priceStr, lit(""""}}"""))
+    val raw = o.select(
+      col("o_orderkey"),
+      // a seventh of the documents are corrupted mid-stream
+      when(col("o_orderkey") % 7 === 0, lit("{not valid json"))
+        .otherwise(json).as("doc"))
+    raw
+      .withColumn("parsed", from_json(col("doc"), extJsonSchema))
+      .select(
+        col("o_orderkey"),
+        col("parsed._id.$oid").as("oid"),
+        try_to_timestamp(col("parsed.saleDate.$date"),
+          lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).as("sale_ts"),
+        col("parsed.price.$numberDecimal").cast("double").as("price"))
+  }
+
+  /** §2.A `snk_csv_roundtrip` (EDA.ipynb:703 (cell 15)): write the daily
+    * report to CSV with header, read it back with an explicit schema
+    * (the reference relies on pandas dtype inference — we declare), and
+    * re-aggregate. Exactness survives the round trip because Spark writes
+    * doubles in shortest-round-trip form. */
+  val snkCsvRoundtrip: Q = (spark, dir) => {
+    val out = s"target/tmp/csv_roundtrip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    CoreQueries.aggDailyProduct(spark, dir)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("sale_date", DateType),
+      StructField("product", StringType),
+      StructField("total_quantity", DoubleType),
+      StructField("total_revenue", DoubleType)))
+    spark.read.option("header", "true").schema(schema).csv(out)
+      .groupBy(col("product"))
+      .agg(
+        sum(col("total_quantity")).as("total_quantity"),
+        (sum(Tables.cents(col("total_revenue"))) / lit(100.0))
+          .as("total_revenue"))
+      .orderBy(col("product"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "src_extjson_load"  -> srcExtjsonLoad,
+    "snk_csv_roundtrip" -> snkCsvRoundtrip,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "src_extjson_load" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE lpad(CAST(o_orderkey AS VARCHAR), 24, '0') END AS oid,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE o_orderdate END AS sale_ts,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE floor(o_totalprice * 100.0 + 0.5) / 100.0 END AS price
+        |FROM orders""".stripMargin,
+    "snk_csv_roundtrip" ->
+      ("""SELECT product, SUM(total_quantity) AS total_quantity,
+        |  SUM(floor(total_revenue * 100.0 + 0.5)) / 100.0 AS total_revenue
+        |FROM (""".stripMargin + CoreQueries.aggDailyProductSql +
+        ") t GROUP BY 1 ORDER BY 1"),
+  )
+}

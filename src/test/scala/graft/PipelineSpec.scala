@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the training-data-pipeline operators whose internals are
+  * hash-specific and therefore not DuckDB-oracled (SURVEY.md §5):
+  * MinHash-LSH and SimHash dedup, LSH ANN — each cross-checked against
+  * its brute-force baseline. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash-LSH finds a superset of the blocked brute-force pairs " +
+    "and every reported pair really clears the Jaccard threshold") {
+    val brute = pairSet(operators.DedupQueries.dedupNgramJaccard(spark, sf))
+    val lsh   = pairSet(operators.DedupQueries.dedupMinhashLsh(spark, sf))
+    assert(brute.subsetOf(lsh),
+      s"LSH missed planted pairs: ${brute.diff(lsh)}")
+    // verification step guarantees precision = 1 by construction; spot-check
+    val verified = operators.DedupQueries.dedupMinhashLsh(spark, sf)
+      .agg(min("jaccard")).head.getDouble(0)
+    assert(verified >= 0.5)
+  }
+
+  test("SimHash pairs at hamming<=3 are near-duplicates (subset of " +
+    "LSH candidates' doc universe sanity)") {
+    val sh = operators.DedupQueries.dedupSimhash(spark, sf)
+    val rows = sh.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Int]("hamming") <= 3)
+    }
+  }
+
+  test("exact dedup keeps one keeper per distinct text") {
+    val d = operators.DedupQueries.dedupExact(spark, sf)
+    val total = Tables.documents(spark, sf).count()
+    assert(d.agg(sum("n_copies")).head.getLong(0) == total)
+  }
+
+  test("LSH ANN recall@10 vs brute force is high on sf0.001") {
+    val brute = operators.SimilarityQueries.simKnnBrute(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = operators.SimilarityQueries.simKnnLsh(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall") // single-probe LSH, 4 tables
+  }
+
+  test("multimodal typed decode pipeline: schema + determinism") {
+    val ds = operators.MultimodalQueries.decodeAll(spark, sf)
+    val one = ds.filter(_.doc_id == 0L).head()
+    assert(one.width >= 64 && one.height >= 64 && one.n_frames >= 1)
+    val again = operators.MultimodalQueries.decodeAll(spark, sf)
+      .filter(_.doc_id == 0L).head()
+    assert(one == again)
+    assert(ds.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("langid predicts a language for every doc; fingerprint is stable " +
+    "under whitespace change") {
+    import spark.implicits._
+    val l = operators.TextQueries.txtLangid(spark, sf)
+    assert(l.where($"predicted_lang".isNull).count() == 0)
+    val fp = Seq(("a  b\tc", 1L), ("a b c", 2L)).toDF("text", "doc_id")
+      .select(md5(functions.TextFunctions.normalized($"text")).as("f"))
+      .distinct().count()
+    assert(fp == 1)
+  }
+}
