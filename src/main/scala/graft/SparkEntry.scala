@@ -26,7 +26,9 @@ object SparkEntry {
       operators.TextQueries.queries ++
       operators.DedupQueries.queries ++
       operators.SimilarityQueries.queries ++
-      operators.MultimodalQueries.queries
+      operators.MultimodalQueries.queries ++
+      streaming.EventStreams.queries ++
+      ml.Forecast.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +41,7 @@ object SparkEntry {
       operators.TextQueries.oracles ++
       operators.DedupQueries.oracles ++
       operators.SimilarityQueries.oracles ++
-      operators.MultimodalQueries.oracles
+      operators.MultimodalQueries.oracles ++
+      streaming.EventStreams.oracles ++
+      ml.Forecast.oracles
 }

@@ -1,0 +1,93 @@
+package graft.ml
+
+import graft.{Q, Tables}
+import graft.operators.JoinWindowQueries
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{RandomForestRegressionModel, RandomForestRegressor}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M5 — demand-forecasting parity (SURVEY.md §7.1, EP3): the reference
+  * trains per-product 14-lag regressors (RF/SVR/MLP grids), selects by
+  * MAPE, and serves the winner (EDA.ipynb cells 57-69; dashboard.py:
+  * 691-758). MLlib has no epsilon-SVR / MLP regression, so the
+  * capability — grid-searched, MAPE-selected, persisted forecaster over
+  * lag features — is delivered with RandomForestRegressor (SURVEY.md
+  * §7.3.4 documents the substitution).
+  *
+  * Split protocol mirrors the reference: holdout = last 14 days before
+  * max(date) (dashboard.py:717-731); grid selection by MAPE on the 14
+  * days before that.
+  */
+object Forecast {
+
+  val LagCols: Seq[String] =
+    (1 to 14).map(i => s"lag_$i") ++ Seq("month", "weekday", "is_weekend")
+
+  /** Lag-feature matrix with the train/val/test date boundaries attached. */
+  def featureFrame(spark: SparkSession, dir: String): (DataFrame, java.sql.Date, java.sql.Date) = {
+    val feats = JoinWindowQueries.winLagFeatures(spark, dir)
+    val maxDate = feats.agg(max(col("sale_date"))).head.getDate(0)
+    val testCut = java.sql.Date.valueOf(maxDate.toLocalDate.minusDays(14))
+    val valCut  = java.sql.Date.valueOf(maxDate.toLocalDate.minusDays(28))
+    (feats, valCut, testCut)
+  }
+
+  /** MAPE as a plain aggregate expression (SURVEY.md §2.K) — the
+    * reference's model-selection metric. */
+  def mape(df: DataFrame, label: String, pred: String): Double =
+    df.where(col(label) =!= 0)
+      .agg(avg(abs((col(label) - col(pred)) / col(label))))
+      .head.getDouble(0)
+
+  /** Grid-search a small RF grid, select by validation MAPE, refit on
+    * train+val, return the fitted winner. Deterministic: fixed seed. */
+  def trainBest(spark: SparkSession, dir: String): (RandomForestRegressionModel, DataFrame) = {
+    val (feats, valCut, testCut) = featureFrame(spark, dir)
+    val assembler = new VectorAssembler()
+      .setInputCols(LagCols.toArray).setOutputCol("features")
+    val assembled = assembler.transform(feats)
+      .select(col("sale_date"), col("product"),
+        col("total_quantity").as("label"), col("features"))
+      .cache()
+    val train = assembled.where(col("sale_date") <= lit(valCut))
+    val validation = assembled.where(col("sale_date") > lit(valCut) &&
+      col("sale_date") <= lit(testCut))
+    val grid = Seq((20, 6), (20, 10)) // (numTrees, maxDepth)
+    val best = grid.map { case (n, d) =>
+      val m = new RandomForestRegressor()
+        .setNumTrees(n).setMaxDepth(d).setSeed(42).fit(train)
+      (mape(m.transform(validation), "label", "prediction"), n, d)
+    }.minBy(_._1)
+    val refit = new RandomForestRegressor()
+      .setNumTrees(best._2).setMaxDepth(best._3).setSeed(42)
+      .fit(assembled.where(col("sale_date") <= lit(testCut)))
+    val test = assembled.where(col("sale_date") > lit(testCut))
+    (refit, refit.transform(test))
+  }
+
+  /** `ml_forecast` (rows-only — MLlib internals aren't SQL-expressible):
+    * per-product holdout MAPE + RMSE summary of the selected model. */
+  val mlForecast: Q = (spark, dir) => {
+    val (_, scored) = trainBest(spark, dir)
+    scored
+      .withColumn("ape",
+        when(col("label") =!= 0, abs((col("label") - col("prediction")) / col("label"))))
+      .groupBy(col("product"))
+      .agg(
+        count(lit(1)).as("n_test"),
+        avg(col("ape")).as("mape"),
+        sqrt(avg(pow(col("label") - col("prediction"), 2))).as("rmse"))
+      .orderBy(col("product"))
+  }
+
+  /** Model persistence round trip (§2.A joblib.dump/load parity). */
+  def saveLoadRoundTrip(model: RandomForestRegressionModel, path: String): RandomForestRegressionModel = {
+    model.write.overwrite().save(path)
+    RandomForestRegressionModel.load(path)
+  }
+
+  def queries: Map[String, Q] = Map("ml_forecast" -> mlForecast)
+  def oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Streaming layer over `events` (SURVEY.md §2.I: the reference has no
+  * streaming — Structured Streaming here is the Spark-native equivalent
+  * of its "recompute per interaction" freshness model, and a required
+  * capability for a scale pipeline).
+  *
+  * Batch and stream share the SAME aggregation logic: the batch
+  * queries below are the oracle-checked semantics; [[tumblingStream]]
+  * runs the identical plan incrementally with a watermark
+  * (EventStreamsSpec asserts batch ≡ stream on the same input).
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windows per event type: count + exact value sum.
+    * In batch form (oracled); the streaming form is [[tumblingStream]].
+    * At scale the window+type grouping is one shuffle with map-side
+    * partial aggregation; the watermark bounds state. */
+  val evtTumblingWindow: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(Tables.cents(col("value"))) / lit(100.0)).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Sessionization: 30-minute-gap sessions per user — the batch
+    * (window-function) formulation of what
+    * `mapGroupsWithState` computes incrementally. Deterministic: events
+    * are uniquely ordered by (ts, event_id) within a user. */
+  val evtSessionize: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (sum(Tables.cents(col("value"))) / lit(100.0)).as("session_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The streaming form of [[evtTumblingWindow]]: readStream over the
+    * same parquet, 1-hour tumbling windows with a 2-hour watermark,
+    * append-mode memory sink. `query.processAllAvailable()` drains the
+    * backlog synchronously for tests. */
+  def tumblingStream(spark: SparkSession, dir: String,
+      sinkName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the streaming file source requires a directory; the testdata table
+    // is a single file — stage it via symlink (zero copy)
+    val stageDir = java.nio.file.Paths.get(
+      s"target/tmp/stream_events_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(stageDir)
+    val link = stageDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .parquet(stageDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(Tables.cents(col("value"))) / lit(100.0)).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+    stream.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .start()
+  }
+
+  def queries: Map[String, Q] = Map(
+    "evt_tumbling_window" -> evtTumblingWindow,
+    "evt_sessionize"      -> evtSessionize,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "evt_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  SUM(floor(value * 100.0 + 0.5)) / 100.0 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "evt_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  SUM(floor(value * 100.0 + 0.5)) / 100.0 AS session_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

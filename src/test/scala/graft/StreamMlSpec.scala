@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamMlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming tumbling window ≡ batch tumbling window on same input") {
+    val q = streaming.EventStreams.tumblingStream(spark, sf, "stream_out")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_out")
+      .orderBy("window_start", "event_type").collect()
+    val batch = streaming.EventStreams.evtTumblingWindow(spark, sf).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getTimestamp(0) == b.getTimestamp(0))
+      assert(s.getString(1) == b.getString(1))
+      assert(s.getLong(2) == b.getLong(2))
+      assert(math.abs(s.getDouble(3) - b.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("sessionization: session boundaries respect the 30-min gap") {
+    import org.apache.spark.sql.functions._
+    val s = streaming.EventStreams.evtSessionize(spark, sf)
+    // total events conserved
+    val total = s.agg(sum("n_events")).head.getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+    // no session spans a gap: end-start < n_events * anything is weak;
+    // instead assert session_start <= session_end always
+    assert(s.where(col("session_start") > col("session_end")).count() == 0)
+  }
+
+  test("forecast: grid-searched RF trains, persists, reloads, predicts " +
+    "identically (sf0.001)") {
+    val (model, scored) = ml.Forecast.trainBest(spark, sf)
+    assert(scored.count() > 0)
+    val m2 = ml.Forecast.saveLoadRoundTrip(model, "target/tmp/rf_model")
+    val p1 = scored.agg(org.apache.spark.sql.functions.sum("prediction"))
+      .head.getDouble(0)
+    val again = m2.transform(scored.drop("prediction"))
+    val p2 = again.agg(org.apache.spark.sql.functions.sum("prediction"))
+      .head.getDouble(0)
+    assert(math.abs(p1 - p2) < 1e-9)
+    val mape = ml.Forecast.mape(scored, "label", "prediction")
+    assert(mape > 0 && mape < 10, s"implausible MAPE $mape")
+  }
+}
