@@ -23,6 +23,17 @@ object TextFunctions {
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct word k-shingles as 64-bit hashes (xxhash64 over the k
+    * tokens) — the shingle form every dedup operator actually joins and
+    * aggregates on. Identity-only: set cardinalities (and therefore
+    * Jaccard) are preserved up to 2^-64 collision odds, while the
+    * explode/shuffle moves 8-byte longs instead of ~40-byte strings. */
+  def shingleHashes(toks: Column, k: Int = 3): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => xxhash64((0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Whitespace-collapsed lowercase normal form for fingerprinting. */
   def normalized(text: Column): Column =
     regexp_replace(lower(text), "\\s+", " ")

@@ -117,7 +117,7 @@ object AggQueries {
   /** §2.D `agg_stats_cv` (EDA.ipynb:2897 (cell 32)): demand-volatility
     * ranking — per-product stddev/mean/cv of daily quantity. */
   val aggStatsCv: Q = (spark, dir) =>
-    CoreQueries.aggDailyProduct(spark, dir)
+    CoreQueries.dailyBase(spark, dir)
       .groupBy(col("product"))
       .agg(
         Tables.round6(stddev_samp(col("total_quantity"))).as("std_quantity"),

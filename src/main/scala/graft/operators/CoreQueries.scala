@@ -24,7 +24,11 @@ object CoreQueries {
     * shuffle on (date, product) with partial aggregation map-side —
     * at 100 TB the explode→partial-agg pipeline stays in one stage.
     */
-  val aggDailyProduct: Q = (spark, dir) => {
+  /** Unordered daily×product aggregate — the base every composed query
+    * builds on. Kept free of ORDER BY: a global sort is a range
+    * exchange + full sort that downstream windows/aggregates would
+    * immediately redo on their own keys; only leaf queries order. */
+  val dailyBase: Q = (spark, dir) => {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
@@ -34,8 +38,10 @@ object CoreQueries {
       .agg(
         sum(col("l_quantity")).as("total_quantity"),
         Tables.revenueSum.as("total_revenue"))
-      .orderBy(col("sale_date"), col("product"))
   }
+
+  val aggDailyProduct: Q = (spark, dir) =>
+    dailyBase(spark, dir).orderBy(col("sale_date"), col("product"))
 
   val aggDailyProductSql: String =
     """SELECT CAST(l_shipdate AS DATE) AS sale_date, p_name AS product,
@@ -101,7 +107,7 @@ object CoreQueries {
   /** §2.B `prj_safe_div` (dashboard.py:138-142): divide-by-zero-guarded
     * derived column (avg price = revenue/quantity if quantity>0 else 0). */
   val prjSafeDiv: Q = (spark, dir) =>
-    aggDailyProduct(spark, dir)
+    dailyBase(spark, dir)
       .withColumn("avg_price",
         when(col("total_quantity") > 0,
           col("total_revenue") / col("total_quantity")).otherwise(lit(0.0)))

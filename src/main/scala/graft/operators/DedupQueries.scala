@@ -32,30 +32,71 @@ object DedupQueries {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("text_hash"))
 
-  /** Shingle sets per document, with a 100-char length block key. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  /** Shingle-hash sets per document, with a 100-char length block key.
+    *
+    * Two plan-shape traps handled here (found via explain at sf0.1 —
+    * each was worth >10× on the dedup family):
+    *  - tokens are materialized in their own projection: inlining
+    *    `regexp_extract_all` into the shingle lambda re-runs the regex
+    *    for every `element_at` access (~300× per doc);
+    *  - `InferFiltersFromGenerate` synthesizes a `size(sh)>0 AND
+    *    isnotnull(sh)` filter below the explode with the WHOLE shingle
+    *    expression inlined (regex included, ~6× per row) — excluded;
+    *    every document here has ≥3 tokens, so the inferred skip-empty
+    *    filter buys nothing.
+    */
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // Constraint propagation infers isnotnull(size(sh)) from downstream
+    // filters and pushes it to the scan with the shingle lambda inlined
+    // UN-materialized — the tokenizer regex then re-runs per element_at
+    // (~300×/doc; measured 12 s of a 16 s query at sf0.1). No column
+    // here is nullable, so the inferred filters buy nothing.
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         expr("n_chars div 100").as("len_bucket"),
-        shingles(tokens(col("text"))).as("sh"))
+        tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("len_bucket"),
+        shingleHashes(col("w")).as("sh"))
+  }
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** N-gram (word-3-shingle) Jaccard near-dup pairs at ≥0.5, blocked by
     * identical 100-char length bucket (near-dups have near-equal length;
-    * the block bounds the quadratic join). The oracle replays the same
-    * semantics in SQL. */
+    * the block bounds the quadratic term). The oracle replays the same
+    * semantics in SQL.
+    *
+    * Implemented as an inverted-index join, not a pairwise array
+    * comparison: explode shingles, equi-join on (shingle, block), count
+    * co-occurrences per pair, and recover |A∪B| = |A|+|B|−|A∩B|.
+    * Identical result set for any threshold > 0 (zero-intersection pairs
+    * can never pass), but the work is proportional to actual shingle
+    * collisions instead of bucket² × set-op cost — this is the form that
+    * scales: the shuffle key is the shingle, hot shingles are the skew
+    * axis, and no document array is ever materialized per pair.
+    * (Measured 129 s → inverted form at sf0.1; see BENCH.) */
   val dedupNgramJaccard: Q = (spark, dir) => {
     val sh = shingled(spark, dir)
-    sh.as("a").join(sh.as("b"),
-        col("a.len_bucket") === col("b.len_bucket") &&
+      .select(col("doc_id"), col("len_bucket"), col("sh"),
+        size(col("sh")).as("sz"))
+    val inv = sh.select(col("doc_id"), col("len_bucket"), col("sz"),
+      explode(col("sh")).as("shingle"))
+    val inter = inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.len_bucket") === col("b.len_bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common"))).as("jaccard"))
       .where(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -117,17 +158,17 @@ object DedupQueries {
   /** 64-bit SimHash: per-bit majority vote over murmur3-hashed shingles. */
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
     val h = hash(col("shingle")).cast("long") * 2654435761L + 104729L // spread to 64 bit
+    // branch-free bit votes: sum of extracted bits vs half the count
     val bitVotes = (0 until SimBits).map { j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1))
-        .as(s"v_$j")
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"v_$j")
     }
     val votes = shingled(spark, dir)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .withColumn("h", h)
       .groupBy(col("doc_id"))
-      .agg(bitVotes.head, bitVotes.tail: _*)
+      .agg(count(lit(1)).as("n_sh"), bitVotes: _*)
     val simhash = (0 until SimBits).map { j =>
-      when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      when(col(s"v_$j") * 2 > col("n_sh"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     votes.select(col("doc_id"), simhash.as("simhash"))
   }

@@ -86,7 +86,7 @@ object JoinWindowQueries {
   /** §2.F `srt_multikey` (dashboard.py:440): mixed asc/desc multi-key
     * sort with full tie-break. */
   val srtMultikey: Q = (spark, dir) =>
-    CoreQueries.aggDailyProduct(spark, dir)
+    CoreQueries.dailyBase(spark, dir)
       .orderBy(col("sale_date").asc, col("total_revenue").desc,
         col("product").asc)
 
@@ -114,7 +114,7 @@ object JoinWindowQueries {
   val topkArgmaxPerGroup: Q = (spark, dir) => {
     val w = Window.partitionBy(col("sale_date"))
       .orderBy(col("total_revenue").desc, col("product"))
-    CoreQueries.aggDailyProduct(spark, dir)
+    CoreQueries.dailyBase(spark, dir)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
       .select("sale_date", "product", "total_revenue")
@@ -136,7 +136,7 @@ object JoinWindowQueries {
   /** §2.F `lim_tail` (dashboard.py:770): last-n-days slice, expressed as
     * a date-based filter (deterministic, unlike positional `.tail`). */
   val limTail: Q = (spark, dir) => {
-    val daily = CoreQueries.aggDailyProduct(spark, dir)
+    val daily = CoreQueries.dailyBase(spark, dir)
     val maxd = Tables.lineitem(spark, dir)
       .agg(max(to_date(col("l_shipdate"))).as("max_date"))
     daily.crossJoin(broadcast(maxd))
@@ -148,7 +148,7 @@ object JoinWindowQueries {
   /** §2.H `win_cutoff_split` (dashboard.py:717-731): train/test split at
     * max(date)−14d — per-split cardinality + date range. */
   val winCutoffSplit: Q = (spark, dir) => {
-    val daily = CoreQueries.aggDailyProduct(spark, dir)
+    val daily = CoreQueries.dailyBase(spark, dir)
     val maxd = Tables.lineitem(spark, dir)
       .agg(max(to_date(col("l_shipdate"))).as("max_date"))
     daily.crossJoin(broadcast(maxd))
@@ -167,7 +167,7 @@ object JoinWindowQueries {
     * forecasting feature pipeline. */
   val winLagFeatures: Q = (spark, dir) => {
     val w = Window.partitionBy(col("product")).orderBy(col("sale_date"))
-    val withLags = (1 to 14).foldLeft(CoreQueries.aggDailyProduct(spark, dir)) {
+    val withLags = (1 to 14).foldLeft(CoreQueries.dailyBase(spark, dir)) {
       (d, i) => d.withColumn(s"lag_$i", lag(col("total_quantity"), i).over(w))
     }
     withLags
@@ -185,7 +185,7 @@ object JoinWindowQueries {
   val winRollingAvg: Q = (spark, dir) => {
     val w = Window.partitionBy(col("product")).orderBy(col("sale_date"))
       .rowsBetween(-6, 0)
-    CoreQueries.aggDailyProduct(spark, dir)
+    CoreQueries.dailyBase(spark, dir)
       .withColumn("rolling_avg_quantity",
         sum(col("total_quantity")).over(w) / count(lit(1)).over(w))
       .select("sale_date", "product", "total_quantity", "rolling_avg_quantity")

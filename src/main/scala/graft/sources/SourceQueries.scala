@@ -59,7 +59,7 @@ object SourceQueries {
     * doubles in shortest-round-trip form. */
   val snkCsvRoundtrip: Q = (spark, dir) => {
     val out = s"target/tmp/csv_roundtrip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    CoreQueries.aggDailyProduct(spark, dir)
+    CoreQueries.dailyBase(spark, dir)
       .write.mode("overwrite").option("header", "true").csv(out)
     val schema = StructType(Seq(
       StructField("sale_date", DateType),
