@@ -28,7 +28,8 @@ object SparkEntry {
       operators.SimilarityQueries.queries ++
       operators.MultimodalQueries.queries ++
       streaming.EventStreams.queries ++
-      ml.Forecast.queries
+      ml.Forecast.queries ++
+      plans.PairCount.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       operators.SimilarityQueries.oracles ++
       operators.MultimodalQueries.oracles ++
       streaming.EventStreams.oracles ++
-      ml.Forecast.oracles
+      ml.Forecast.oracles ++
+      Map("join_pair_onepass" -> operators.JoinWindowQueries.oracles("join_pair_selfjoin"))
 }

@@ -14,7 +14,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    GraftConf(s)
   }
   val sf: String = "/root/testdata/sf0.001"
 }

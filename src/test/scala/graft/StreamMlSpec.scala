@@ -31,6 +31,17 @@ class StreamMlSpec extends AnyFunSuite {
     assert(s.where(col("session_start") > col("session_end")).count() == 0)
   }
 
+  test("random 70/20/10 split with seed 42 is deterministic and complete " +
+    "(EDA.ipynb:4187 (cell 57) parity)") {
+    val df = Tables.lineitem(spark, sf)
+    val Array(a, b, c) = df.randomSplit(Array(0.7, 0.2, 0.1), seed = 42)
+    val Array(a2, _, _) = df.randomSplit(Array(0.7, 0.2, 0.1), seed = 42)
+    assert(a.count() + b.count() + c.count() == df.count())
+    assert(a.count() == a2.count())
+    val total = df.count().toDouble
+    assert(math.abs(a.count() / total - 0.7) < 0.05)
+  }
+
   test("forecast: grid-searched RF trains, persists, reloads, predicts " +
     "identically (sf0.001)") {
     val (model, scored) = ml.Forecast.trainBest(spark, sf)
