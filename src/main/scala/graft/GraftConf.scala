@@ -21,6 +21,7 @@ object GraftConf {
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    functions.VectorExpressions.register(spark)
     spark
   }
 }

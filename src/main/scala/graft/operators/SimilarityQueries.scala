@@ -55,6 +55,28 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Same query as [[simKnnBrute]] through the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression instead of the
+    * zip_with/aggregate composition — bit-identical accumulation order,
+    * so it shares the brute-force oracle. */
+  val simKnnNative: Q = (spark, dir) => {
+    graft.functions.VectorExpressions.register(spark)
+    import graft.functions.VectorExpressions.cosine_similarity
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("vec"))
+    val queries = emb.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        Tables.round6(cosine_similarity(col("vec"), col("qvec"))).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- random-hyperplane LSH ---------------------------------------
 
   /** Signature width trades recall against candidate-set size: for this
@@ -136,11 +158,15 @@ object SimilarityQueries {
 
   def queries: Map[String, Q] = Map(
     "sim_knn_brute"       -> simKnnBrute,
+    "sim_knn_native"      -> simKnnNative,
     "sim_knn_lsh"         -> simKnnLsh,
     "sim_label_centroids" -> simLabelCentroids,
   )
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = baseOracles +
+    ("sim_knn_native" -> baseOracles("sim_knn_brute"))
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "sim_knn_brute" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
