@@ -98,6 +98,69 @@ object EventStreams {
       .start()
   }
 
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      value: Double)
+  case class SessionState(sessionIdx: Long, lastTs: Long, n: Long,
+      startTs: Long, valueCents: Long)
+  case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      session_value: Double)
+
+  /** Stateful sessionization with `flatMapGroupsWithState` — the
+    * incremental form of [[evtSessionize]] (same 30-min gap rule, same
+    * output schema). In batch mode Spark feeds each user's full group
+    * once; on a stream the state carries across micro-batches. The spec
+    * asserts equality with the window-function formulation.
+    *
+    * Scale: state is O(1) per user (five longs); the shuffle is one
+    * hash-partition by user — this is the shape that holds at 100 TB of
+    * events where a window-function sort per user would still work but
+    * the incremental form also serves the live stream. */
+  def sessionizeStateful(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 30L * 60 * 1000000
+    // java.sql.Timestamp ⇄ microseconds with full µs fidelity
+    // (getTime alone is millis — it silently drops the µs digits)
+    def toUs(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def fromUs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    def fn(userId: Long, events: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L, 0L))
+      // deterministic order within the group: (ts, event_id)
+      val sorted = events.toArray.sortBy(e => (toUs(e.ts), e.event_id))
+      def emit(): Unit = if (st.n > 0) out += SessionOut(
+        userId, st.sessionIdx, st.n,
+        fromUs(st.startTs), fromUs(st.lastTs),
+        st.valueCents / 100.0)
+      sorted.foreach { e =>
+        val tsUs = toUs(e.ts)
+        val cents = math.floor(e.value * 100.0 + 0.5).toLong
+        if (st.n == 0L || tsUs - st.lastTs > gapUs) {
+          emit()
+          st = SessionState(st.sessionIdx + 1, tsUs, 1L, tsUs, cents)
+        } else {
+          st = st.copy(lastTs = tsUs, n = st.n + 1,
+            valueCents = st.valueCents + cents)
+        }
+      }
+      emit() // batch mode: group is complete, flush the open session
+      state.update(st)
+      out.iterator
+    }
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   def queries: Map[String, Q] = Map(
     "evt_tumbling_window" -> evtTumblingWindow,
     "evt_sessionize"      -> evtSessionize,

@@ -31,6 +31,21 @@ class StreamMlSpec extends AnyFunSuite {
     assert(s.where(col("session_start") > col("session_end")).count() == 0)
   }
 
+  test("stateful flatMapGroupsWithState sessionization ≡ window-function " +
+    "formulation") {
+    val stateful = streaming.EventStreams.sessionizeStateful(spark, sf)
+      .collect()
+      .map(s => (s.user_id, s.session_idx, s.n_events, s.session_start,
+        s.session_end, math.round(s.session_value * 100)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val windowed = streaming.EventStreams.evtSessionize(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3),
+        r.getTimestamp(4), math.round(r.getDouble(5) * 100)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(stateful == windowed)
+  }
+
   test("random 70/20/10 split with seed 42 is deterministic and complete " +
     "(EDA.ipynb:4187 (cell 57) parity)") {
     val df = Tables.lineitem(spark, sf)
