@@ -18,16 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object CoreQueries {
 
-  /** Flagship (SURVEY.md §2.D `agg_daily_product`, dashboard.py:54-106):
-    * daily units & revenue per product. lineitem ⋈ part is
+  /** Unordered daily×product aggregate (SURVEY.md §2.D
+    * `agg_daily_product` base, dashboard.py:54-106) — lineitem ⋈ part is
     * broadcast (part is a dimension at every SF); the groupBy is one
-    * shuffle on (date, product) with partial aggregation map-side —
-    * at 100 TB the explode→partial-agg pipeline stays in one stage.
-    */
-  /** Unordered daily×product aggregate — the base every composed query
-    * builds on. Kept free of ORDER BY: a global sort is a range
-    * exchange + full sort that downstream windows/aggregates would
-    * immediately redo on their own keys; only leaf queries order. */
+    * shuffle on (date, product) with map-side partial aggregation, so
+    * at 100 TB the join→partial-agg pipeline stays in one stage.
+    * Kept free of ORDER BY: a global sort is a range exchange + full
+    * sort that downstream windows/aggregates would immediately redo on
+    * their own keys; only leaf queries order. */
   val dailyBase: Q = (spark, dir) => {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
@@ -40,6 +38,7 @@ object CoreQueries {
         Tables.revenueSum.as("total_revenue"))
   }
 
+  /** Flagship: the ordered daily sales report. */
   val aggDailyProduct: Q = (spark, dir) =>
     dailyBase(spark, dir).orderBy(col("sale_date"), col("product"))
 

@@ -66,6 +66,21 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("filters and projection reach the parquet scan (pushdown/pruning)") {
+    val filtered = operators.CoreQueries.fltIsinRange(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(filtered.contains("PushedFilters: [") &&
+      (filtered.contains("In(l_returnflag") || filtered.contains("l_returnflag")),
+      s"expected returnflag filter pushed to scan:\n$filtered")
+    val projected = operators.CoreQueries.prjProject(spark, sf)
+      .queryExecution.executedPlan.toString
+    // o_orderdate surfaces as timestamp_ntz from the scan (parquet
+    // isAdjustedToUTC=false); assert pruning by column set, not types
+    assert(projected.contains("ReadSchema: struct<o_orderkey:") &&
+      !projected.contains("o_totalprice"),
+      s"expected 3-column pruned scan:\n$projected")
+  }
+
   test("flagship plan: broadcast join + partial aggregation, no extra shuffle") {
     val plan = operators.CoreQueries.aggDailyProduct(spark, sf)
       .queryExecution.executedPlan.toString
