@@ -161,12 +161,33 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** JSON property extraction from the events `props` column
+    * (semi-structured payload parsing — `get_json_object` per row,
+    * grouped stats per extracted key bucket). */
+  val evtJsonProps: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k").isNotNull)
+      .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+      .orderBy(col("event_type"), col("k_bucket"))
+
   def queries: Map[String, Q] = Map(
     "evt_tumbling_window" -> evtTumblingWindow,
     "evt_sessionize"      -> evtSessionize,
+    "evt_json_props"      -> evtJsonProps,
   )
 
   def oracles: Map[String, String] = Map(
+    "evt_json_props" ->
+      """SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |  count(*) AS n,
+        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+        |FROM events
+        |WHERE json_extract(props, '$.k') IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "evt_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events,
