@@ -167,6 +167,24 @@ object AggQueries {
       .orderBy(col("balance_bin"))
   }
 
+  /** Extension: hierarchical ROLLUP (brand → subtotal → grand total) —
+    * a capability the reference's pandas layer reaches only by running
+    * separate groupbys; one pass here. `grouping_id` disambiguates
+    * subtotal rows (null-sort order differs across engines, so it leads
+    * the ORDER BY). */
+  val aggRollup: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .rollup(col("p_brand"))
+      .agg(grouping_id().as("g"),
+        Tables.revenueSum.as("total_revenue"),
+        sum(col("l_quantity")).as("total_units"))
+      .select(col("g"), coalesce(col("p_brand"), lit("ALL")).as("brand"),
+        col("total_revenue"), col("total_units"))
+      .orderBy(col("g"), col("brand"))
+  }
+
   /** §2.D seasonality (EDA.ipynb:2444 (cell 27)): revenue by calendar
     * month across years. */
   val aggSeasonality: Q = (spark, dir) =>
@@ -204,6 +222,7 @@ object AggQueries {
     "agg_mode"           -> aggMode,
     "agg_bucket_hist"    -> aggBucketHist,
     "agg_seasonality"    -> aggSeasonality,
+    "agg_rollup"         -> aggRollup,
     "agg_avg"            -> aggAvg,
   )
 
@@ -274,6 +293,12 @@ object AggQueries {
         |            ELSE '5k+' END AS balance_bin,
         |  count(*) AS n
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT grouping(p_brand) AS g,
+         |  coalesce(p_brand, 'ALL') AS brand,
+         |  $R AS total_revenue, SUM(l_quantity) AS total_units
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY ROLLUP(p_brand) ORDER BY 1, 2""".stripMargin,
     "agg_seasonality" ->
       s"""SELECT month(l_shipdate) AS month, $R AS total_revenue
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -83,6 +83,32 @@ object JoinWindowQueries {
       .orderBy(col("n").desc, col("product_1"), col("product_2"))
   }
 
+  /** Extension: multi-way star join (customer→nation→region dims onto
+    * the orders⋈lineitem fact chain) — revenue by region × year. The
+    * dimension chain (region ⋈ nation ⋈ customer) is resolved
+    * broadcast-side first (all three are small), so the fact table is
+    * touched by exactly one broadcast-hash join + one shuffle for the
+    * final aggregate; at 100 TB nothing but (regionkey, year, cents)
+    * ever moves. */
+  val joinMultiwayRegion: Q = (spark, dir) => {
+    val region   = Tables.region(spark, dir)
+    val nation   = Tables.nation(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val orders   = Tables.orders(spark, dir)
+    val li       = Tables.lineitem(spark, dir)
+    val custRegion = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name").as("region"), year(col("o_orderdate")).as("year"))
+      .agg(
+        Tables.revenueSum.as("total_revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("region"), col("year"))
+  }
+
   /** §2.F `srt_multikey` (dashboard.py:440): mixed asc/desc multi-key
     * sort with full tie-break. */
   val srtMultikey: Q = (spark, dir) =>
@@ -194,6 +220,7 @@ object JoinWindowQueries {
 
   def queries: Map[String, Q] = Map(
     "join_left_enrich"      -> joinLeftEnrich,
+    "join_multiway_region"  -> joinMultiwayRegion,
     "set_union_concat"      -> setUnionConcat,
     "join_pair_selfjoin"    -> joinPairSelfjoin,
     "srt_multikey"          -> srtMultikey,
@@ -211,6 +238,16 @@ object JoinWindowQueries {
   private val dailySql = CoreQueries.aggDailyProductSql
 
   def oracles: Map[String, String] = Map(
+    "join_multiway_region" ->
+      s"""SELECT r_name AS region, year(o_orderdate) AS year,
+         |  $R AS total_revenue,
+         |  count(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "join_left_enrich" ->
       s"""SELECT b.product, b.total_revenue, d.probability
          |FROM (SELECT p_name AS product, $R AS total_revenue
