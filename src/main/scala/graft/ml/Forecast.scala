@@ -25,9 +25,11 @@ object Forecast {
   val LagCols: Seq[String] =
     (1 to 14).map(i => s"lag_$i") ++ Seq("month", "weekday", "is_weekend")
 
-  /** Lag-feature matrix with the train/val/test date boundaries attached. */
+  /** Lag-feature matrix with the train/val/test date boundaries attached.
+    * Cached before the max-date probe so the lag pipeline (join + window
+    * over the daily aggregate) runs once, not once per grid fit. */
   def featureFrame(spark: SparkSession, dir: String): (DataFrame, java.sql.Date, java.sql.Date) = {
-    val feats = JoinWindowQueries.winLagFeatures(spark, dir)
+    val feats = JoinWindowQueries.winLagFeatures(spark, dir).cache()
     val maxDate = feats.agg(max(col("sale_date"))).head.getDate(0)
     val testCut = java.sql.Date.valueOf(maxDate.toLocalDate.minusDays(14))
     val valCut  = java.sql.Date.valueOf(maxDate.toLocalDate.minusDays(28))
@@ -55,11 +57,18 @@ object Forecast {
     val validation = assembled.where(col("sale_date") > lit(valCut) &&
       col("sale_date") <= lit(testCut))
     val grid = Seq((20, 6), (20, 10)) // (numTrees, maxDepth)
-    val best = grid.map { case (n, d) =>
-      val m = new RandomForestRegressor()
-        .setNumTrees(n).setMaxDepth(d).setSeed(42).fit(train)
-      (mape(m.transform(validation), "label", "prediction"), n, d)
-    }.minBy(_._1)
+    // grid points train as concurrent Spark jobs (the scheduler
+    // interleaves their stages across the executor pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val best = Await.result(Future.sequence(grid.map { case (n, d) =>
+      Future {
+        val m = new RandomForestRegressor()
+          .setNumTrees(n).setMaxDepth(d).setSeed(42).fit(train)
+        (mape(m.transform(validation), "label", "prediction"), n, d)
+      }
+    }), Duration.Inf).minBy(_._1)
     val refit = new RandomForestRegressor()
       .setNumTrees(best._2).setMaxDepth(best._3).setSeed(42)
       .fit(assembled.where(col("sale_date") <= lit(testCut)))

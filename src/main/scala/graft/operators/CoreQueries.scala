@@ -132,10 +132,13 @@ object CoreQueries {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("day_str"),
         date_format(col("o_orderdate"), "EEEE").as("day_name"))
 
-  /** §2.G `dt_hour` (EDA.ipynb:650 (cell 13)): `$hour` over event time. */
+  /** §2.G `dt_hour` + `%H:%M:%S` formatting (EDA.ipynb:650 (cell 13),
+    * EDA.ipynb:244 (cell 6)): `$hour` and time-of-day string over event
+    * time. */
   val dtHour: Q = (spark, dir) =>
     Tables.events(spark, dir)
-      .select(col("event_id"), hour(col("ts")).as("hour"))
+      .select(col("event_id"), hour(col("ts")).as("hour"),
+        date_format(col("ts"), "HH:mm:ss").as("time_str"))
 
   /** §2.G `dt_week_trunc` (EDA.ipynb:2042 (cell 21)): Monday-anchored
     * weekly revenue rollup (`to_period('W')` parity: both Spark and the
@@ -215,7 +218,8 @@ object CoreQueries {
         |  trim(strftime(o_orderdate, '%A')) AS day_name
         |FROM orders""".stripMargin,
     "dt_hour" ->
-      "SELECT event_id, hour(ts) AS hour FROM events",
+      """SELECT event_id, hour(ts) AS hour,
+        |  strftime(ts, '%H:%M:%S') AS time_str FROM events""".stripMargin,
     "dt_week_trunc" ->
       """SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
         |  SUM(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)) / 100.0 AS weekly_revenue
