@@ -71,6 +71,18 @@ object AggQueries {
     Tables.lineitem(spark, dir)
       .agg(countDistinct(to_date(col("l_shipdate"))).as("n_dates"))
 
+  /** Scale variant of `agg_ngroups`: HyperLogLog approximate distinct —
+    * what actually runs at 100 TB (no exact-distinct shuffle). Rows-only
+    * for the driver (sketch internals are engine-specific); PipelineSpec
+    * bounds the relative error vs the exact count. */
+  val aggApproxNgroups: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .agg(
+        approx_count_distinct(to_date(col("l_shipdate")), rsd = 0.02)
+          .as("approx_dates"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02)
+          .as("approx_parts"))
+
   /** §2.D `agg_nunique` (dashboard.py:280,531): nunique over two
     * dimensions, one row. Two independent single-row aggs cross-joined —
     * both sides broadcast, no driver round-trip. */
@@ -213,6 +225,7 @@ object AggQueries {
     "agg_ratio_of_total" -> aggRatioOfTotal,
     "agg_value_counts"   -> aggValueCounts,
     "agg_ngroups"        -> aggNgroups,
+    "agg_approx_ngroups" -> aggApproxNgroups,
     "agg_nunique"        -> aggNunique,
     "agg_group_size"     -> aggGroupSize,
     "agg_named_multi"    -> aggNamedMulti,

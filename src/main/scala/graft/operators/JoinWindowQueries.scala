@@ -205,6 +205,19 @@ object JoinWindowQueries {
       .orderBy(col("product"), col("sale_date"))
   }
 
+  /** Extension: cumulative running total per product — frame-spec
+    * window over exact cents, so the running sum is deterministic at
+    * any partitioning. */
+  val winRunningTotal: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("product")).orderBy(col("sale_date"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    CoreQueries.dailyBase(spark, dir)
+      .withColumn("running_revenue",
+        sum(Tables.cents(col("total_revenue"))).over(w) / lit(100.0))
+      .select("sale_date", "product", "total_revenue", "running_revenue")
+      .orderBy(col("product"), col("sale_date"))
+  }
+
   /** Extension (beyond the reference, §2.H note): frame-spec rolling
     * window — 7-row trailing average of daily demand per product. Exact:
     * integer-valued sums divided once. */
@@ -232,6 +245,7 @@ object JoinWindowQueries {
     "win_cutoff_split"      -> winCutoffSplit,
     "win_lag_features"      -> winLagFeatures,
     "win_rolling_avg"       -> winRollingAvg,
+    "win_running_total"     -> winRunningTotal,
   )
 
   private val R = Tables.revenueSumSql
@@ -324,6 +338,13 @@ object JoinWindowQueries {
          |WHERE lag_14 IS NOT NULL
          |ORDER BY product, sale_date""".stripMargin
     },
+    "win_running_total" ->
+      s"""SELECT sale_date, product, total_revenue,
+         |  SUM(floor(total_revenue * 100.0 + 0.5)) OVER w / 100.0 AS running_revenue
+         |FROM ($dailySql) t
+         |WINDOW w AS (PARTITION BY product ORDER BY sale_date
+         |             ROWS UNBOUNDED PRECEDING)
+         |ORDER BY product, sale_date""".stripMargin,
     "win_rolling_avg" ->
       s"""SELECT sale_date, product, total_quantity,
          |  SUM(total_quantity) OVER w / COUNT(*) OVER w AS rolling_avg_quantity

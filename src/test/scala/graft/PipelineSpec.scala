@@ -53,6 +53,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall") // single-probe LSH, 4 tables
   }
 
+  test("approx_count_distinct within 5% of exact at sf0.001") {
+    val approx = operators.AggQueries.aggApproxNgroups(spark, sf).head
+    val exact = operators.AggQueries.aggNgroups(spark, sf).head.getLong(0)
+    val rel = math.abs(approx.getLong(0) - exact).toDouble / exact
+    assert(rel < 0.05, s"approx=${approx.getLong(0)} exact=$exact rel=$rel")
+  }
+
   test("multimodal typed decode pipeline: schema + determinism") {
     val ds = operators.MultimodalQueries.decodeAll(spark, sf)
     val one = ds.filter(_.doc_id == 0L).head()
