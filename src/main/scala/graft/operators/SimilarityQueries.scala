@@ -136,6 +136,67 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN: k-means-style coarse quantization using the label
+    * centroids as the codebook — corpus vectors are assigned to their
+    * nearest centroid, queries probe their 2 nearest centroids, and
+    * exact cosine runs only on the probed clusters' members.
+    *
+    * Scale shape: the codebook is tiny (|labels| × d) and broadcast
+    * everywhere; assignment is a map-side argmin per vector (no
+    * shuffle); the candidate join is an equi-join on cluster id. At
+    * 100 TB this is the standard trillion-vector layout: partition the
+    * corpus BY assigned cluster so a probe reads only its clusters'
+    * partitions. Rows-only (assignment is codebook-specific);
+    * PipelineSpec bounds recall vs brute force. */
+  val simKnnIvf: Q = (spark, dir) => {
+    val nProbe = 2
+    val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
+      .select(col("vec_id"), col("label"), col("vec"), col("norm"))
+    // codebook: exact per-dimension means, assembled in dim order
+    val codebook = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(floor(col("x") * 1000000.0 + 0.5)) / 1000000.0 / count(lit(1)))
+        .as("cx"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
+        s => s("cx")).as("cvec"))
+      .select(col("label").as("cluster"), col("cvec"))
+    def cos(a: Column, b: Column): Column =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    // map-side argmin assignment of every corpus vector
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cluster"))
+    val assigned = emb.crossJoin(broadcast(codebook))
+      .withColumn("csim", cos(col("vec"), col("cvec")))
+      .withColumn("rk", row_number().over(wAssign))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("vec"), col("norm"),
+        col("cluster"))
+    // queries probe their nProbe nearest clusters
+    val probes = assigned.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("norm").as("qnorm"))
+      .crossJoin(broadcast(codebook))
+      .withColumn("csim", cos(col("qvec"), col("cvec")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("csim").desc, col("cluster"))))
+      .where(col("rk") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("cluster"))
+    val scored = assigned.join(broadcast(probes), Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        Tables.round6(dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Centroid aggregation per label — the IVF coarse-quantizer step
     * (element-wise mean of vectors via posexplode + group). Exactness:
     * per-dimension sums of doubles are shuffled — kept deterministic by
@@ -160,6 +221,7 @@ object SimilarityQueries {
     "sim_knn_brute"       -> simKnnBrute,
     "sim_knn_native"      -> simKnnNative,
     "sim_knn_lsh"         -> simKnnLsh,
+    "sim_knn_ivf"         -> simKnnIvf,
     "sim_label_centroids" -> simLabelCentroids,
   )
 

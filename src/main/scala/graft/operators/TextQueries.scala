@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** North-star text-analysis operators over `documents` (BASELINE.json
@@ -89,11 +90,42 @@ object TextQueries {
         substring(md5(normalized(col("text"))), 1, 2).as("shard"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF with smooth idf (ln((1+N)/(1+df))+1), top-5 terms per doc.
+    * All inputs to the float math are integers, the expression tree is
+    * identical in the oracle, and the result is floor-rounded to 6
+    * decimals before the deterministic (score desc, token asc) rank —
+    * `ln` may differ by 1 ulp between libm implementations, far below
+    * the rounding grain. Three hash-aggregates + one broadcast of the
+    * (token, df) dim; nothing quadratic. */
+  val txtTfidf: Q = (spark, dir) => {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val nTok = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(nTok, Seq("doc_id"))
+      .join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", Tables.round6(
+        (col("tf").cast("double") / col("n_tokens")) *
+          (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0))))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("doc_id"), col("token"), col("tf"), col("tfidf"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   def queries: Map[String, Q] = Map(
     "txt_tokens"      -> txtTokens,
     "txt_quality"     -> txtQuality,
     "txt_langid"      -> txtLangid,
     "txt_fingerprint" -> txtFingerprint,
+    "txt_tfidf"       -> txtTfidf,
   )
 
   private def sqlStop(words: Seq[String]): String =
@@ -103,6 +135,25 @@ object TextQueries {
     s"len(list_filter($T, t -> t IN ${sqlStop(ws)}))"
 
   def oracles: Map[String, String] = Map(
+    "txt_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($T) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |ntok AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf,
+         |    floor(((CAST(tf.tf AS DOUBLE) / n_tokens) *
+         |           (ln((1.0 + n_docs) / (1.0 + df)) + 1.0)) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS tfidf
+         |  FROM tf JOIN ntok USING (doc_id) JOIN df USING (token) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, token) AS rk
+         |  FROM scored)
+         |SELECT doc_id, token, tf, tfidf, rk FROM ranked
+         |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
     "txt_tokens" ->
       s"""SELECT doc_id, len($T) AS n_tokens,
          |  len(list_distinct($T)) AS n_unique_tokens,

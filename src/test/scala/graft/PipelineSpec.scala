@@ -53,6 +53,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall") // single-probe LSH, 4 tables
   }
 
+  test("IVF ANN recall@10 vs brute force on sf0.001") {
+    val brute = operators.SimilarityQueries.simKnnBrute(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = operators.SimilarityQueries.simKnnIvf(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall=$recall") // 2-probe over 10 clusters
+  }
+
   test("approx_count_distinct within 5% of exact at sf0.001") {
     val approx = operators.AggQueries.aggApproxNgroups(spark, sf).head
     val exact = operators.AggQueries.aggNgroups(spark, sf).head.getLong(0)
