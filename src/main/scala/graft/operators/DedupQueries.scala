@@ -193,11 +193,49 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over the near-dup pair graph → canonical
+    * keeper per duplicate group (the step that turns pairwise dedup
+    * output into an actionable drop list). Iterative min-label
+    * propagation to fixpoint — each round is one join + one
+    * min-aggregate, converging in ≤ graph-diameter rounds; the
+    * convergence probe reads a single exact long (Σ labels), not the
+    * data. At 100 TB this is the standard large-scale CC shape (the
+    * same joins GraphX/Pregel issue under the hood), and near-dup
+    * graphs are shallow — a handful of rounds. */
+  val dedupComponents: Q = (spark, dir) => {
+    val pairs = dedupNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("comp", col("doc"))
+    var prevSum = -1L
+    var iter = 0
+    var sum0 = labels.agg(sum(col("comp"))).head.getLong(0)
+    while (sum0 != prevSum && iter < 20) {
+      prevSum = sum0
+      val viaNeighbors = edges.join(labels, edges("src") === labels("doc"))
+        .select(edges("dst").as("doc"), col("comp"))
+      labels = labels.select(col("doc"), col("comp"))
+        .unionAll(viaNeighbors)
+        .groupBy(col("doc")).agg(min(col("comp")).as("comp"))
+        .cache()
+      sum0 = labels.agg(sum(col("comp"))).head.getLong(0)
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc").as("doc_id"), col("comp").as("component_id"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "dedup_exact"         -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh"   -> dedupMinhashLsh,
     "dedup_simhash"       -> dedupSimhash,
+    "dedup_components"    -> dedupComponents,
   )
 
   private val SH =
@@ -226,6 +264,35 @@ object DedupQueries {
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+    "dedup_components" -> {
+      val pairsSql =
+        s"""WITH RECURSIVE tok AS (
+           |  SELECT doc_id, n_chars // 100 AS len_bucket,
+           |    regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+           |  FROM documents),
+           |sh AS (
+           |  SELECT doc_id, len_bucket,
+           |    CASE WHEN len(w) >= 3 THEN $SH ELSE [] END AS s
+           |  FROM tok),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sh a JOIN sh b
+           |    ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)""".stripMargin
+      pairsSql +
+        """,
+          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+          |reach AS (
+          |  SELECT doc, doc AS r FROM nodes
+          |  UNION
+          |  SELECT e.b AS doc, reach.r FROM reach JOIN edges e ON e.a = reach.doc
+          |)
+          |SELECT doc AS doc_id, min(r) AS component_id FROM reach
+          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // dedup_minhash_lsh / dedup_simhash: rows-only (hash functions are
     // engine-specific); cross-checked against the brute-force baseline
     // in DedupSpec instead.
