@@ -47,6 +47,7 @@ object Forecast {
     * train+val, return the fitted winner. Deterministic: fixed seed. */
   def trainBest(spark: SparkSession, dir: String): (RandomForestRegressionModel, DataFrame) = {
     val (feats, valCut, testCut) = featureFrame(spark, dir)
+    // (feats stays cached until after the refit below)
     val assembler = new VectorAssembler()
       .setInputCols(LagCols.toArray).setOutputCol("features")
     val assembled = assembler.transform(feats)
@@ -73,7 +74,13 @@ object Forecast {
       .setNumTrees(best._2).setMaxDepth(best._3).setSeed(42)
       .fit(assembled.where(col("sale_date") <= lit(testCut)))
     val test = assembled.where(col("sale_date") > lit(testCut))
-    (refit, refit.transform(test))
+    val scored = refit.transform(test)
+    // release the training caches — the scored frame recomputes its
+    // (cheap) input lineage if consumed again; leaked blocks otherwise
+    // pressure every later query in a shared session
+    assembled.unpersist()
+    feats.unpersist()
+    (refit, scored)
   }
 
   /** `ml_forecast` (rows-only — MLlib internals aren't SQL-expressible):

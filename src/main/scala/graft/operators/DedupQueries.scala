@@ -210,7 +210,7 @@ object DedupQueries {
       .toDF("src", "dst")
       .cache()
     var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("comp", col("doc"))
+      .withColumn("comp", col("doc")).cache()
     var prevSum = -1L
     var iter = 0
     var sum0 = labels.agg(sum(col("comp"))).head.getLong(0)
@@ -218,11 +218,13 @@ object DedupQueries {
       prevSum = sum0
       val viaNeighbors = edges.join(labels, edges("src") === labels("doc"))
         .select(edges("dst").as("doc"), col("comp"))
-      labels = labels.select(col("doc"), col("comp"))
+      val updated = labels.select(col("doc"), col("comp"))
         .unionAll(viaNeighbors)
         .groupBy(col("doc")).agg(min(col("comp")).as("comp"))
         .cache()
-      sum0 = labels.agg(sum(col("comp"))).head.getLong(0)
+      sum0 = updated.agg(sum(col("comp"))).head.getLong(0) // materializes updated
+      labels.unpersist() // previous round's blocks are now dead
+      labels = updated
       iter += 1
     }
     edges.unpersist()
