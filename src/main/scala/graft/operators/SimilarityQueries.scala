@@ -197,6 +197,35 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * path for large vector corpora (4× smaller than float32, 8× smaller
+    * than the double working form). Per-vector scale = max|x|;
+    * q = floor(x/scale·127 + .5); reported per vector: the scale, the
+    * dequantization error (max-abs and MSE) and the cosine between the
+    * original and dequantized vector. Pure element-wise HOF arithmetic,
+    * bit-replayed by the oracle. */
+  val simQuantizeInt8: Q = (spark, dir) => {
+    val v = col("embedding").cast("array<double>")
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), v.as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+    val dq = transform(col("v"),
+      x => floor(x / col("scale") * lit(127.0) + lit(0.5)) * col("scale") / lit(127.0))
+    val withDq = emb.withColumn("dq", dq)
+      .withColumn("err", zip_with(col("v"), col("dq"), (a, b) => a - b))
+    withDq.select(
+        col("vec_id"),
+        Tables.round6(col("scale")).as("scale"),
+        Tables.round6(array_max(transform(col("err"), e => abs(e))))
+          .as("max_abs_err"),
+        Tables.round6(
+          aggregate(col("err"), lit(0.0), (acc, e) => acc + e * e) / size(col("v")))
+          .as("mse"),
+        Tables.round6(dot(col("v"), col("dq")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("dq"), col("dq")))))
+          .as("cos_orig_dq"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Centroid aggregation per label — the IVF coarse-quantizer step
     * (element-wise mean of vectors via posexplode + group). Exactness:
     * per-dimension sums of doubles are shuffled — kept deterministic by
@@ -222,11 +251,37 @@ object SimilarityQueries {
     "sim_knn_native"      -> simKnnNative,
     "sim_knn_lsh"         -> simKnnLsh,
     "sim_knn_ivf"         -> simKnnIvf,
+    "sim_quantize_int8"   -> simQuantizeInt8,
     "sim_label_centroids" -> simLabelCentroids,
   )
 
   def oracles: Map[String, String] = baseOracles +
-    ("sim_knn_native" -> baseOracles("sim_knn_brute"))
+    ("sim_knn_native" -> baseOracles("sim_knn_brute")) +
+    ("sim_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x -> floor(x / scale * 127.0 + 0.5) * scale / 127.0) AS dq
+        |  FROM s),
+        |err AS (
+        |  SELECT vec_id, v, scale, dq,
+        |    [v[i] - dq[i] FOR i IN range(1, len(v) + 1)] AS e
+        |  FROM q)
+        |SELECT vec_id,
+        |  floor(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
+        |  floor(list_max(list_transform(e, x -> abs(x))) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS max_abs_err,
+        |  floor((list_sum(list_transform(e, x -> x * x)) / len(v)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mse,
+        |  floor((list_dot_product(v, dq)
+        |         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq))))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS cos_orig_dq
+        |FROM err ORDER BY vec_id""".stripMargin)
 
   private lazy val baseOracles: Map[String, String] = Map(
     "sim_knn_brute" ->
