@@ -17,10 +17,22 @@ import org.apache.spark.sql.SparkSession
   *    cluster parallelism.
   */
 object GraftConf {
+  private val ExcludedRule =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
   def apply(spark: SparkSession): SparkSession = {
-    spark.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // append, don't clobber: the session owner may have excluded rules
+    val merged = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .map(_.trim).filter(_.nonEmpty) match {
+      case Some(r) if r.split(",").map(_.trim).contains(ExcludedRule) => r
+      case Some(r) => s"$r,$ExcludedRule"
+      case None    => ExcludedRule
+    }
+    spark.conf.set("spark.sql.optimizer.excludedRules", merged)
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+    // unless read as long (Tables.events converts with `div 1000`)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     functions.VectorExpressions.register(spark)
     spark
   }

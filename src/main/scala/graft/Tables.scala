@@ -31,12 +31,13 @@ object Tables {
     * ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert with exact
     * integral arithmetic (`div 1000` — a double division would lose
     * precision past 2^53 ns); truncation-to-micros matches how
-    * micro-precision engines (e.g. DuckDB) read the same file. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * micro-precision engines (e.g. DuckDB) read the same file.
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, which
+    * [[GraftConf]] sets once per session (table readers never mutate
+    * session config themselves). */
+  def events(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 

@@ -20,7 +20,7 @@ object AggQueries {
     Tables.lineitem(spark, dir).agg(count(lit(1)).as("n"))
 
   /** §2.D `agg_kpis` (dashboard.py:287-296): one-row global KPI panel —
-    * total revenue, line count, distinct orders/customers, revenue per
+    * total revenue, line count, distinct orders/suppliers, revenue per
     * order. All five in ONE aggregate pass (a dashboard that scans 100 TB
     * five times is five times too expensive). */
   val aggKpis: Q = (spark, dir) =>

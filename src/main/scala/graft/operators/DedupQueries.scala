@@ -41,19 +41,13 @@ object DedupQueries {
     *    for every `element_at` access (~300× per doc);
     *  - `InferFiltersFromGenerate` synthesizes a `size(sh)>0 AND
     *    isnotnull(sh)` filter below the explode with the WHOLE shingle
-    *    expression inlined (regex included, ~6× per row) — excluded;
-    *    every document here has ≥3 tokens, so the inferred skip-empty
-    *    filter buys nothing.
+    *    expression inlined (regex included, ~6× per row) — excluded via
+    *    [[graft.GraftConf]] (the session builder owns optimizer config;
+    *    query builders never mutate shared session state); every
+    *    document here has ≥3 tokens, so the inferred skip-empty filter
+    *    buys nothing.
     */
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-    // Constraint propagation infers isnotnull(size(sh)) from downstream
-    // filters and pushes it to the scan with the shingle lambda inlined
-    // UN-materialized — the tokenizer regex then re-runs per element_at
-    // (~300×/doc; measured 12 s of a 16 s query at sf0.1). No column
-    // here is nullable, so the inferred filters buy nothing.
-    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
@@ -61,15 +55,16 @@ object DedupQueries {
         tokens(col("text")).as("w"))
       .select(col("doc_id"), col("len_bucket"),
         shingleHashes(col("w")).as("sh"))
-  }
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** N-gram (word-3-shingle) Jaccard near-dup pairs at ≥0.5, blocked by
-    * identical 100-char length bucket (near-dups have near-equal length;
-    * the block bounds the quadratic term). The oracle replays the same
-    * semantics in SQL.
+    * 100-char length bucket with ±1-bucket probing (near-dups have
+    * near-equal length; the block bounds the quadratic term, and the
+    * adjacent-bucket probe catches pairs straddling a 100-char boundary
+    * that an identical-bucket block would miss). The oracle replays the
+    * same semantics in SQL.
     *
     * Implemented as an inverted-index join, not a pairwise array
     * comparison: explode shingles, equi-join on (shingle, block), count
@@ -86,9 +81,11 @@ object DedupQueries {
         size(col("sh")).as("sz"))
     val inv = sh.select(col("doc_id"), col("len_bucket"), col("sz"),
       explode(col("sh")).as("shingle"))
+    // equi-join on the shingle hash (the selective key); the length
+    // block is a post-join filter widened to |Δbucket| ≤ 1
     val inter = inv.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") &&
-          col("a.len_bucket") === col("b.len_bucket") &&
+          abs(col("a.len_bucket") - col("b.len_bucket")) <= 1 &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
@@ -211,10 +208,14 @@ object DedupQueries {
       .cache()
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("comp", col("doc")).cache()
+    // Label sums strictly decrease until fixpoint, so this terminates in
+    // ≤ graph-diameter rounds; the cap is a runaway guard that FAILS
+    // rather than silently returning non-converged components.
+    val maxIters = 1000
     var prevSum = -1L
     var iter = 0
     var sum0 = labels.agg(sum(col("comp"))).head.getLong(0)
-    while (sum0 != prevSum && iter < 20) {
+    while (sum0 != prevSum && iter < maxIters) {
       prevSum = sum0
       val viaNeighbors = edges.join(labels, edges("src") === labels("doc"))
         .select(edges("dst").as("doc"), col("comp"))
@@ -227,6 +228,9 @@ object DedupQueries {
       labels = updated
       iter += 1
     }
+    if (sum0 != prevSum)
+      sys.error(s"dedup_components: min-label propagation did not converge " +
+        s"after $maxIters rounds — graph diameter exceeds the runaway guard")
     edges.unpersist()
     labels.select(col("doc").as("doc_id"), col("comp").as("component_id"))
       .orderBy(col("doc_id"))
@@ -262,7 +266,7 @@ object DedupQueries {
          |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
          |FROM sh a JOIN sh b
-         |  ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+         |  ON abs(a.len_bucket - b.len_bucket) <= 1 AND a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
@@ -279,7 +283,7 @@ object DedupQueries {
            |pairs AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM sh a JOIN sh b
-           |    ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+           |    ON abs(a.len_bucket - b.len_bucket) <= 1 AND a.doc_id < b.doc_id
            |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
            |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)""".stripMargin
       pairsSql +

@@ -37,20 +37,27 @@ object JoinWindowQueries {
   }
 
   /** §2.E `set_union_concat` (EDA.ipynb:5211 (cell 66)): `pd.concat` of
-    * heterogeneous frames → `unionByName(allowMissingColumns)`; the
-    * `metric` discriminator keeps sort keys null-free (Spark and SQL
-    * engines disagree on default null ordering). */
+    * heterogeneous frames. One pass: both aggregates in a single
+    * `groupBy(p_brand)` (one fact-table scan, one shuffle), then an
+    * explode-struct unpivot to the concat shape — vs the naive
+    * two-branch union that scans lineitem⋈part twice. The `metric`
+    * discriminator keeps sort keys null-free (Spark and SQL engines
+    * disagree on default null ordering). */
   val setUnionConcat: Q = (spark, dir) => {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
-    val joined = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-    val rev = joined.groupBy(col("p_brand"))
-      .agg(Tables.revenueSum.as("total_revenue"))
-      .withColumn("metric", lit("revenue"))
-    val units = joined.groupBy(col("p_brand"))
-      .agg(sum(col("l_quantity")).as("total_units"))
-      .withColumn("metric", lit("units"))
-    rev.unionByName(units, allowMissingColumns = true)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(Tables.revenueSum.as("rev"), sum(col("l_quantity")).as("units"))
+      .select(col("p_brand"), explode(array(
+        struct(col("rev").as("total_revenue"),
+          lit(null).cast("double").as("total_units"),
+          lit("revenue").as("metric")),
+        struct(lit(null).cast("double").as("total_revenue"),
+          col("units").as("total_units"),
+          lit("units").as("metric")))).as("r"))
+      .select(col("p_brand"), col("r.total_revenue"), col("r.metric"),
+        col("r.total_units"))
       .orderBy(col("p_brand"), col("metric"))
   }
 

@@ -229,7 +229,8 @@ object SimilarityQueries {
   /** Centroid aggregation per label — the IVF coarse-quantizer step
     * (element-wise mean of vectors via posexplode + group). Exactness:
     * per-dimension sums of doubles are shuffled — kept deterministic by
-    * summing in a fixed order via sorted aggregation over (dim, vec_id).
+    * scaling each component to integer micro-units before summing (the
+    * long sum is exact and add-order-independent; one final division).
     */
   val simLabelCentroids: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir)

@@ -66,11 +66,15 @@ object EventStreams {
 
   /** The streaming form of [[evtTumblingWindow]]: readStream over the
     * same parquet, 1-hour tumbling windows with a 2-hour watermark,
-    * append-mode memory sink. `query.processAllAvailable()` drains the
-    * backlog synchronously for tests. */
+    * complete-mode memory sink. NOTE: complete mode is TEST-ONLY — it
+    * retains all window state (the watermark evicts nothing), which is
+    * what lets the spec compare the full result against the batch query
+    * after a single drain. Production semantics are
+    * [[tumblingStreamAppend]]: append mode, where the watermark bounds
+    * state and windows emit once finalized.
+    * `query.processAllAvailable()` drains the backlog synchronously. */
   def tumblingStream(spark: SparkSession, dir: String,
       sinkName: String): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the streaming file source requires a directory; the testdata table
     // is a single file — stage it via symlink (zero copy)
     val stageDir = java.nio.file.Paths.get(
@@ -97,6 +101,24 @@ object EventStreams {
       .outputMode("complete")
       .start()
   }
+
+  /** Production form of the tumbling aggregation: append mode over any
+    * events stream with `(ts timestamp, event_type string, value
+    * double)` columns. The 2-hour watermark bounds state — a window
+    * emits exactly once, after the watermark passes its end, and events
+    * arriving later than the watermark are DROPPED (asserted by
+    * StreamMlSpec's late-data test, which drives this through a
+    * MemoryStream). At 100 TB/day this is the shape that holds: state
+    * is (open windows × event types), not the stream. */
+  def tumblingStreamAppend(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(Tables.cents(col("value"))) / lit(100.0)).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       value: Double)
@@ -184,7 +206,7 @@ object EventStreams {
       """SELECT event_type,
         |  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         |  count(*) AS n,
-        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
         |FROM events
         |WHERE json_extract(props, '$.k') IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -202,11 +224,12 @@ object EventStreams {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
-        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         |  FROM g)
         |SELECT user_id, session_idx, count(*) AS n_events,
-        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  make_timestamp(epoch_us(min(ts))) AS session_start,
+        |  make_timestamp(epoch_us(max(ts))) AS session_end,
         |  SUM(floor(value * 100.0 + 0.5)) / 100.0 AS session_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )

@@ -14,9 +14,16 @@ class PipelineSpec extends AnyFunSuite {
     df.select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("MinHash-LSH finds a superset of the blocked brute-force pairs " +
-    "and every reported pair really clears the Jaccard threshold") {
-    val brute = pairSet(operators.DedupQueries.dedupNgramJaccard(spark, sf))
+  test("MinHash-LSH finds a superset of the confident blocked brute-force " +
+    "pairs and every reported pair really clears the Jaccard threshold") {
+    // Superset is asserted only for pairs comfortably above the 0.5
+    // threshold: with 16 bands × 4 rows, a pair at j ≈ 0.5 is an LSH
+    // candidate with only ~64% probability (1-(1-j^4)^16), so asserting
+    // threshold-grazing pairs would be a coin-flip; at j ≥ 0.65 the
+    // candidate probability is ≥ 0.96 and the planted near-dup pairs in
+    // the fixture all sit well above it.
+    val brute = pairSet(operators.DedupQueries.dedupNgramJaccard(spark, sf)
+      .where(col("jaccard") >= 0.65))
     val lsh   = pairSet(operators.DedupQueries.dedupMinhashLsh(spark, sf))
     assert(brute.subsetOf(lsh),
       s"LSH missed planted pairs: ${brute.diff(lsh)}")
