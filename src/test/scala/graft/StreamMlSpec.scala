@@ -20,6 +20,42 @@ class StreamMlSpec extends AnyFunSuite {
     }
   }
 
+  test("append mode: watermark drops late data, on-time data aggregates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = streaming.EventStreams
+      .tumblingStreamAppend(src.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("late_sink")
+      .outputMode("append").start()
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    try {
+      // batch 1: two on-time events in the 10:00 window
+      src.addData((ts(10, 0), "click", 1.0), (ts(10, 30), "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: event at 20:00 advances the watermark to 18:00,
+      // finalizing (and emitting) the 10:00 window
+      src.addData((ts(20, 0), "click", 1.0))
+      q.processAllAvailable()
+      // batch 3: 10:45 is now LATE (< watermark) → must be dropped;
+      // 20:30 is on time → joins the open 20:00 window
+      src.addData((ts(10, 45), "click", 100.0), (ts(20, 30), "click", 5.0))
+      q.processAllAvailable()
+      // batch 4: advance the watermark past 21:00 to flush the 20:00 window
+      src.addData((ts(23, 30), "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_sink")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1.getTime).toList
+    assert(out == List(
+      (ts(10, 0), 2L, 3.0),   // late 100.0 NOT included
+      (ts(20, 0), 2L, 6.0)),  // 20:00 + on-time 20:30
+      s"unexpected sink contents: $out")
+  }
+
   test("sessionization: session boundaries respect the 30-min gap") {
     import org.apache.spark.sql.functions._
     val s = streaming.EventStreams.evtSessionize(spark, sf)
@@ -57,7 +93,29 @@ class StreamMlSpec extends AnyFunSuite {
     assert(math.abs(a.count() / total - 0.7) < 0.05)
   }
 
-  test("forecast: grid-searched RF trains, persists, reloads, predicts " +
+  test("pooled grid: both families evaluated, ranked by validation MAPE") {
+    val (assembled, valCut, testCut) = ml.Forecast.assembledFrame(spark, sf)
+    val ranked = ml.Forecast.gridSearch(assembled, valCut, testCut)
+    assembled.unpersist()
+    assert(ranked.map(_._1.family).distinct.sorted == Seq("gbt", "rf"),
+      "grid must span both model families")
+    assert(ranked.size == ml.Forecast.Grid.size, "every grid point evaluated")
+    assert(ranked.count(_._1.family == "rf") == 9, "RF grid is 3×3")
+    assert(ranked.head._2 == ranked.map(_._2).min,
+      "winner must minimize validation MAPE")
+  }
+
+  test("per-product winners: one row per scoreable product, family " +
+    "selected per product by validation MAPE") {
+    val winners = ml.Forecast.trainPerProduct(spark, sf)
+    assert(winners.nonEmpty)
+    assert(winners.map(_.product).distinct.size == winners.size,
+      "exactly one winner row per product")
+    assert(winners.forall(w => Set("rf", "gbt").contains(w.family)))
+    assert(winners.forall(w => w.n_test > 0 && w.val_mape >= 0 && !w.rmse.isNaN))
+  }
+
+  test("forecast: grid-searched model trains, persists, reloads, predicts " +
     "identically (sf0.001)") {
     val (model, scored) = ml.Forecast.trainBest(spark, sf)
     assert(scored.count() > 0)
