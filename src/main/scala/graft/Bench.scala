@@ -11,9 +11,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftConf(spark)
+    // JIT/codegen warmup so the first measured query doesn't absorb
+    // JVM startup; queries run in sorted name order so per-query
+    // numbers are comparable across rounds (Map order shifts when
+    // keys are added).
+    spark.range(100000).selectExpr("sum(id)").collect()
     // Each entry is either a seconds Double or the string "err" — a
     // failing query must be visible in the output, not silently timed.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>
@@ -24,8 +29,8 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val nErr = results.values.count(_ == "\"err\"")
-    val total = results.values.filter(_ != "\"err\"").map(_.toDouble).sum
+    val nErr = results.count(_._2 == "\"err\"")
+    val total = results.map(_._2).filter(_ != "\"err\"").map(_.toDouble).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: sweeps ANN parameters (LSH signature bits × tables, IVF
+  * probe count) and prints recall@10 against the brute-force baseline —
+  * the measurement behind the pinned defaults in SimilarityQueries and
+  * the recall floors in PipelineSpec.
+  *
+  * Usage: `sbt "runMain graft.RecallProbe [sfDir]"`.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-recall-probe")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftConf(spark)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(operators.SimilarityQueries.simKnnBrute(spark, dir))
+    for ((sb, nt) <- Seq((4, 8), (4, 12), (4, 16), (3, 12), (3, 16), (5, 24))) {
+      val r = (brute & pairs(
+        operators.SimilarityQueries.simKnnLshWith(spark, dir, sb, nt))).size
+        .toDouble / brute.size
+      println(f"[probe] LSH sigBits=$sb numTables=$nt recall=$r%.3f")
+    }
+    for (np <- Seq(1, 2, 3, 4, 5, 6, 7, 8)) {
+      val r = (brute & pairs(
+        operators.SimilarityQueries.simKnnIvfWith(spark, dir, np))).size
+        .toDouble / brute.size
+      println(f"[probe] IVF nProbe=$np recall=$r%.3f")
+    }
+    spark.stop()
+  }
+}

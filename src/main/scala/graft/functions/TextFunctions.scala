@@ -34,6 +34,14 @@ object TextFunctions {
         i => xxhash64((0 until k).map(j => element_at(toks, i + j + 1)): _*))))
       .otherwise(array().cast("array<bigint>"))
 
+  /** All word k-grams in order (multiset — counts preserved, unlike
+    * [[shingles]]), for corpus n-gram statistics. */
+  def ngrams(toks: Column, k: Int = 2): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** Whitespace-collapsed lowercase normal form for fingerprinting. */
   def normalized(text: Column): Column =
     regexp_replace(lower(text), "\\s+", " ")

@@ -24,15 +24,19 @@ import org.apache.spark.sql.functions._
   * max(date) (dashboard.py:717-731); grid/family selection by MAPE on
   * the 14 days before that.
   *
-  * Scale shape: hyperparameter search is POOLED (each grid config fits
-  * once, on all products — grid × products would be quadratic waste),
-  * then the per-product stage fits only the best config of each family
-  * per product and picks the winner by that product's validation MAPE.
-  * Per-product training sets are tiny by construction (dates × 1), so
-  * each fit is a single-partition local job; products train concurrently
-  * on a bounded pool. At 100 TB the same shape holds: the daily
-  * aggregate is already ~dates×products rows, and per-group model
-  * fitting is embarrassingly parallel.
+  * Two training paths, each in its scale-correct shape:
+  *  - [[trainBest]]: ONE pooled model — MLlib grid search across both
+  *    families ranked by validation MAPE (distributed fits; this is
+  *    the path that still works when a single model trains on more
+  *    rows than one machine holds). Feeds the persistence round trip.
+  *  - [[trainPerProduct]]: one model PER product — the full grid fit
+  *    by deterministic local tree learners ([[LocalTrees]]) inside
+  *    `flatMapGroups`. Per-key model fitting through driver-side MLlib
+  *    loops schedules thousands of tiny jobs (146 s at sf0.1,
+  *    measured); grouped local training is one shuffle + in-executor
+  *    math (~2 s), and is the only shape that survives millions of
+  *    keys. Per-product training sets are bounded by the date grain
+  *    (≤ dates rows per group), so groups always fit in a task.
   */
 object Forecast {
 
@@ -56,7 +60,7 @@ object Forecast {
   /** RF 3×3 (numTrees × maxDepth) + GBT 3 — the reference's 3-family
     * grid re-expressed over the two MLlib tree families. */
   val Grid: Seq[Config] =
-    (for { n <- Seq(20, 50, 80); d <- Seq(4, 6, 8) } yield Config("rf", n, d)) ++
+    (for { n <- Seq(20, 40, 60); d <- Seq(4, 6, 8) } yield Config("rf", n, d)) ++
       Seq(Config("gbt", 10, 3), Config("gbt", 20, 3), Config("gbt", 20, 5))
 
   /** Lag-feature matrix with the train/val/test date boundaries attached.
@@ -141,62 +145,80 @@ object Forecast {
       config: String, val_mape: Double, n_test: Long, test_mape: Double,
       rmse: Double)
 
-  /** Stage 2 — per-product selection (reference fidelity: one persisted
-    * winner per product, EDA.ipynb cell 69). For each product, the best
-    * config of EACH family (from the pooled grid) is fit on that
-    * product's train slice; the winner is picked by the product's own
-    * validation MAPE, refit on train+val, and scored on the holdout.
-    * Products with no holdout or no validation rows are skipped (they
-    * have nothing to score). The distinct-product probe is an O(1)
-    * driver materialization of ≤ |products| strings, like the CC
-    * convergence probe — not a data collect. */
-  def trainPerProduct(spark: SparkSession, dir: String): Seq[ProductWinner] = {
-    val (assembled, valCut, testCut) = assembledFrame(spark, dir)
-    val ranked = gridSearch(assembled, valCut, testCut)
-    val bestByFamily = ranked.groupBy(_._1.family)
-      .map { case (f, rs) => f -> rs.minBy(r => (r._2, r._1.toString))._1 }
-      .toSeq.sortBy(_._1)
-    val products = assembled.select(col("product")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    val winners = fitPool(products, threads = 8) { p =>
-      val pdata = assembled.where(col("product") === lit(p)).coalesce(1).cache()
-      try {
-        val train = pdata.where(col("sale_date") <= lit(valCut))
-        val validation = pdata.where(col("sale_date") > lit(valCut) &&
-          col("sale_date") <= lit(testCut))
-        val test = pdata.where(col("sale_date") > lit(testCut))
-        if (test.isEmpty || validation.isEmpty || train.isEmpty) None
-        else {
-          val candidates = bestByFamily.map { case (fam, cfg) =>
-            val m = cfg.fit(train)
-            (fam, cfg, mape(m.transform(validation), "label", "prediction"))
-          }
-          val (fam, cfg, vMape) =
-            candidates.minBy { case (f, _, m) => (m, f) } // deterministic ties
-          val refit = cfg.fit(pdata.where(col("sale_date") <= lit(testCut)))
-          val scored = refit.transform(test)
-            .select(col("label"), col("prediction")).cache()
-          val nTest = scored.count()
-          val tMape = mape(scored, "label", "prediction")
-          val rmse = math.sqrt(scored
-            .agg(avg(pow(col("label") - col("prediction"), 2))).head.getDouble(0))
-          scored.unpersist()
-          Some(ProductWinner(p, fam, cfg.toString, vMape, nTest, tMape, rmse))
-        }
-      } finally pdata.unpersist()
-    }.flatten
-    assembled.unpersist()
-    winners
+  private[ml] final case class Obs(product: String, sale_date: java.sql.Date,
+      label: Double, x: Seq[Double])
+
+  private def fitLocal(cfg: Config, xs: Array[Array[Double]],
+      y: Array[Double], seed: Long): LocalTrees.LocalModel = cfg.family match {
+    case "rf"  => LocalTrees.fitRf(xs, y, cfg.a, cfg.b, seed)
+    case "gbt" => LocalTrees.fitGbt(xs, y, cfg.a, cfg.b, seed)
   }
 
-  /** `ml_forecast` (rows-only — MLlib internals aren't SQL-expressible):
-    * one row per product — the per-product winning family/config with
-    * its validation MAPE and holdout MAPE + RMSE. */
-  val mlForecast: Q = (spark, dir) => {
+  /** Stage 2 — per-product selection (reference fidelity: one winner
+    * per product, EDA.ipynb cell 69). The FULL grid — both families —
+    * is fit per product with deterministic local tree learners
+    * ([[LocalTrees]]) inside `flatMapGroups`: one shuffle by product,
+    * then every group trains in-process in its executor task, exactly
+    * how the reference's per-product sklearn fits run. Driving MLlib
+    * per product instead serializes thousands of tiny driver-scheduled
+    * jobs (measured 146 s at sf0.1 vs ~2 s for this form), and at
+    * millions of keys only grouped local training survives at all.
+    * Winner per product by its own validation MAPE, refit on
+    * train+val, scored on the 14-day holdout. Products lacking train/
+    * val/test rows are skipped (nothing to score). */
+  def trainPerProduct(spark: SparkSession, dir: String): Dataset[ProductWinner] = {
     import spark.implicits._
-    trainPerProduct(spark, dir).toDF()
-      .orderBy(col("product"))
+    val feats = JoinWindowQueries.winLagFeatures(spark, dir)
+    val maxDate = feats.agg(max(col("sale_date"))).head.getDate(0)
+    val tc = maxDate.toLocalDate.minusDays(14).toEpochDay
+    val vc = maxDate.toLocalDate.minusDays(28).toEpochDay
+    val grid = Grid
+    feats.select(col("product"), col("sale_date"),
+        col("total_quantity").cast("double").as("label"),
+        array(LagCols.map(c => col(c).cast("double")): _*).as("x"))
+      .as[Obs]
+      .groupByKey(_.product)
+      .flatMapGroups { (p: String, it: Iterator[Obs]) =>
+        val rows = it.toArray.sortBy(_.sale_date.toLocalDate.toEpochDay)
+        val xs = rows.map(_.x.toArray)
+        val y = rows.map(_.label)
+        val day = rows.map(_.sale_date.toLocalDate.toEpochDay)
+        val trainIdx = day.indices.filter(i => day(i) <= vc).toArray
+        val valIdx = day.indices.filter(i => day(i) > vc && day(i) <= tc).toArray
+        val testIdx = day.indices.filter(i => day(i) > tc).toArray
+        def mapeAt(idx: Array[Int], m: LocalTrees.LocalModel): Double = {
+          val e = idx.iterator.filter(i => y(i) != 0)
+            .map(i => math.abs((y(i) - m.predict(xs(i))) / y(i))).toArray
+          if (e.isEmpty) Double.NaN else e.sum / e.length
+        }
+        if (trainIdx.isEmpty || valIdx.isEmpty || testIdx.isEmpty ||
+            !valIdx.exists(i => y(i) != 0)) Iterator.empty
+        else {
+          def sub(idx: Array[Int]) = (idx.map(xs), idx.map(y))
+          val (trX, trY) = sub(trainIdx)
+          val seedOf = (cfg: Config) =>
+            42L ^ cfg.toString.hashCode.toLong ^ (p.hashCode.toLong << 20)
+          val ranked = grid.map { cfg =>
+            (cfg, mapeAt(valIdx, fitLocal(cfg, trX, trY, seedOf(cfg))))
+          }.sortBy { case (cfg, m) => (m, cfg.toString) }
+          val (winner, vMape) = ranked.head
+          val (fullX, fullY) = sub(trainIdx ++ valIdx)
+          val refit = fitLocal(winner, fullX, fullY, seedOf(winner))
+          val tMape = mapeAt(testIdx, refit)
+          val rmse = math.sqrt(testIdx.map { i =>
+            val d = y(i) - refit.predict(xs(i)); d * d
+          }.sum / testIdx.length)
+          Iterator.single(ProductWinner(p, winner.family, winner.toString,
+            vMape, testIdx.length.toLong, tMape, rmse))
+        }
+      }
   }
+
+  /** `ml_forecast` (rows-only — model internals aren't
+    * SQL-expressible): one row per product — the per-product winning
+    * family/config with its validation MAPE and holdout MAPE + RMSE. */
+  val mlForecast: Q = (spark, dir) =>
+    trainPerProduct(spark, dir).toDF().orderBy(col("product"))
 
   /** Model persistence round trip (§2.A joblib.dump/load parity) for
     * either tree family. */

@@ -47,14 +47,17 @@ object DedupQueries {
     *    document here has ≥3 tokens, so the inferred skip-empty filter
     *    buys nothing.
     */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private[graft] def shingledOn(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         expr("n_chars div 100").as("len_bucket"),
         tokens(col("text")).as("w"))
       .select(col("doc_id"), col("len_bucket"),
         shingleHashes(col("w")).as("sh"))
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingledOn(Tables.documents(spark, dir))
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
@@ -75,8 +78,14 @@ object DedupQueries {
     * scales: the shuffle key is the shingle, hot shingles are the skew
     * axis, and no document array is ever materialized per pair.
     * (Measured 129 s → inverted form at sf0.1; see BENCH.) */
-  val dedupNgramJaccard: Q = (spark, dir) => {
-    val sh = shingled(spark, dir)
+  val dedupNgramJaccard: Q = (spark, dir) =>
+    ngramJaccardOn(Tables.documents(spark, dir))
+
+  /** Core of [[dedupNgramJaccard]] over an arbitrary documents frame
+    * with (doc_id, text, n_chars) — exposed so specs can plant fixture
+    * pairs (e.g. a near-dup pair straddling a length-bucket boundary). */
+  private[graft] def ngramJaccardOn(docs: DataFrame): DataFrame = {
+    val sh = shingledOn(docs)
       .select(col("doc_id"), col("len_bucket"), col("sh"),
         size(col("sh")).as("sz"))
     val inv = sh.select(col("doc_id"), col("len_bucket"), col("sz"),

@@ -116,6 +116,43 @@ object JoinWindowQueries {
       .orderBy(col("region"), col("year"))
   }
 
+  /** Extension (§2.E beyond the reference): AS-OF join — for every
+    * event, the user's most recent order at or before the event time.
+    * Spark has no native as-of join; the scalable formulation is the
+    * union-sentinel window: tag both streams, union them, and carry the
+    * last order row forward per key with `last(..., ignoreNulls)` over
+    * (key, time) — ONE shuffle + sort, linear in rows, vs the naive
+    * events⋈orders-per-user join+argmax whose intermediate is
+    * |events| × orders-per-user. This is the standard time-series join
+    * shape at 100 TB (what dedicated as-of engines do under the hood).
+    * Deterministic: ties at (user, time) resolve orders-before-events,
+    * then by max orderkey. Events preceding any order are dropped
+    * (inner as-of), matching the oracle. */
+  val joinAsof: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("k"), col("ts").as("t"),
+        lit(1).as("is_event"), col("event_id"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("date").as("o_date"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("k"),
+        col("o_orderdate").cast("timestamp").as("t"),
+        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("is_event").asc,
+        col("o_orderkey").asc_nulls_first, col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.unionByName(ord)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_date", last(col("o_date"), ignoreNulls = true).over(w))
+      .where(col("is_event") === 1 && col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"),
+        datediff(to_date(col("t")), col("asof_date")).cast("long")
+          .as("days_since_order"))
+      .orderBy(col("event_id"))
+  }
+
   /** §2.F `srt_multikey` (dashboard.py:440): mixed asc/desc multi-key
     * sort with full tie-break. */
   val srtMultikey: Q = (spark, dir) =>
@@ -243,6 +280,7 @@ object JoinWindowQueries {
     "join_multiway_region"  -> joinMultiwayRegion,
     "set_union_concat"      -> setUnionConcat,
     "join_pair_selfjoin"    -> joinPairSelfjoin,
+    "join_asof"             -> joinAsof,
     "srt_multikey"          -> srtMultikey,
     "srt_distinct"          -> srtDistinct,
     "topk_head_per_group"   -> topkHeadPerGroup,
@@ -296,6 +334,17 @@ object JoinWindowQueries {
         | AND (a.p_name < b.p_name
         |      OR (a.p_name = b.p_name AND a.uid < b.uid))
         |GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2""".stripMargin,
+    "join_asof" ->
+      """WITH best AS (
+        |  SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS edate,
+        |    o.o_orderkey, CAST(o.o_orderdate AS DATE) AS odate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+        |  date_diff('day', odate, edate) AS days_since_order
+        |FROM best WHERE rk = 1 ORDER BY event_id""".stripMargin,
     "srt_multikey" ->
       s"SELECT * FROM ($dailySql) t ORDER BY sale_date ASC, total_revenue DESC, product ASC",
     "srt_distinct" ->

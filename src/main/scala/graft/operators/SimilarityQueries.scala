@@ -83,9 +83,10 @@ object SimilarityQueries {
     * corpus the true top-10 neighbors sit at modest cosine (~0.3-0.5 —
     * per-bit agreement ~0.62), so short signatures across more tables
     * are needed for recall; a corpus with tight clusters (per-bit ~0.9)
-    * would take 16+ bits. 4×8 gives measured recall ≈ 0.7 here. */
+    * would take 16+ bits. Measured by RecallProbe at sf0.001:
+    * 4×8 → 0.66, 4×12 → 0.90, 4×16 → 0.94 (pinned; spec floor 0.7). */
   val SigBits   = 4
-  val NumTables = 8
+  val NumTables = 16
 
   /** Deterministic pseudo-random hyperplane component for (table, bit,
     * dim): a hash of the index triple mapped to [-0.5, 0.5). No data
@@ -94,10 +95,10 @@ object SimilarityQueries {
     (pmod(hash(lit(t * 1000003 + b * 1009), d), lit(10000)).cast("double")
       / 10000.0) - 0.5
 
-  /** Per-table signature: sign pattern of the vector against SigBits
+  /** Per-table signature: sign pattern of the vector against `sigBits`
     * hyperplanes, packed into an int. */
-  private def signature(t: Int, vec: Column): Column =
-    (0 until SigBits).map { b =>
+  private def signature(t: Int, vec: Column, sigBits: Int = SigBits): Column =
+    (0 until sigBits).map { b =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
           (x, i) => x * hp(t, b, i)),
@@ -105,17 +106,22 @@ object SimilarityQueries {
       when(proj > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** LSH-bucketed ANN: candidates = corpus vectors sharing any of the 4
-    * table signatures with the query, then exact cosine + top-k on the
-    * candidate set only. Recall vs brute force asserted in
-    * SimilaritySpec (rows-only for the driver: bucketing is
+  /** LSH-bucketed ANN: candidates = corpus vectors sharing any of the
+    * [[NumTables]] table signatures with the query, then exact cosine +
+    * top-k on the candidate set only. Recall vs brute force asserted in
+    * PipelineSpec (rows-only for the driver: bucketing is
     * hash-specific). */
-  val simKnnLsh: Q = (spark, dir) => {
+  val simKnnLsh: Q = (spark, dir) => simKnnLshWith(spark, dir, SigBits, NumTables)
+
+  /** Parameterized form of [[simKnnLsh]] (used by the recall-tuning
+    * probe and the spec). */
+  def simKnnLshWith(spark: SparkSession, dir: String, sigBits: Int,
+      numTables: Int): DataFrame = {
     val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
       .select(col("vec_id"), col("label"), col("vec"), col("norm"))
     val sigs = emb.select(col("vec_id"),
-      posexplode(array((0 until NumTables).map(t =>
-        signature(t, col("vec"))): _*)).as(Seq("table_id", "sig")))
+      posexplode(array((0 until numTables).map(t =>
+        signature(t, col("vec"), sigBits)): _*)).as(Seq("table_id", "sig")))
     val qSigs = sigs.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("table_id"), col("sig"))
     val candidates = sigs.join(broadcast(qSigs), Seq("table_id", "sig"))
@@ -148,8 +154,18 @@ object SimilarityQueries {
     * corpus BY assigned cluster so a probe reads only its clusters'
     * partitions. Rows-only (assignment is codebook-specific);
     * PipelineSpec bounds recall vs brute force. */
-  val simKnnIvf: Q = (spark, dir) => {
-    val nProbe = 2
+  val simKnnIvf: Q = (spark, dir) => simKnnIvfWith(spark, dir, NProbe)
+
+  /** Probe width, measured by RecallProbe at sf0.001: 2 → 0.28,
+    * 4 → 0.58, 6 → 0.78 (pinned; spec floor 0.7). This fixture's
+    * embeddings are near-uniform (max same-label cosine ≈ 0.47), so
+    * neighbors scatter across the 10 label clusters and probes must be
+    * wide; a corpus with real cluster structure keeps nProbe at 1-2
+    * with the same plan. */
+  val NProbe = 6
+
+  /** Parameterized form of [[simKnnIvf]] (recall-tuning probe/spec). */
+  def simKnnIvfWith(spark: SparkSession, dir: String, nProbe: Int): DataFrame = {
     val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
       .select(col("vec_id"), col("label"), col("vec"), col("norm"))
     // codebook: exact per-dimension means, assembled in dim order
@@ -195,6 +211,29 @@ object SimilarityQueries {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= K)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs — the vector-space member of the
+    * dedup family: same-label block (the cluster id is the natural
+    * blocking key for near-dup embeddings), exact cosine on blocked
+    * pairs only. The 0.3 threshold is calibrated to this fixture's
+    * top-similarity tail (the synthetic corpus has no true duplicate
+    * vectors — max same-label cosine ≈ 0.47); a production corpus with
+    * real dups would run the same plan at ≥ 0.95. At 100 TB the label
+    * block is replaced by LSH bucketing (the [[simKnnLsh]] signature
+    * machinery) with the same exact-verify step — no all-pairs pass at
+    * any scale. Fully oracled: block rule + threshold replay in SQL. */
+  val dedupEmbCosine: Q = (spark, dir) => {
+    val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
+      .select(col("vec_id"), col("label"), col("vec"), col("norm"))
+    emb.as("a").join(emb.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        Tables.round6(dot(col("a.vec"), col("b.vec"))
+          / (col("a.norm") * col("b.norm"))).as("cos_sim"))
+      .where(col("cos_sim") >= 0.3)
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Symmetric int8 quantization of the embedding column — the storage
@@ -254,10 +293,23 @@ object SimilarityQueries {
     "sim_knn_ivf"         -> simKnnIvf,
     "sim_quantize_int8"   -> simQuantizeInt8,
     "sim_label_centroids" -> simLabelCentroids,
+    "dedup_embedding_cosine" -> dedupEmbCosine,
   )
 
   def oracles: Map[String, String] = baseOracles +
     ("sim_knn_native" -> baseOracles("sim_knn_brute")) +
+    ("dedup_embedding_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS norm
+        |  FROM embeddings)
+        |SELECT vec_a, vec_b, label, cos_sim FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |    floor((list_dot_product(a.vec, b.vec) / (a.norm * b.norm))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
+        |WHERE cos_sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin) +
     ("sim_quantize_int8" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

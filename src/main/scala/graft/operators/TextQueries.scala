@@ -120,12 +120,29 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Corpus bigram frequency table: top-100 word bigrams with a
+    * deterministic (count desc, bigram asc) tie-break — the corpus-
+    * statistics shape (n-gram LM tables, vocab induction). At 100 TB
+    * this is one explode + one hash-aggregate with map-side combine;
+    * the bigram is the shuffle key and hot n-grams are the (AQE-
+    * handled) skew axis. Tokens materialize in their own projection
+    * (same regex-inlining trap as the shingle pipeline). */
+  val txtBigramFreq: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("w"))
+      .select(explode(ngrams(col("w"), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(100)
+
   def queries: Map[String, Q] = Map(
     "txt_tokens"      -> txtTokens,
     "txt_quality"     -> txtQuality,
     "txt_langid"      -> txtLangid,
     "txt_fingerprint" -> txtFingerprint,
     "txt_tfidf"       -> txtTfidf,
+    "txt_bigram_freq" -> txtBigramFreq,
   )
 
   private def sqlStop(words: Seq[String]): String =
@@ -196,5 +213,12 @@ object TextQueries {
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
         |  substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 2) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_bigram_freq" ->
+      s"""WITH tok AS (SELECT $T AS w FROM documents),
+         |bg AS (
+         |  SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+         |  FROM tok)
+         |SELECT bigram, count(*) AS n FROM bg
+         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
   )
 }

@@ -43,6 +43,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("planted near-dup pair straddling a 100-char length boundary is " +
+    "found (adjacent-bucket probing)") {
+    import spark.implicits._
+    // identical 16-word texts except one appended word; n_chars forced
+    // onto opposite sides of the 100-char bucket boundary, so the old
+    // identical-bucket block (bucket 0 vs 1) would have missed the pair
+    val words = (1 to 16).map(i => f"word$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, words, 99L),
+      (2L, words + " tailword", 101L)
+    ).toDF("doc_id", "text", "n_chars")
+    val pairs = operators.DedupQueries.ngramJaccardOn(docs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val d = operators.DedupQueries.dedupExact(spark, sf)
     val total = Tables.documents(spark, sf).count()
@@ -57,7 +74,7 @@ class PipelineSpec extends AnyFunSuite {
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
-    assert(recall >= 0.3, s"recall=$recall") // single-probe LSH, 4 tables
+    assert(recall >= 0.7, s"recall=$recall") // 4 bits × 16 tables: measured 0.94
   }
 
   test("IVF ANN recall@10 vs brute force on sf0.001") {
@@ -68,7 +85,7 @@ class PipelineSpec extends AnyFunSuite {
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
-    assert(recall >= 0.2, s"recall=$recall") // 2-probe over 10 clusters
+    assert(recall >= 0.7, s"recall=$recall") // 6-probe over 10 clusters: measured 0.78
   }
 
   test("approx_count_distinct within 5% of exact at sf0.001") {

@@ -107,12 +107,14 @@ class StreamMlSpec extends AnyFunSuite {
 
   test("per-product winners: one row per scoreable product, family " +
     "selected per product by validation MAPE") {
-    val winners = ml.Forecast.trainPerProduct(spark, sf)
+    val winners = ml.Forecast.trainPerProduct(spark, sf).collect().toSeq
     assert(winners.nonEmpty)
     assert(winners.map(_.product).distinct.size == winners.size,
       "exactly one winner row per product")
     assert(winners.forall(w => Set("rf", "gbt").contains(w.family)))
     assert(winners.forall(w => w.n_test > 0 && w.val_mape >= 0 && !w.rmse.isNaN))
+    // seeded local learners: bit-identical at any parallelism
+    assert(winners == ml.Forecast.trainPerProduct(spark, sf).collect().toSeq)
   }
 
   test("forecast: grid-searched model trains, persists, reloads, predicts " +
