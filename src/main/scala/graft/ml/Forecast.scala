@@ -148,10 +148,11 @@ object Forecast {
   private[ml] final case class Obs(product: String, sale_date: java.sql.Date,
       label: Double, x: Seq[Double])
 
-  private def fitLocal(cfg: Config, xs: Array[Array[Double]],
-      y: Array[Double], seed: Long): LocalTrees.LocalModel = cfg.family match {
-    case "rf"  => LocalTrees.fitRf(xs, y, cfg.a, cfg.b, seed)
-    case "gbt" => LocalTrees.fitGbt(xs, y, cfg.a, cfg.b, seed)
+  private def fitLocal(cfg: Config, b: LocalTrees.Binned,
+      xs: Array[Array[Double]], y: Array[Double], rows: Array[Int],
+      seed: Long): LocalTrees.LocalModel = cfg.family match {
+    case "rf"  => LocalTrees.fitRf(b, y, rows, cfg.a, cfg.b, seed)
+    case "gbt" => LocalTrees.fitGbt(b, xs, y, rows, cfg.a, cfg.b, seed)
   }
 
   /** Stage 2 — per-product selection (reference fidelity: one winner
@@ -169,7 +170,11 @@ object Forecast {
   def trainPerProduct(spark: SparkSession, dir: String): Dataset[ProductWinner] = {
     import spark.implicits._
     val feats = JoinWindowQueries.winLagFeatures(spark, dir)
-    val maxDate = feats.agg(max(col("sale_date"))).head.getDate(0)
+    // max(sale_date) == max(l_shipdate): the lag filter only trims the
+    // HEAD of each product's series — probing lineitem's column stats is
+    // one cheap scan vs recomputing the whole lag pipeline twice
+    val maxDate = Tables.lineitem(spark, dir)
+      .agg(max(to_date(col("l_shipdate")))).head.getDate(0)
     val tc = maxDate.toLocalDate.minusDays(14).toEpochDay
     val vc = maxDate.toLocalDate.minusDays(28).toEpochDay
     val grid = Grid
@@ -194,16 +199,15 @@ object Forecast {
         if (trainIdx.isEmpty || valIdx.isEmpty || testIdx.isEmpty ||
             !valIdx.exists(i => y(i) != 0)) Iterator.empty
         else {
-          def sub(idx: Array[Int]) = (idx.map(xs), idx.map(y))
-          val (trX, trY) = sub(trainIdx)
+          val binned = LocalTrees.binDataset(xs) // one grid, all fits
           val seedOf = (cfg: Config) =>
             42L ^ cfg.toString.hashCode.toLong ^ (p.hashCode.toLong << 20)
           val ranked = grid.map { cfg =>
-            (cfg, mapeAt(valIdx, fitLocal(cfg, trX, trY, seedOf(cfg))))
+            (cfg, mapeAt(valIdx, fitLocal(cfg, binned, xs, y, trainIdx, seedOf(cfg))))
           }.sortBy { case (cfg, m) => (m, cfg.toString) }
           val (winner, vMape) = ranked.head
-          val (fullX, fullY) = sub(trainIdx ++ valIdx)
-          val refit = fitLocal(winner, fullX, fullY, seedOf(winner))
+          val refit = fitLocal(winner, binned, xs, y, trainIdx ++ valIdx,
+            seedOf(winner))
           val tMape = mapeAt(testIdx, refit)
           val rmse = math.sqrt(testIdx.map { i =>
             val d = y(i) - refit.predict(xs(i)); d * d

@@ -218,7 +218,36 @@ object AggQueries {
         .as("avg_value"))
       .orderBy(col("event_date"), col("hour"), col("event_type"))
 
+  /** Extension (§2.D): exact per-product demand percentiles
+    * (p50/p90/p99) computed from the sorted per-group value list with
+    * EXPLICIT index/interpolation arithmetic — engine-internal
+    * percentile aggregates interpolate in engine-specific IEEE order
+    * and cannot hash-match an oracle, whereas this expression tree
+    * replays bit-for-bit in SQL. The per-group list is bounded by the
+    * date grain (≤ |dates| elements), so collect_list is safe at any
+    * corpus size; corpus-grain percentiles over unbounded groups would
+    * use approx_percentile (sketch) instead. */
+  val aggPercentiles: Q = (spark, dir) => {
+    def pct(p: Double): org.apache.spark.sql.Column = {
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      val idx = floor(pos)
+      val frac = pos - idx
+      val lo = element_at(col("v"), idx.cast("int") + 1)
+      val hi = element_at(col("v"),
+        least(idx.cast("int") + 2, col("n").cast("int")))
+      Tables.round6(lo + (hi - lo) * frac)
+    }
+    CoreQueries.dailyBase(spark, dir)
+      .groupBy(col("product"))
+      .agg(sort_array(collect_list(col("total_quantity"))).as("v"),
+        count(lit(1)).as("n"))
+      .select(col("product"), col("n").as("n_days"),
+        pct(0.5).as("p50"), pct(0.9).as("p90"), pct(0.99).as("p99"))
+      .orderBy(col("product"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "agg_percentiles"    -> aggPercentiles,
     "agg_count_star"     -> aggCountStar,
     "agg_kpis"           -> aggKpis,
     "agg_count_by_key"   -> aggCountByKey,
@@ -241,7 +270,30 @@ object AggQueries {
 
   private val R = Tables.revenueSumSql // exact money-sum fragment
 
+  /** Oracle fragment replaying [[aggPercentiles]]' interpolation for
+    * probability `p` over sorted list `v` of length `n` — identical
+    * expression tree, so IEEE results match bit-for-bit. (DuckDB CAST
+    * double→INT rounds, but floor() is already integral, so it equals
+    * Spark's truncating cast here.) */
+  private def pctSql(p: String): String = {
+    val idx = s"CAST(floor($p * (n - 1)) AS INT)"
+    val lo = s"v[$idx + 1]"
+    val hi = s"v[least($idx + 2, CAST(n AS INT))]"
+    s"floor(($lo + ($hi - $lo) * ($p * (n - 1) - floor($p * (n - 1)))) " +
+      "* 1000000.0 + 0.5) / 1000000.0"
+  }
+
   def oracles: Map[String, String] = Map(
+    "agg_percentiles" ->
+      (s"""SELECT product, n AS n_days,
+          |  ${pctSql("0.5")} AS p50,
+          |  ${pctSql("0.9")} AS p90,
+          |  ${pctSql("0.99")} AS p99
+          |FROM (
+          |  SELECT product, list_sort(list(total_quantity)) AS v,
+          |         count(*) AS n
+          |  FROM (""".stripMargin + CoreQueries.aggDailyProductSql +
+        ") d GROUP BY 1) g ORDER BY product"),
     "agg_count_star" -> "SELECT count(*) AS n FROM lineitem",
     "agg_kpis" ->
       s"""SELECT *, total_revenue / n_orders AS revenue_per_order FROM (

@@ -120,6 +120,18 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup by event id — the ingestion-side guard of
+    * the dedup family (at-least-once sources re-deliver; the training
+    * pipeline must not double-count). State is one id per event inside
+    * the watermark horizon; `dropDuplicatesWithinWatermark` evicts ids
+    * once the watermark passes, so state is bounded by (watermark ×
+    * event rate), not the stream. StreamMlSpec plants cross-batch
+    * duplicate ids and asserts exactly-once output. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       value: Double)
   case class SessionState(sessionIdx: Long, lastTs: Long, n: Long,

@@ -56,6 +56,30 @@ class StreamMlSpec extends AnyFunSuite {
       s"unexpected sink contents: $out")
   }
 
+  test("streaming dedup: cross-batch duplicate event ids emit exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = streaming.EventStreams
+      .dedupStream(src.toDF.toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    try {
+      src.addData((1L, ts(10, 0), 1.0), (2L, ts(10, 5), 2.0))
+      q.processAllAvailable()
+      // redelivery of id 1 in a later micro-batch (still inside the
+      // watermark) + a fresh id
+      src.addData((1L, ts(10, 0), 1.0), (3L, ts(10, 10), 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_sink").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toList
+    assert(ids == List(1L, 2L, 3L), s"expected exactly-once ids, got $ids")
+  }
+
   test("sessionization: session boundaries respect the 30-min gap") {
     import org.apache.spark.sql.functions._
     val s = streaming.EventStreams.evtSessionize(spark, sf)
