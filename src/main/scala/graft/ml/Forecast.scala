@@ -34,9 +34,10 @@ import org.apache.spark.sql.functions._
   *    `flatMapGroups`. Per-key model fitting through driver-side MLlib
   *    loops schedules thousands of tiny jobs (146 s at sf0.1,
   *    measured); grouped local training is one shuffle + in-executor
-  *    math (~2 s), and is the only shape that survives millions of
-  *    keys. Per-product training sets are bounded by the date grain
-  *    (≤ dates rows per group), so groups always fit in a task.
+  *    math (~6.6 s of training at sf0.1), and is the only shape that
+  *    survives millions of keys. Per-product training sets are bounded
+  *    by the date grain (≤ dates rows per group), so groups always fit
+  *    in a task.
   */
 object Forecast {
 

