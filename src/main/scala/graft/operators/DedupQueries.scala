@@ -253,12 +253,49 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end corpus-cleaning funnel — the training-data pipeline in
+    * ONE query: total → exact-dedup keepers → near-dup component
+    * keepers → language-verified → quality-filtered, reporting the
+    * retention count at each stage. Every stage reuses an
+    * independently-oracled single-op builder, and the funnel itself is
+    * oracled end-to-end (the SQL replays all four stages over the same
+    * tables), so the composition — not just the parts — is checked.
+    * Scale: each stage is a semi-join on doc_id against a
+    * progressively smaller keeper set; documents never re-scan wider
+    * than the previous stage's survivors. */
+  val pipeCorpusClean: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val exactKeep = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val comp = dedupComponents(spark, dir)
+    val nearKeep = exactKeep.join(comp, Seq("doc_id"), "left")
+      .where(col("component_id").isNull ||
+        col("component_id") === col("doc_id"))
+      .select("doc_id")
+    val langKeep = nearKeep.join(
+      TextQueries.txtLangid(spark, dir).where(col("is_correct") === 1)
+        .select("doc_id"), Seq("doc_id"))
+    val qualKeep = langKeep.join(
+      TextQueries.txtQuality(spark, dir).where(col("quality_score") >= 0.5)
+        .select("doc_id"), Seq("doc_id"))
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    stage("a_total", docs)
+      .unionAll(stage("b_exact", exactKeep))
+      .unionAll(stage("c_neardup", nearKeep))
+      .unionAll(stage("d_lang", langKeep))
+      .unionAll(stage("e_quality", qualKeep))
+      .orderBy(col("stage"))
+  }
+
   def queries: Map[String, Q] = Map(
     "dedup_exact"         -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh"   -> dedupMinhashLsh,
     "dedup_simhash"       -> dedupSimhash,
     "dedup_components"    -> dedupComponents,
+    "pipe_corpus_clean"   -> pipeCorpusClean,
   )
 
   private val SH =
@@ -287,8 +324,64 @@ object DedupQueries {
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
-    "dedup_components" -> {
-      val pairsSql =
+    "dedup_components" -> componentsOracleSql,
+    "pipe_corpus_clean" -> {
+      import graft.functions.TextFunctions._
+      componentsPrefixSql +
+        s""",
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+           |reach AS (
+           |  SELECT doc, doc AS r FROM nodes
+           |  UNION
+           |  SELECT e.b AS doc, reach.r FROM reach JOIN edges e ON e.a = reach.doc),
+           |comp AS (SELECT doc AS doc_id, min(r) AS component_id FROM reach GROUP BY 1),
+           |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |near_keep AS (
+           |  SELECT k.doc_id FROM exact_keep k LEFT JOIN comp c ON k.doc_id = c.doc_id
+           |  WHERE c.doc_id IS NULL OR c.component_id = k.doc_id),
+           |lang_scored AS (
+           |  SELECT doc_id, lang,
+           |    ${TextQueries.sw(EN_STOP)} AS s_en, ${TextQueries.sw(ES_STOP)} AS s_es,
+           |    ${TextQueries.sw(DE_STOP)} AS s_de, ${TextQueries.sw(FR_STOP)} AS s_fr,
+           |    ${TextQueries.sw(ZH_STOP)} AS s_zh
+           |  FROM documents),
+           |lang_keep AS (
+           |  SELECT n.doc_id FROM near_keep n JOIN lang_scored s USING (doc_id),
+           |  LATERAL (SELECT CASE
+           |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           |    WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |    WHEN s_fr >= s_zh THEN 'fr'
+           |    ELSE 'zh' END AS predicted_lang) p
+           |  WHERE p.predicted_lang = s.lang),
+           |qual AS (
+           |  SELECT doc_id,
+           |    floor((least(CAST(len(${TextQueries.T}) AS DOUBLE) / 100.0, 1.0) * 0.4
+           |          + CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.4
+           |          + least(CAST(${TextQueries.sw(EN_STOP)} AS DOUBLE) / len(${TextQueries.T}) * 5.0, 1.0) * 0.2)
+           |          * 1000000.0 + 0.5) / 1000000.0 AS quality_score
+           |  FROM documents),
+           |qual_keep AS (
+           |  SELECT l.doc_id FROM lang_keep l JOIN qual q USING (doc_id)
+           |  WHERE q.quality_score >= 0.5)
+           |SELECT 'a_total' AS stage, count(*) AS n_docs FROM documents
+           |UNION ALL SELECT 'b_exact', count(*) FROM exact_keep
+           |UNION ALL SELECT 'c_neardup', count(*) FROM near_keep
+           |UNION ALL SELECT 'd_lang', count(*) FROM lang_keep
+           |UNION ALL SELECT 'e_quality', count(*) FROM qual_keep
+           |ORDER BY 1""".stripMargin
+    },
+    // dedup_minhash_lsh / dedup_simhash: rows-only (hash functions are
+    // engine-specific); cross-checked against the brute-force baseline
+    // in DedupSpec instead.
+  )
+
+  /** Shared CTE prefix (tok → sh → pairs) replaying the shingle +
+    * ±1-bucket-blocked Jaccard pair rule — used by both the
+    * connected-components oracle and the corpus-clean funnel oracle. */
+  private val componentsPrefixSql: String =
         s"""WITH RECURSIVE tok AS (
            |  SELECT doc_id, n_chars // 100 AS len_bucket,
            |    regexp_extract_all(lower(text), '[a-z0-9]+') AS w
@@ -303,21 +396,18 @@ object DedupQueries {
            |    ON abs(a.len_bucket - b.len_bucket) <= 1 AND a.doc_id < b.doc_id
            |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
            |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)""".stripMargin
-      pairsSql +
-        """,
-          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-          |nodes AS (SELECT DISTINCT a AS doc FROM edges),
-          |reach AS (
-          |  SELECT doc, doc AS r FROM nodes
-          |  UNION
-          |  SELECT e.b AS doc, reach.r FROM reach JOIN edges e ON e.a = reach.doc
-          |)
-          |SELECT doc AS doc_id, min(r) AS component_id FROM reach
-          |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
-    // dedup_minhash_lsh / dedup_simhash: rows-only (hash functions are
-    // engine-specific); cross-checked against the brute-force baseline
-    // in DedupSpec instead.
-  )
+
+  private val componentsOracleSql: String =
+    componentsPrefixSql +
+      """,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+        |reach AS (
+        |  SELECT doc, doc AS r FROM nodes
+        |  UNION
+        |  SELECT e.b AS doc, reach.r FROM reach JOIN edges e ON e.a = reach.doc
+        |)
+        |SELECT doc AS doc_id, min(r) AS component_id FROM reach
+        |GROUP BY 1 ORDER BY 1""".stripMargin
 }

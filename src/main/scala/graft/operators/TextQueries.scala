@@ -147,8 +147,8 @@ object TextQueries {
 
   private def sqlStop(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
-  private val T = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-  private def sw(ws: Seq[String]) =
+  private[operators] val T = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private[operators] def sw(ws: Seq[String]) =
     s"len(list_filter($T, t -> t IN ${sqlStop(ws)}))"
 
   def oracles: Map[String, String] = Map(

@@ -75,9 +75,51 @@ object SourceQueries {
       .orderBy(col("product"))
   }
 
+  /** Writes orders and lineitem as co-bucketed tables (8 buckets, each
+    * BY its orderkey, sorted within buckets) and returns the table
+    * names — idempotent per (session, sf dir). This is the storage
+    * layout every join-heavy scaladoc in the repo points at: at 100 TB,
+    * co-bucketed fact tables turn the orderkey join from a full
+    * re-shuffle of both sides into a bucket-to-bucket merge read. */
+  def bucketedTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val (oTbl, lTbl) = (s"orders_b$suffix", s"lineitem_b$suffix")
+    if (!spark.catalog.tableExists(oTbl)) {
+      Tables.orders(spark, dir).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"target/tmp/bucketed/$oTbl")
+        .mode("overwrite").format("parquet").saveAsTable(oTbl)
+      Tables.lineitem(spark, dir).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"target/tmp/bucketed/$lTbl")
+        .mode("overwrite").format("parquet").saveAsTable(lTbl)
+    }
+    (oTbl, lTbl)
+  }
+
+  /** §2.A sink + the co-located-join layout: write both fact tables
+    * bucketed by orderkey, then join bucket-to-bucket and aggregate
+    * revenue per order priority. With co-bucketed inputs the join plan
+    * has NO exchange under it (asserted in JoinWindowSpec) — the only
+    * shuffle left is the 5-row priority aggregate. Oracled in plain
+    * SQL over the original tables: bucketing must not change results. */
+  val snkBucketedJoin: Q = (spark, dir) => {
+    val (oTbl, lTbl) = bucketedTables(spark, dir)
+    val o = spark.table(oTbl)
+    val l = spark.table(lTbl)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        Tables.revenueSum.as("total_revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, Q] = Map(
     "src_extjson_load"  -> srcExtjsonLoad,
     "snk_csv_roundtrip" -> snkCsvRoundtrip,
+    "snk_bucketed_join" -> snkBucketedJoin,
   )
 
   def oracles: Map[String, String] = Map(
@@ -95,5 +137,10 @@ object SourceQueries {
         |  SUM(floor(total_revenue * 100.0 + 0.5)) / 100.0 AS total_revenue
         |FROM (""".stripMargin + CoreQueries.aggDailyProductSql +
         ") t GROUP BY 1 ORDER BY 1"),
+    "snk_bucketed_join" ->
+      s"""SELECT o_orderpriority, ${Tables.revenueSumSql} AS total_revenue,
+         |  count(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

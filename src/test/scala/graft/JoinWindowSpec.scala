@@ -66,4 +66,23 @@ class JoinWindowSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("co-bucketed fact join is shuffle-free (no exchange under the join)") {
+    // broadcast would hide the bucket layout at test SF — force SMJ,
+    // which is what a 100 TB fact-fact join uses
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (oTbl, lTbl) = sources.SourceQueries.bucketedTables(spark, sf)
+      val o = spark.table(oTbl)
+      val l = spark.table(lTbl)
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"expected shuffle-free co-bucketed join:\n$plan")
+      // and the layout must not change results
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
