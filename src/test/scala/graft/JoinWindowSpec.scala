@@ -67,6 +67,16 @@ class JoinWindowSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("as-of join compiles to the union-sentinel window plan: " +
+    "no join operator, one window over the key partition") {
+    val plan = operators.JoinWindowQueries.joinAsof(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin")
+      && !plan.contains("ShuffledHashJoin"),
+      s"as-of must not materialize a join:\n$plan")
+    assert(plan.contains("Window"), s"expected window carry-forward:\n$plan")
+  }
+
   test("co-bucketed fact join is shuffle-free (no exchange under the join)") {
     // broadcast would hide the bucket layout at test SF — force SMJ,
     // which is what a 100 TB fact-fact join uses

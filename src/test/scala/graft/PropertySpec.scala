@@ -53,4 +53,51 @@ object PropertySpec extends Properties("graft") {
         r.getInt(1) == r.getDate(0).toLocalDate.getDayOfWeek.getValue - 1
       }
     }
+
+  // local tree learners (ml/LocalTrees.scala): plain generated-data
+  // properties, no Spark involved — these run in-executor at scale
+  private val regressionGen: Gen[List[(List[Double], Double)]] =
+    Gen.listOfN(60, for {
+      a <- Gen.chooseNum(-10.0, 10.0)
+      b <- Gen.chooseNum(-10.0, 10.0)
+      n <- Gen.chooseNum(-1.0, 1.0)
+    } yield (List(a, b), a * 2 + b + n)).suchThat(_.size >= 10)
+
+  property("RF predictions stay within the training label range " +
+    "(averages of leaf means cannot extrapolate)") =
+    forAll(regressionGen) { data =>
+      val xs = data.map(_._1.toArray).toArray
+      val y = data.map(_._2).toArray
+      val b = ml.LocalTrees.binDataset(xs)
+      val m = ml.LocalTrees.fitRf(b, y, xs.indices.toArray, 10, 4, seed = 42L)
+      xs.forall(x => m.predict(x) >= y.min - 1e-9 && m.predict(x) <= y.max + 1e-9)
+    }
+
+  property("local RF and GBT fits are deterministic for a fixed seed") =
+    forAll(regressionGen) { data =>
+      val xs = data.map(_._1.toArray).toArray
+      val y = data.map(_._2).toArray
+      val b = ml.LocalTrees.binDataset(xs)
+      val rows = xs.indices.toArray
+      val rf1 = ml.LocalTrees.fitRf(b, y, rows, 8, 4, 7L)
+      val rf2 = ml.LocalTrees.fitRf(b, y, rows, 8, 4, 7L)
+      val g1 = ml.LocalTrees.fitGbt(b, xs, y, rows, 8, 3, 7L)
+      val g2 = ml.LocalTrees.fitGbt(b, xs, y, rows, 8, 3, 7L)
+      xs.forall(x => rf1.predict(x) == rf2.predict(x) &&
+        g1.predict(x) == g2.predict(x))
+    }
+
+  property("GBT training reduces squared error vs the mean predictor") =
+    forAll(regressionGen) { data =>
+      val xs = data.map(_._1.toArray).toArray
+      val y = data.map(_._2).toArray
+      val b = ml.LocalTrees.binDataset(xs)
+      val m = ml.LocalTrees.fitGbt(b, xs, y, xs.indices.toArray, 20, 3, 42L)
+      val mean = y.sum / y.length
+      val sseMean = y.map(v => (v - mean) * (v - mean)).sum
+      val sseGbt = xs.indices.map { i =>
+        val d = y(i) - m.predict(xs(i)); d * d
+      }.sum
+      sseGbt <= sseMean + 1e-9
+    }
 }
