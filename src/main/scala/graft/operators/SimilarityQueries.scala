@@ -265,6 +265,47 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Two-stage retrieval: coarse top-30 on the int8-quantized
+    * (dequantized) vectors, exact full-precision cosine rerank for the
+    * final top-k — the production retrieval shape: at 100 TB the coarse
+    * stage scans only the quantized bytes (4-8× less IO than float64)
+    * and full vectors are touched for ≤ 30 candidates per query. Both
+    * stages are deterministic arithmetic (the [[simQuantizeInt8]]
+    * quantizer + round6 + explicit tie-breaks), so the ENTIRE two-stage
+    * pipeline is oracled — including the approximation. */
+  val simKnnRerank: Q = (spark, dir) => {
+    val coarseK = 30
+    val v = col("embedding").cast("array<double>")
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("dq", transform(col("v"),
+        x => floor(x / col("scale") * lit(127.0) + lit(0.5)) * col("scale") / lit(127.0)))
+    val qry = base.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("dq").as("qdq"))
+    val coarse = base.join(broadcast(qry), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"), col("v"),
+        Tables.round6(dot(col("dq"), col("qdq")) /
+          (sqrt(dot(col("dq"), col("dq"))) * sqrt(dot(col("qdq"), col("qdq")))))
+          .as("csim"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("vec_id"))
+    val cand = coarse.withColumn("crank", row_number().over(wC))
+      .where(col("crank") <= coarseK)
+    val exact = cand
+      .join(broadcast(qry.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        Tables.round6(dot(col("v"), col("qv")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Centroid aggregation per label — the IVF coarse-quantizer step
     * (element-wise mean of vectors via posexplode + group). Exactness:
     * per-dimension sums of doubles are shuffled — kept deterministic by
@@ -294,10 +335,39 @@ object SimilarityQueries {
     "sim_quantize_int8"   -> simQuantizeInt8,
     "sim_label_centroids" -> simLabelCentroids,
     "dedup_embedding_cosine" -> dedupEmbCosine,
+    "sim_knn_rerank"      -> simKnnRerank,
   )
 
   def oracles: Map[String, String] = baseOracles +
     ("sim_knn_native" -> baseOracles("sim_knn_brute")) +
+    ("sim_knn_rerank" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id, label, v,
+         |        list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+         |q0 AS (SELECT vec_id, label, v,
+         |        list_transform(v, x -> floor(x / scale * 127.0 + 0.5) * scale / 127.0) AS dq
+         |      FROM s),
+         |qry AS (SELECT vec_id AS query_id, v AS qv, dq AS qdq FROM q0 WHERE vec_id < $NQueries),
+         |coarse AS (
+         |  SELECT query_id, c.vec_id, c.label, c.v,
+         |    floor((list_dot_product(c.dq, qdq)
+         |           / (sqrt(list_dot_product(c.dq, c.dq)) * sqrt(list_dot_product(qdq, qdq))))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS csim
+         |  FROM q0 c CROSS JOIN qry WHERE c.vec_id <> query_id),
+         |cr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY csim DESC, vec_id) AS crank FROM coarse),
+         |cand AS (SELECT * FROM cr WHERE crank <= 30),
+         |ex AS (
+         |  SELECT c.query_id, c.vec_id, c.label,
+         |    floor((list_dot_product(c.v, q.qv)
+         |           / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+         |  FROM cand c JOIN qry q USING (query_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, vec_id) AS rank FROM ex)
+         |SELECT query_id, vec_id, label, cos_sim, rank FROM r WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin) +
     ("dedup_embedding_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
