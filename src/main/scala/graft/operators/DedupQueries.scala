@@ -209,13 +209,22 @@ object DedupQueries {
 
   /** Connected components over the near-dup pair graph → canonical
     * keeper per duplicate group (the step that turns pairwise dedup
-    * output into an actionable drop list). Iterative min-label
-    * propagation to fixpoint — each round is one join + one
-    * min-aggregate, converging in ≤ graph-diameter rounds; the
-    * convergence probe reads a single exact long (Σ labels), not the
-    * data. At 100 TB this is the standard large-scale CC shape (the
-    * same joins GraphX/Pregel issue under the hood), and near-dup
-    * graphs are shallow — a handful of rounds. */
+    * output into an actionable drop list). Two paths, cut over on edge
+    * count: small graphs union-find on the driver (the edge list is a
+    * tiny derivative, never the documents); large graphs run iterative
+    * min-label propagation to fixpoint — each round one join + one
+    * min-aggregate, converging in ≤ graph-diameter rounds with an O(1)
+    * scalar convergence probe (Σ labels). At 100 TB the distributed
+    * path is the standard CC shape (the same joins GraphX/Pregel issue
+    * under the hood); both paths yield identical min-label components. */
+  /** Edge-count cutover for the small-graph fast path: below this, the
+    * EDGE LIST (never the documents) is union-found on the driver —
+    * O(E α(E)) on data that is already a tiny derivative; above it,
+    * min-label propagation iterates distributed. Near-dup graphs on
+    * clean corpora sit far below the cutover; crawl-scale dup webs go
+    * distributed. Both paths produce identical min-label components. */
+  private val DriverCcMaxEdges = 2000000L
+
   val dedupComponents: Q = (spark, dir) => {
     val pairs = dedupNgramJaccard(spark, dir)
       .select(col("doc_a"), col("doc_b"))
@@ -223,6 +232,34 @@ object DedupQueries {
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .cache()
+    val nEdges = edges.count() // materializes the cache either way
+    if (nEdges <= DriverCcMaxEdges) {
+      import spark.implicits._
+      val e = edges.as[(Long, Long)].collect() // bounded by the cutover
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      e.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min root wins → min-label components
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val docs = e.map(_._1).distinct.sorted
+      edges.unpersist()
+      docs.map(d => (d, find(d))).toSeq
+        .toDF("doc_id", "component_id")
+        .orderBy(col("doc_id"))
+    } else distributedComponents(edges)
+  }
+
+  /** Large-graph path: iterative min-label propagation to fixpoint. */
+  private def distributedComponents(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("comp", col("doc")).cache()
     // Label sums strictly decrease until fixpoint, so this terminates in
