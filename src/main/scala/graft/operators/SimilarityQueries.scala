@@ -224,14 +224,17 @@ object SimilarityQueries {
     * machinery) with the same exact-verify step — no all-pairs pass at
     * any scale. Fully oracled: block rule + threshold replay in SQL. */
   val dedupEmbCosine: Q = (spark, dir) => {
-    val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
-      .select(col("vec_id"), col("label"), col("vec"), col("norm"))
+    graft.functions.VectorExpressions.register(spark)
+    import graft.functions.VectorExpressions.cosine_similarity
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("vec"))
     emb.as("a").join(emb.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"),
-        Tables.round6(dot(col("a.vec"), col("b.vec"))
-          / (col("a.norm") * col("b.norm"))).as("cos_sim"))
+        Tables.round6(cosine_similarity(col("a.vec"), col("b.vec")))
+          .as("cos_sim"))
       .where(col("cos_sim") >= 0.3)
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -274,6 +277,8 @@ object SimilarityQueries {
     * quantizer + round6 + explicit tie-breaks), so the ENTIRE two-stage
     * pipeline is oracled — including the approximation. */
   val simKnnRerank: Q = (spark, dir) => {
+    graft.functions.VectorExpressions.register(spark)
+    import graft.functions.VectorExpressions.cosine_similarity
     val coarseK = 30
     val v = col("embedding").cast("array<double>")
     val base = Tables.embeddings(spark, dir)
@@ -286,9 +291,7 @@ object SimilarityQueries {
         col("dq").as("qdq"))
     val coarse = base.join(broadcast(qry), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"), col("v"),
-        Tables.round6(dot(col("dq"), col("qdq")) /
-          (sqrt(dot(col("dq"), col("dq"))) * sqrt(dot(col("qdq"), col("qdq")))))
-          .as("csim"))
+        Tables.round6(cosine_similarity(col("dq"), col("qdq"))).as("csim"))
     val wC = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("vec_id"))
     val cand = coarse.withColumn("crank", row_number().over(wC))
@@ -296,9 +299,7 @@ object SimilarityQueries {
     val exact = cand
       .join(broadcast(qry.select(col("query_id"), col("qv"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
-        Tables.round6(dot(col("v"), col("qv")) /
-          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))))
-          .as("cos_sim"))
+        Tables.round6(cosine_similarity(col("v"), col("qv"))).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     exact.withColumn("rank", row_number().over(w))
