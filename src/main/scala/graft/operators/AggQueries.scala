@@ -246,7 +246,27 @@ object AggQueries {
       .orderBy(col("product"))
   }
 
+  /** Extension (§2.D): multi-level CUBE over (market segment, order
+    * priority) — all four grouping levels in one pass with map-side
+    * partial aggregation. Aggregate-level nulls are projected to the
+    * 'ALL' sentinel BEFORE ordering: Spark sorts nulls first, DuckDB
+    * last, so sentinel labels are the only deterministic cross-engine
+    * form. */
+  val aggCube: Q = (spark, dir) =>
+    Tables.salesHeader(spark, dir)
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        (sum(Tables.cents(col("o_totalprice"))) / lit(100.0))
+          .as("total_revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total_revenue"), col("n_orders"))
+      .orderBy(col("segment"), col("priority"))
+
   def queries: Map[String, Q] = Map(
+    "agg_cube"           -> aggCube,
     "agg_percentiles"    -> aggPercentiles,
     "agg_count_star"     -> aggCountStar,
     "agg_kpis"           -> aggKpis,
@@ -284,6 +304,14 @@ object AggQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "agg_cube" ->
+      """SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  SUM(floor(o_totalprice * 100.0 + 0.5)) / 100.0 AS total_revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
     "agg_percentiles" ->
       (s"""SELECT product, n AS n_days,
           |  ${pctSql("0.5")} AS p50,

@@ -262,6 +262,20 @@ object JoinWindowQueries {
       .orderBy(col("product"), col("sale_date"))
   }
 
+  /** Extension (§2.H, pandas `pct_change` parity): day-over-day revenue
+    * change per product — lag + one division, rounded to 6 decimals so
+    * both engines agree bit-for-bit. First row per product is null (no
+    * predecessor), matching pandas. */
+  val winPctChange: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("product")).orderBy(col("sale_date"))
+    CoreQueries.dailyBase(spark, dir)
+      .withColumn("prev_revenue", lag(col("total_revenue"), 1).over(w))
+      .select(col("sale_date"), col("product"), col("total_revenue"),
+        Tables.round6((col("total_revenue") - col("prev_revenue"))
+          / col("prev_revenue")).as("pct_change"))
+      .orderBy(col("product"), col("sale_date"))
+  }
+
   /** Extension (beyond the reference, §2.H note): frame-spec rolling
     * window — 7-row trailing average of daily demand per product. Exact:
     * integer-valued sums divided once. */
@@ -289,6 +303,7 @@ object JoinWindowQueries {
     "lim_tail"              -> limTail,
     "win_cutoff_split"      -> winCutoffSplit,
     "win_lag_features"      -> winLagFeatures,
+    "win_pct_change"        -> winPctChange,
     "win_rolling_avg"       -> winRollingAvg,
     "win_running_total"     -> winRunningTotal,
   )
@@ -394,6 +409,15 @@ object JoinWindowQueries {
          |WHERE lag_14 IS NOT NULL
          |ORDER BY product, sale_date""".stripMargin
     },
+    "win_pct_change" ->
+      s"""SELECT sale_date, product, total_revenue,
+         |  floor(((total_revenue - lag(total_revenue, 1)
+         |            OVER (PARTITION BY product ORDER BY sale_date))
+         |         / lag(total_revenue, 1)
+         |            OVER (PARTITION BY product ORDER BY sale_date))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS pct_change
+         |FROM ($dailySql) t
+         |ORDER BY product, sale_date""".stripMargin,
     "win_running_total" ->
       s"""SELECT sale_date, product, total_revenue,
          |  SUM(floor(total_revenue * 100.0 + 0.5)) OVER w / 100.0 AS running_revenue
