@@ -27,11 +27,20 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) elapsed.toString else "\"err\"")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Seconds at 3 decimals: a short line survives the driver's tail
+    // capture (the r02 query map was truncated mid-line).
+    def fmt(v: String): String =
+      if (v == "\"err\"") v else f"${v.toDouble}%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val nErr = results.count(_._2 == "\"err\"")
-    val total = results.map(_._2).filter(_ != "\"err\"").map(_.toDouble).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.filter(_._2 != "\"err\"")
+    val total = ok.map(_._2.toDouble).sum
+    // per-family subtotals (family = name prefix before first '_')
+    val fams = ok.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+      .map { case (f, rs) => "\"" + f + "\":" + f"${rs.map(_._2.toDouble).sum}%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$nErr,"families":$fams,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

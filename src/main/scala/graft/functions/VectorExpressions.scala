@@ -63,6 +63,49 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native dot product over `array<double>` — same codegen'd tight-loop
+  * tier as [[CosineSimilarity]], same sequential left-fold accumulation
+  * as both the `zip_with`+`aggregate` HOF composition and DuckDB's
+  * `list_dot_product` (bit-identical results). Used where only the dot
+  * (or its sign — LSH hyperplane tests) is needed: `ArrayAggregate` is
+  * CodegenFallback, so an interpreted HOF fold per signature bit is
+  * ~10× this expression (measured on dedup_embedding_cosine at sf0.1).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   /** Column-API surface for [[CosineSimilarity]] — resolved through the
@@ -71,12 +114,20 @@ object VectorExpressions {
   def cosine_similarity(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
 
+  /** Column-API surface for [[DotProduct]]. */
+  def dot_product(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+
   /** Runtime registration (`SELECT cosine_similarity(a, b)`), used by
     * GraftConf so every engine session has the function. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity",
       exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` — the
@@ -88,5 +139,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
   }
 }

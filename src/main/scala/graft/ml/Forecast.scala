@@ -68,7 +68,7 @@ object Forecast {
     * Cached before the max-date probe so the lag pipeline (join + window
     * over the daily aggregate) runs once, not once per grid fit. */
   def featureFrame(spark: SparkSession, dir: String): (DataFrame, java.sql.Date, java.sql.Date) = {
-    val feats = JoinWindowQueries.winLagFeatures(spark, dir).cache()
+    val feats = JoinWindowQueries.winLagFeaturesBase(spark, dir).cache()
     val maxDate = feats.agg(max(col("sale_date"))).head.getDate(0)
     val testCut = java.sql.Date.valueOf(maxDate.toLocalDate.minusDays(14))
     val valCut  = java.sql.Date.valueOf(maxDate.toLocalDate.minusDays(28))
@@ -172,7 +172,9 @@ object Forecast {
     * val/test rows are skipped (nothing to score). */
   def trainPerProduct(spark: SparkSession, dir: String): Dataset[ProductWinner] = {
     import spark.implicits._
-    val feats = JoinWindowQueries.winLagFeatures(spark, dir)
+    // unordered base: the global sort in the Q form is a range exchange
+    // this pipeline would immediately re-shuffle by product
+    val feats = JoinWindowQueries.winLagFeaturesBase(spark, dir)
     // max(sale_date) == max(l_shipdate): the lag filter only trims the
     // HEAD of each product's series — probing lineitem's column stats is
     // one cheap scan vs recomputing the whole lag pipeline twice

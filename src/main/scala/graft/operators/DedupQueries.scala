@@ -222,18 +222,34 @@ object DedupQueries {
     * O(E α(E)) on data that is already a tiny derivative; above it,
     * min-label propagation iterates distributed. Near-dup graphs on
     * clean corpora sit far below the cutover; crawl-scale dup webs go
-    * distributed. Both paths produce identical min-label components. */
+    * distributed. Both paths produce identical min-label components
+    * (asserted component-for-component in DedupSpec, which forces the
+    * distributed branch through [[componentsOf]] with cutover 0). */
   private val DriverCcMaxEdges = 2000000L
 
-  val dedupComponents: Q = (spark, dir) => {
-    val pairs = dedupNgramJaccard(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
+  val dedupComponents: Q = (spark, dir) =>
+    componentsOf(
+      dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b")),
+      DriverCcMaxEdges)
+
+  /** Connected components of an undirected pair graph, with an
+    * injectable driver-path cutover (specs set 0 to force the
+    * distributed branch on small fixtures). The symmetric edge list is
+    * built by EXPLODING each pair into both directions — one pass over
+    * the pair derivation, where a self-union would execute the whole
+    * upstream Jaccard pipeline twice (Spark does not CSE across union
+    * branches; measured ~2× the derivation cost at sf0.1). */
+  private[graft] def componentsOf(pairs: DataFrame,
+      driverMaxEdges: Long): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     val nEdges = edges.count() // materializes the cache either way
-    if (nEdges <= DriverCcMaxEdges) {
+    if (nEdges <= driverMaxEdges) {
       import spark.implicits._
       val e = edges.as[(Long, Long)].collect() // bounded by the cutover
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -234,8 +235,18 @@ object JoinWindowQueries {
 
   /** §2.H `win_lag_features` (dashboard.py:39-52): the 14-lag demand
     * matrix per product, date-ordered, incomplete rows dropped — the
-    * forecasting feature pipeline. */
-  val winLagFeatures: Q = (spark, dir) => {
+    * forecasting feature pipeline. The Q adds the presentation sort;
+    * composing consumers (ml.Forecast) build on [[winLagFeaturesBase]]
+    * so the global range-exchange+sort isn't paid by a pipeline that
+    * immediately re-shuffles by product anyway. */
+  val winLagFeatures: Q = (spark, dir) =>
+    winLagFeaturesBase(spark, dir).orderBy(col("product"), col("sale_date"))
+
+  /** Unordered lag matrix — the composition base (an ORDER BY in a
+    * shared base forces a range exchange every consumer pays and then
+    * redoes; see BENCH_NOTES "ORDER BY in a shared base"). */
+  private[graft] def winLagFeaturesBase(spark: SparkSession,
+      dir: String): DataFrame = {
     val w = Window.partitionBy(col("product")).orderBy(col("sale_date"))
     val withLags = (1 to 14).foldLeft(CoreQueries.dailyBase(spark, dir)) {
       (d, i) => d.withColumn(s"lag_$i", lag(col("total_quantity"), i).over(w))
@@ -246,7 +257,6 @@ object JoinWindowQueries {
       .withColumn("is_weekend", (weekday(col("sale_date")) >= 5).cast("int"))
       .where(col("lag_14").isNotNull)
       .drop("total_revenue")
-      .orderBy(col("product"), col("sale_date"))
   }
 
   /** Extension: cumulative running total per product — frame-spec

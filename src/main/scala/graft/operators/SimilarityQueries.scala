@@ -83,28 +83,48 @@ object SimilarityQueries {
     * corpus the true top-10 neighbors sit at modest cosine (~0.3-0.5 —
     * per-bit agreement ~0.62), so short signatures across more tables
     * are needed for recall; a corpus with tight clusters (per-bit ~0.9)
-    * would take 16+ bits. Measured by RecallProbe at sf0.001:
-    * 4×8 → 0.66, 4×12 → 0.90, 4×16 → 0.94 (pinned; spec floor 0.7). */
+    * would take 16+ bits. Measured by RecallProbe at sf0.001 with the
+    * replayable integer hyperplanes: 4×8 → 0.70, 4×12 → 0.82,
+    * 4×16 → 0.88 (pinned; spec floor 0.7; 3×16 reaches 0.98 at ~2×
+    * the candidate volume). */
   val SigBits   = 4
   val NumTables = 16
 
-  /** Deterministic pseudo-random hyperplane component for (table, bit,
-    * dim): a hash of the index triple mapped to [-0.5, 0.5). No data
-    * dependence, so every executor regenerates it for free. */
-  private def hp(t: Int, b: Int, d: Column): Column =
-    (pmod(hash(lit(t * 1000003 + b * 1009), d), lit(10000)).cast("double")
-      / 10000.0) - 0.5
+  /** Deterministic, CROSS-ENGINE-REPLAYABLE hyperplane weight for
+    * (table t, bit b, dim d): pure int64 arithmetic — s = (t·1009+b)·
+    * 7919+d cubed mod the prime 1e9+7, folded to [-0.5, 0.5). The
+    * cubing breaks linearity in d (weights across dims are
+    * uncorrelated, hyperplanes span the full space); the formula is
+    * replayed verbatim by the dedup_embedding_cosine DuckDB oracle.
+    * Max intermediate ≈ 1.2e17 — no int64 overflow. Data-independent,
+    * so weights are generated ONCE on the driver and inlined as
+    * literal arrays: each sign test is then a single codegen'd
+    * [[graft.functions.DotProduct]] over the vector instead of an
+    * interpreted `zip_with`+`aggregate` fold per bit (ArrayAggregate
+    * is CodegenFallback — measured ~8× on the signature stage). */
+  private[graft] def hyperplaneWeight(t: Int, b: Int, d: Int): Double = {
+    val P = 1000000007L
+    val s = (t.toLong * 1009L + b) * 7919L + d
+    val m = ((s * s) % P) * s % P
+    (m % 10000L).toDouble / 10000.0 - 0.5
+  }
 
-  /** Per-table signature: sign pattern of the vector against `sigBits`
-    * hyperplanes, packed into an int. */
-  private def signature(t: Int, vec: Column, sigBits: Int = SigBits): Column =
-    (0 until sigBits).map { b =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * hp(t, b, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1 << b)).otherwise(lit(0))
+  /** Per-table signature: sign pattern of `vec` against `bits` literal
+    * hyperplanes, packed into a long. `dim` fixes the weight-array
+    * length at plan time (one-row probe; embedding columns are
+    * uniform-width). */
+  private def signatureOf(t: Int, vec: Column, bits: Int, dim: Int): Column = {
+    import graft.functions.VectorExpressions.dot_product
+    (0 until bits).map { b =>
+      val w = typedLit((0 until dim).map(d => hyperplaneWeight(t, b, d)))
+      when(dot_product(vec, w) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** Vector width from a one-row probe (NOT a full-column scan — at
+    * 100 TB the dim is metadata, probed once). */
+  private def vecDim(emb: DataFrame): Int =
+    emb.select(size(col("vec")).as("d")).limit(1).head.getInt(0)
 
   /** LSH-bucketed ANN: candidates = corpus vectors sharing any of the
     * [[NumTables]] table signatures with the query, then exact cosine +
@@ -117,11 +137,13 @@ object SimilarityQueries {
     * probe and the spec). */
   def simKnnLshWith(spark: SparkSession, dir: String, sigBits: Int,
       numTables: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
       .select(col("vec_id"), col("label"), col("vec"), col("norm"))
+    val dim = vecDim(emb)
     val sigs = emb.select(col("vec_id"),
       posexplode(array((0 until numTables).map(t =>
-        signature(t, col("vec"), sigBits)): _*)).as(Seq("table_id", "sig")))
+        signatureOf(t, col("vec"), sigBits, dim)): _*)).as(Seq("table_id", "sig")))
     val qSigs = sigs.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("table_id"), col("sig"))
     val candidates = sigs.join(broadcast(qSigs), Seq("table_id", "sig"))
@@ -144,16 +166,19 @@ object SimilarityQueries {
 
   /** IVF ANN: k-means-style coarse quantization using the label
     * centroids as the codebook — corpus vectors are assigned to their
-    * nearest centroid, queries probe their 2 nearest centroids, and
-    * exact cosine runs only on the probed clusters' members.
+    * nearest centroid, queries probe their nProbe nearest centroids,
+    * and exact cosine runs only on the probed clusters' members.
     *
-    * Scale shape: the codebook is tiny (|labels| × d) and broadcast
-    * everywhere; assignment is a map-side argmin per vector (no
-    * shuffle); the candidate join is an equi-join on cluster id. At
-    * 100 TB this is the standard trillion-vector layout: partition the
-    * corpus BY assigned cluster so a probe reads only its clusters'
-    * partitions. Rows-only (assignment is codebook-specific);
-    * PipelineSpec bounds recall vs brute force. */
+    * Scale shape: the codebook is tiny (|labels| × d) — it is collected
+    * once and inlined as a LITERAL array of (centroid, norm) structs, so
+    * assignment is a pure per-row projection (`array_max` over the
+    * per-centroid scores): zero shuffle, zero sort, stays inside
+    * whole-stage codegen. The candidate join is an equi-join on cluster
+    * id. At 100 TB this is the standard trillion-vector layout:
+    * partition the corpus BY assigned cluster so a probe reads only its
+    * clusters' partitions. Rows-only (assignment is codebook-specific);
+    * PipelineSpec bounds recall vs brute force and asserts the
+    * assignment plan carries no Window/Sort. */
   val simKnnIvf: Q = (spark, dir) => simKnnIvfWith(spark, dir, NProbe)
 
   /** Probe width, measured by RecallProbe at sf0.001: 2 → 0.28,
@@ -179,28 +204,36 @@ object SimilarityQueries {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
         s => s("cx")).as("cvec"))
       .select(col("label").as("cluster"), col("cvec"))
-    def cos(a: Column, b: Column): Column =
-      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-    // map-side argmin assignment of every corpus vector
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cluster"))
-    val assigned = emb.crossJoin(broadcast(codebook))
-      .withColumn("csim", cos(col("vec"), col("cvec")))
-      .withColumn("rk", row_number().over(wAssign))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("vec"), col("norm"),
-        col("cluster"))
-    // queries probe their nProbe nearest clusters
-    val probes = assigned.where(col("vec_id") < NQueries)
+    // The codebook is a bounded derivative (|labels| rows) — collect it
+    // once and inline it as literals; every executor then assigns
+    // map-side with no broadcast join, no crossJoin, no Window.
+    val centroids: Array[(Int, Seq[Double], Double)] = codebook.collect().map {
+      r =>
+        val cv = r.getSeq[Double](1)
+        // same left-fold accumulation order as the aggregate() HOF
+        (r.getAs[Number](0).intValue, cv,
+          math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x)))
+    }.sortBy(_._1)
+    /** Per-centroid (csim, −cluster) scores of `vec` — struct ordering
+      * makes `array_max` ≡ argmax by (csim desc, cluster asc). */
+    def centroidScores(vec: Column, norm: Column): Column =
+      array(centroids.map { case (cl, cv, cn) =>
+        struct((dot(vec, typedLit(cv)) / (norm * lit(cn))).as("csim"),
+          lit(-cl).as("neg_cluster"))
+      }: _*)
+    // map-side argmax assignment of every corpus vector — a projection
+    val assigned = emb.withColumn("cluster",
+      -array_max(centroidScores(col("vec"), col("norm")))
+        .getField("neg_cluster"))
+    // queries probe their nProbe nearest clusters — sorted literal
+    // scores, again a pure projection
+    val probes = emb.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
-        col("norm").as("qnorm"))
-      .crossJoin(broadcast(codebook))
-      .withColumn("csim", cos(col("qvec"), col("cvec")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("csim").desc, col("cluster"))))
-      .where(col("rk") <= nProbe)
-      .select(col("query_id"), col("qvec"), col("qnorm"), col("cluster"))
+        col("norm").as("qnorm"),
+        explode(slice(reverse(array_sort(
+          centroidScores(col("vec"), col("norm")))), 1, nProbe)).as("s"))
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        (-col("s.neg_cluster")).as("cluster"))
     val scored = assigned.join(broadcast(probes), Seq("cluster"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
@@ -213,28 +246,65 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- replayable random-hyperplane blocking (dedup) ----------------
+
+  /** Number of hyperplane tables for embedding near-dup blocking. */
+  val DedupTables = 16
+
+  /** Signature width for a corpus of `n` vectors: ceil(log₂(n)/2),
+    * floored at 4 — so the per-table bucket count 2^bits ≈ √n GROWS
+    * with the corpus and expected candidate pairs scale as
+    * tables·n²/√n = O(n^1.5), sub-quadratic (vs the old fixed-10-label
+    * block's O(n²/10)). At trillion-vector scale this yields ~20-bit
+    * signatures; recall at a production dup threshold (≥0.95 cosine,
+    * per-bit agreement ≈ 0.9) stays ≈ 1 across 16 tables. */
+  def sigBitsFor(n: Long): Int =
+    math.max(4, math.ceil(math.log(n.toDouble) / math.log(2.0) / 2.0).toInt)
+
   /** Embedding-cosine near-dup pairs — the vector-space member of the
-    * dedup family: same-label block (the cluster id is the natural
-    * blocking key for near-dup embeddings), exact cosine on blocked
-    * pairs only. The 0.3 threshold is calibrated to this fixture's
-    * top-similarity tail (the synthetic corpus has no true duplicate
-    * vectors — max same-label cosine ≈ 0.47); a production corpus with
-    * real dups would run the same plan at ≥ 0.95. At 100 TB the label
-    * block is replaced by LSH bucketing (the [[simKnnLsh]] signature
-    * machinery) with the same exact-verify step — no all-pairs pass at
-    * any scale. Fully oracled: block rule + threshold replay in SQL. */
-  val dedupEmbCosine: Q = (spark, dir) => {
-    graft.functions.VectorExpressions.register(spark)
+    * dedup family: random-hyperplane LSH blocking (candidates = pairs
+    * sharing any of [[DedupTables]] table signatures), exact cosine
+    * verify on candidates only. The block-key cardinality scales with
+    * the corpus ([[sigBitsFor]]: 2^bits ≈ √n buckets per table), so
+    * candidate pairs grow O(n^1.5) — no all-pairs pass at any scale,
+    * and only ids + signatures transit the candidate shuffle (vectors
+    * join back in for ≤O(n^1.5) verifications). The 0.3 threshold is
+    * calibrated to this fixture's top-similarity tail (the synthetic
+    * corpus has no true duplicate vectors — max cosine ≈ 0.47); a
+    * production corpus with real dups would run the same plan at
+    * ≥ 0.95, where per-bit agreement ≈ 0.9 keeps recall ≈ 1. Fully
+    * oracled: the signature rule is pure integer arithmetic that the
+    * DuckDB SQL replays bit-for-bit. */
+  val dedupEmbCosine: Q = (spark, dir) =>
+    dedupEmbCosineOn(Tables.embeddings(spark, dir))
+
+  /** Core of [[dedupEmbCosine]] over any frame with (vec_id,
+    * embedding) — exposed so specs can plant duplicate vectors
+    * (identical vectors share every table signature by construction,
+    * so a true dup is ALWAYS a candidate). */
+  private[graft] def dedupEmbCosineOn(embRaw: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(embRaw.sparkSession)
     import graft.functions.VectorExpressions.cosine_similarity
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("vec"))
-    emb.as("a").join(emb.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("label"),
-        Tables.round6(cosine_similarity(col("a.vec"), col("b.vec")))
-          .as("cos_sim"))
+    val emb = embRaw
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val bits = sigBitsFor(emb.count()) // O(1) scalar probe
+    val dim = vecDim(emb)
+    val sigs = emb.select(col("vec_id"),
+      posexplode(array((0 until DedupTables).map(t =>
+        signatureOf(t, col("vec"), bits, dim)): _*)).as(Seq("table_id", "sig")))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("vec").as("va")),
+        Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("vec").as("vb")),
+        Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Tables.round6(cosine_similarity(col("va"), col("vb"))).as("cos_sim"))
       .where(col("cos_sim") >= 0.3)
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -369,18 +439,40 @@ object SimilarityQueries {
          |        ORDER BY cos_sim DESC, vec_id) AS rank FROM ex)
          |SELECT query_id, vec_id, label, cos_sim, rank FROM r WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin) +
+    // Replays the full blocking rule: bits = greatest(4, ceil(log2(n)/2)),
+    // weight(t,b,d) = (((s²%P)·s)%P)%10⁴/10⁴ − 0.5 with s=(t·1009+b)·7919+d
+    // and P=1e9+7 — pure int64 arithmetic, bit-identical to the Spark side.
     ("dedup_embedding_cosine" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
-        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-        |                          CAST(embedding AS DOUBLE[]))) AS norm
-        |  FROM embeddings)
-        |SELECT vec_a, vec_b, label, cos_sim FROM (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-        |    floor((list_dot_product(a.vec, b.vec) / (a.norm * b.norm))
-        |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
-        |WHERE cos_sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin) +
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |p AS (SELECT greatest(4, CAST(ceil(log2(count(*)) / 2.0) AS INT)) AS bits FROM e),
+         |tb AS (SELECT gt.t AS t, ub.b AS b
+         |       FROM generate_series(0, ${DedupTables - 1}) gt(t), p,
+         |            unnest(range(0, p.bits)) ub(b)),
+         |proj AS (
+         |  SELECT e.vec_id, tb.t, tb.b,
+         |    list_dot_product(e.vec,
+         |      list_transform(range(0, len(e.vec)),
+         |        d -> ((((((tb.t * 1009 + tb.b) * 7919 + d) * ((tb.t * 1009 + tb.b) * 7919 + d)) % 1000000007)
+         |               * ((tb.t * 1009 + tb.b) * 7919 + d)) % 1000000007) % 10000 / 10000.0 - 0.5)) AS pr
+         |  FROM e, tb),
+         |sigs AS (
+         |  SELECT vec_id, t AS table_id,
+         |    SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+         |  FROM proj GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.table_id = b.table_id AND a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos_sim FROM (
+         |  SELECT c.vec_a, c.vec_b,
+         |    floor((list_dot_product(ea.vec, eb.vec)
+         |           / (sqrt(list_dot_product(ea.vec, ea.vec))
+         |              * sqrt(list_dot_product(eb.vec, eb.vec))))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+         |  FROM cand c JOIN e ea ON c.vec_a = ea.vec_id
+         |              JOIN e eb ON c.vec_b = eb.vec_id) t
+         |WHERE cos_sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin) +
     ("sim_quantize_int8" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

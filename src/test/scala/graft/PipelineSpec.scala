@@ -77,6 +77,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall") // 4 bits × 16 tables: measured 0.94
   }
 
+  test("connected components: distributed min-label propagation (forced " +
+    "cutover 0) equals driver union-find, component for component") {
+    import spark.implicits._
+    // a 4-chain (diameter 3 → several propagation rounds), plus two
+    // smaller components, plus the real sf0.001 pair graph
+    val planted = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("doc_a", "doc_b")
+    def comps(pairs: org.apache.spark.sql.DataFrame, cutover: Long) =
+      operators.DedupQueries.componentsOf(pairs, cutover)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val distributed = comps(planted, 0L)
+    val unionFind   = comps(planted, Long.MaxValue)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(distributed == expected)
+    assert(unionFind == expected)
+    val realPairs = operators.DedupQueries.dedupNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b")
+    assert(comps(realPairs, 0L) == comps(realPairs, Long.MaxValue))
+  }
+
+  test("embedding near-dup LSH blocking: a planted exact duplicate is " +
+    "always a candidate (identical sigs in every table) and the " +
+    "block-key cardinality grows with corpus size") {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val dup = base.where($"vec_id" === 0)
+      .select(lit(1000000L).as("vec_id"), $"embedding")
+    val pairs = operators.SimilarityQueries
+      .dedupEmbCosineOn(base.unionByName(dup))
+    val hit = pairs.where($"vec_a" === 0 && $"vec_b" === 1000000L)
+      .select("cos_sim").collect()
+    assert(hit.length == 1 && hit(0).getDouble(0) == 1.0,
+      s"planted dup not found: ${hit.mkString(",")}")
+    // 2^bits ≈ √n buckets per table: strictly more blocks as n grows
+    val bits = operators.SimilarityQueries.sigBitsFor _
+    assert(bits(500) == 5 && bits(5000) == 7)
+    assert(bits(500) < bits(500000) && bits(500000) < bits(5000000000L))
+    assert(bits(10) == 4) // floor
+  }
+
+  test("IVF assignment is a pure projection: exactly one Window node " +
+    "(the final top-k) in the executed plan") {
+    val plan = operators.SimilarityQueries.simKnnIvf(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nWindow = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(nWindow == 1, s"expected 1 Window (final rank), got $nWindow:\n$plan")
+  }
+
   test("IVF ANN recall@10 vs brute force on sf0.001") {
     val brute = operators.SimilarityQueries.simKnnBrute(spark, sf)
       .select("query_id", "vec_id").collect()
