@@ -205,14 +205,38 @@ object Forecast {
             !valIdx.exists(i => y(i) != 0)) Iterator.empty
         else {
           val binned = LocalTrees.binDataset(xs) // one grid, all fits
-          val seedOf = (cfg: Config) =>
-            42L ^ cfg.toString.hashCode.toLong ^ (p.hashCode.toLong << 20)
+          // Seeds depend on (family, depth, product) but NOT on the
+          // ensemble size, so per-tree seeds (indexed by tree id in
+          // LocalTrees) make every smaller grid size an exact PREFIX
+          // of the largest fit at that depth: RF 20/40/60 trees come
+          // from ONE 60-tree fit, GBT 10 iters from the 20-iter run —
+          // halving grid-evaluation tree fits with bit-identical
+          // models to standalone fits at the same seed.
+          def seedFor(family: String, depth: Int): Long =
+            42L ^ (family.hashCode * 31 + depth).toLong ^
+              (p.hashCode.toLong << 20)
+          val rfByDepth = grid.collect { case Config("rf", nT, d) => (d, nT) }
+            .groupBy(_._1).map { case (d, sizes) =>
+              d -> LocalTrees.fitRf(binned, y, trainIdx,
+                sizes.map(_._2).max, d, seedFor("rf", d))
+            }
+          val gbtByDepth = grid.collect { case Config("gbt", nI, d) => (d, nI) }
+            .groupBy(_._1).map { case (d, iters) =>
+              d -> LocalTrees.fitGbt(binned, xs, y, trainIdx,
+                iters.map(_._2).max, d, seedFor("gbt", d))
+            }
+          def modelFor(cfg: Config): LocalTrees.LocalModel = cfg.family match {
+            case "rf" => LocalTrees.RfModel(rfByDepth(cfg.b).trees.take(cfg.a))
+            case "gbt" =>
+              val g = gbtByDepth(cfg.b)
+              LocalTrees.GbtModel(g.f0, g.shrinkage, g.trees.take(cfg.a))
+          }
           val ranked = grid.map { cfg =>
-            (cfg, mapeAt(valIdx, fitLocal(cfg, binned, xs, y, trainIdx, seedOf(cfg))))
+            (cfg, mapeAt(valIdx, modelFor(cfg)))
           }.sortBy { case (cfg, m) => (m, cfg.toString) }
           val (winner, vMape) = ranked.head
           val refit = fitLocal(winner, binned, xs, y, trainIdx ++ valIdx,
-            seedOf(winner))
+            seedFor(winner.family, winner.b))
           val tMape = mapeAt(testIdx, refit)
           val rmse = math.sqrt(testIdx.map { i =>
             val d = y(i) - refit.predict(xs(i)); d * d
