@@ -25,6 +25,7 @@ object SparkEntry {
       sources.SourceQueries.queries ++
       operators.TextQueries.queries ++
       operators.DedupQueries.queries ++
+      operators.PipelineOps.queries ++
       operators.SimilarityQueries.queries ++
       operators.MultimodalQueries.queries ++
       streaming.EventStreams.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       sources.SourceQueries.oracles ++
       operators.TextQueries.oracles ++
       operators.DedupQueries.oracles ++
+      operators.PipelineOps.oracles ++
       operators.SimilarityQueries.oracles ++
       operators.MultimodalQueries.oracles ++
       streaming.EventStreams.oracles ++

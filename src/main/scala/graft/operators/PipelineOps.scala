@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond cleaning/dedup: deterministic
+  * sampling, corpus mixture weighting, document chunking, and sequence
+  * packing — the steps that turn a cleaned corpus into training shards.
+  *
+  * All four are FULLY oracled: the sampling decision is a replayable
+  * integer hash (same cube-mod-prime family as the LSH hyperplane
+  * weights — pure int64 arithmetic both engines compute bit-identically),
+  * never `rand()` (which is neither cross-engine nor retry-stable: a
+  * speculative task re-rolling a sample would corrupt exactly-once
+  * semantics at scale).
+  *
+  * Scale notes: every operator here is a scan + hash-filter or a
+  * bounded-key window — no joins, no data-sized driver state; sampling
+  * filters push to the scan, packing's prefix-sum parallelizes over
+  * deterministic hash buckets (a GLOBAL cumulative sum would serialize
+  * into one partition — the bucket is what makes packing shard-parallel
+  * at 100 TB).
+  */
+object PipelineOps {
+
+  private val P = 1000000007L
+
+  /** Replayable uniform hash of an id into [0, 10000): s = (x·2654435761
+    * + 104729) mod P, then s³ mod P mod 10⁴ (P = 1e9+7; cubing mod a
+    * prime scrambles the low bits the multiply leaves structured). Max
+    * intermediate ~1e18 — no int64 overflow, ANSI-safe. */
+  private def hash10k(x: Column): Column = {
+    val p = lit(P)
+    val s = pmod(x.cast("long") * lit(2654435761L) + lit(104729L), p)
+    pmod(pmod(pmod(s * s, p) * s, p), lit(10000L))
+  }
+
+  /** Same hash as a DuckDB SQL fragment (kept adjacent so the two
+    * implementations evolve together). */
+  private def hash10kSql(x: String): String = {
+    val s = s"((CAST($x AS BIGINT) * 2654435761 + 104729) % $P)"
+    s"(((($s * $s) % $P) * $s) % $P) % 10000"
+  }
+
+  /** Per-language sampling rates in basis points of 10⁴ — the
+    * stratified downsampling step of a corpus pipeline (keep half the
+    * English, a fifth of es/de/fr, a tenth of zh). */
+  private val StratRates: Seq[(String, Int)] =
+    Seq("en" -> 5000, "es" -> 2000, "de" -> 2000, "fr" -> 2000, "zh" -> 1000)
+
+  /** `smp_stratified`: deterministic stratified sample of `documents`
+    * by language — row kept iff hash(doc_id) < its stratum's rate.
+    * The filter is a pure scan predicate (pushes below everything);
+    * resampling is idempotent and stable under retries at any scale. */
+  val smpStratified: Q = (spark, dir) => {
+    val rate = StratRates.foldLeft(lit(0)) { case (e, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(e)
+    }
+    Tables.documents(spark, dir)
+      .where(hash10k(col("doc_id")) < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** `pipe_mixture`: weighted corpus mixture — sources src0-src9 are
+    * the "web" corpus sampled at 80%, src10+ the "curated" corpus at
+    * 30%; reports the achieved composition (docs, tokens, fraction of
+    * the mixture). The mixture weights are enforced by the same
+    * replayable hash, so shards rebuilt from scratch get the same mix. */
+  val pipeMixture: Q = (spark, dir) => {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val corpus = when(srcNum < 10, lit("web")).otherwise(lit("curated"))
+    val rate = when(srcNum < 10, lit(8000)).otherwise(lit(3000))
+    val sampled = Tables.documents(spark, dir)
+      .select(col("doc_id"), corpus.as("corpus"), rate.as("rate"),
+        tokens(col("text")).as("w"))
+      .where(hash10k(col("doc_id")) < col("rate"))
+      .select(col("corpus"), size(col("w")).as("n_tokens"))
+    val agg = sampled.groupBy(col("corpus"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+    // scalar total via broadcast cross join, not an unpartitioned
+    // window (which would single-partition its input — harmless on a
+    // 2-row aggregate but the wrong habit)
+    val tot = agg.agg(sum(col("n_docs")).as("tot_docs"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("pct_docs", Tables.round6(col("n_docs") / col("tot_docs")))
+      .drop("tot_docs")
+      .orderBy(col("corpus"))
+  }
+
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
+  /** `txt_chunk_overlap`: split each document's token stream into
+    * 64-token chunks on a 48-token stride (16-token overlap) — the
+    * long-document chunking step feeding fixed-context training.
+    * Chunk starts are 0, 48, 96, … while < n_tokens, so every token
+    * lands in ≥1 chunk and the tail chunk may be short. Emits one row
+    * per chunk with its length and first token. Pure per-row explode —
+    * no shuffle; tokens materialize in their own projection (the
+    * generator-inlining trap, see [[DedupQueries.shingledOn]]). */
+  val txtChunkOverlap: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      .select(col("doc_id"), col("w"), col("n"),
+        posexplode(transform(
+          sequence(lit(0L), expr(s"(n - 1) div $ChunkStride")),
+          i => i * ChunkStride)).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(ChunkLen), col("n") - col("start")).as("n_chunk_tokens"),
+        element_at(col("w"), (col("start") + 1).cast("int")).as("head_token"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val PackBuckets = 16
+  private val PackBudget = 2048L
+
+  /** `pipe_pack_sequences`: pack documents into ~2048-token training
+    * shards — documents are routed to one of 16 deterministic hash
+    * buckets, ordered by doc_id within the bucket, and cut into shards
+    * wherever the running token total crosses the budget (a document
+    * belongs to the shard its FIRST token falls in). Reports per-shard
+    * doc/token totals. The bucket is the scale axis: prefix sums run
+    * per bucket in parallel (one global cumsum would serialize the
+    * corpus into a single partition); at 100 TB buckets ≈ shard-writer
+    * parallelism. */
+  val pipePackSequences: Q = (spark, dir) => {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        pmod(hash10k(col("doc_id")), lit(PackBuckets)).as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard", expr(s"(cum - n_tokens) div $PackBudget"))
+      .groupBy(col("bucket"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+      .orderBy(col("bucket"), col("shard"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "smp_stratified"      -> smpStratified,
+    "pipe_mixture"        -> pipeMixture,
+    "txt_chunk_overlap"   -> txtChunkOverlap,
+    "pipe_pack_sequences" -> pipePackSequences,
+  )
+
+  private val T = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  def oracles: Map[String, String] = Map(
+    "smp_stratified" -> {
+      val rateCase = StratRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }
+        .mkString("CASE lang ", " ", " ELSE 0 END")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${hash10kSql("doc_id")} < $rateCase
+         |ORDER BY doc_id""".stripMargin
+    },
+    "pipe_mixture" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST(substr(source, 4) AS INT) < 10
+         |         THEN 'web' ELSE 'curated' END AS corpus,
+         |    CASE WHEN CAST(substr(source, 4) AS INT) < 10
+         |         THEN 8000 ELSE 3000 END AS rate,
+         |    len($T) AS n_tokens
+         |  FROM documents),
+         |k AS (SELECT corpus, n_tokens FROM s
+         |      WHERE ${hash10kSql("doc_id")} < rate),
+         |a AS (SELECT corpus, count(*) AS n_docs,
+         |        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |      FROM k GROUP BY 1)
+         |SELECT corpus, n_docs, n_tokens,
+         |  floor((CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ())
+         |        * 1000000.0 + 0.5) / 1000000.0 AS pct_docs
+         |FROM a ORDER BY corpus""".stripMargin,
+    "txt_chunk_overlap" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $T AS w FROM documents),
+         |c AS (
+         |  SELECT doc_id, w, len(w) AS n,
+         |    unnest(range(0, (len(w) - 1) // $ChunkStride + 1)) AS chunk_idx
+         |  FROM tok)
+         |SELECT doc_id, chunk_idx,
+         |  least($ChunkLen, n - chunk_idx * $ChunkStride) AS n_chunk_tokens,
+         |  w[chunk_idx * $ChunkStride + 1] AS head_token
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "pipe_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len($T) AS n_tokens,
+         |    (${hash10kSql("doc_id")}) % $PackBuckets AS bucket
+         |  FROM documents),
+         |c AS (
+         |  SELECT bucket, doc_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT bucket, (cum - n_tokens) // $PackBudget AS shard,
+         |  count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

@@ -35,6 +35,24 @@ object EventStreams {
         col("n_events"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Sliding 1-hour windows every 30 minutes per event type — the
+    * overlapping-window companion of [[evtTumblingWindow]] (each event
+    * lands in exactly windowDuration/slide = 2 windows). Same scale
+    * shape: one shuffle on (window, type) with map-side partial
+    * aggregation; the oracle replays Spark's epoch-aligned slide rule
+    * (starts = floor(epoch/slide)·slide − k·slide, k ∈ {0,1}). */
+  val evtSlidingWindow: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(Tables.cents(col("value"))) / lit(100.0)).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Sessionization: 30-minute-gap sessions per user — the batch
     * (window-function) formulation of what
     * `mapGroupsWithState` computes incrementally. Deterministic: events
@@ -209,11 +227,21 @@ object EventStreams {
 
   def queries: Map[String, Q] = Map(
     "evt_tumbling_window" -> evtTumblingWindow,
+    "evt_sliding_window"  -> evtSlidingWindow,
     "evt_sessionize"      -> evtSessionize,
     "evt_json_props"      -> evtJsonProps,
   )
 
   def oracles: Map[String, String] = Map(
+    "evt_sliding_window" ->
+      """WITH x AS (
+        |  SELECT make_timestamp(
+        |           (epoch_us(ts) // 1800000000 - k.k) * 1800000000) AS window_start,
+        |         event_type, value
+        |  FROM events, (SELECT unnest([0, 1]) AS k) k)
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |  SUM(floor(value * 100.0 + 0.5)) / 100.0 AS total_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "evt_json_props" ->
       """SELECT event_type,
         |  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the sampling / mixture / chunking / packing operators
+  * (PipelineOps) and the sliding-window aggregate — properties the
+  * DuckDB oracle can't express (coverage, budget, double-counting). */
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("stratified sample is a deterministic subset; strata rates bound it") {
+    val total = Tables.documents(spark, sf).count()
+    val s1 = operators.PipelineOps.smpStratified(spark, sf).collect()
+    val s2 = operators.PipelineOps.smpStratified(spark, sf).collect()
+    assert(s1.toSeq == s2.toSeq, "sampling must be replay-stable")
+    assert(s1.length > 0 && s1.length < total)
+    val ids = s1.map(_.getLong(0)).toSet
+    assert(ids.size == s1.length, "no duplicate sampled rows")
+  }
+
+  test("chunking covers every token exactly: strided starts, bounded " +
+    "length, tail chunk short iff the stride leaves a remainder") {
+    val chunks = operators.PipelineOps.txtChunkOverlap(spark, sf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("n_chunk_tokens")).as("max_len"),
+        sum(col("n_chunk_tokens")).as("sum_len"))
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(functions.TextFunctions.tokens(col("text"))).as("n"))
+    val joined = chunks.join(toks, Seq("doc_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nChunks, maxLen, n) =
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("max_len"), r.getAs[Int]("n"))
+      assert(maxLen <= 64)
+      // starts 0, 48, … while < n  ⇒  nChunks = ceil(max(n,1)/48) exactly
+      assert(nChunks == (n - 1) / 48 + 1, s"doc ${r.getLong(0)}: $nChunks chunks for $n tokens")
+    }
+  }
+
+  test("sequence packing conserves tokens and starts every shard under " +
+    "the budget boundary") {
+    val shards = operators.PipelineOps.pipePackSequences(spark, sf).collect()
+    val totalTokens = Tables.documents(spark, sf)
+      .select(size(functions.TextFunctions.tokens(col("text"))).as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(shards.map(_.getAs[Long]("n_tokens")).sum == totalTokens,
+      "every token lands in exactly one shard")
+    assert(shards.forall(_.getAs[Long]("n_docs") >= 1))
+    // within a bucket, shard ids are the floor of a nondecreasing
+    // prefix sum / budget — so they are dense from 0
+    shards.groupBy(_.getAs[Long]("bucket")).foreach { case (_, rs) =>
+      val ids = rs.map(_.getAs[Long]("shard")).sorted
+      assert(ids.head == 0 && ids.zipWithIndex.forall { case (s, i) => s == i })
+    }
+  }
+
+  test("sliding windows double-count exactly: Σ sliding n_events = 2 × events") {
+    val nEvents = Tables.events(spark, sf).count()
+    val slid = streaming.EventStreams.evtSlidingWindow(spark, sf)
+      .agg(sum(col("n_events"))).head.getLong(0)
+    assert(slid == 2 * nEvents)
+  }
+
+  test("mixture composition: fractions sum to 1 and web outweighs curated") {
+    val rows = operators.PipelineOps.pipeMixture(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("corpus")).toSet == Set("web", "curated"))
+    val pct = rows.map(_.getAs[Double]("pct_docs")).sum
+    assert(math.abs(pct - 1.0) < 1e-5, s"pct sum $pct")
+    val byCorpus = rows.map(r =>
+      r.getAs[String]("corpus") -> r.getAs[Long]("n_docs")).toMap
+    assert(byCorpus("web") > byCorpus("curated"),
+      "80% of 10 web sources must outweigh 30% of 10 curated")
+  }
+}
