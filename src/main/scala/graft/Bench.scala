@@ -14,8 +14,17 @@ object Bench {
     // JIT/codegen warmup so the first measured query doesn't absorb
     // JVM startup; queries run in sorted name order so per-query
     // numbers are comparable across rounds (Map order shifts when
-    // keys are added).
+    // keys are added). The sf0.001 pass exercises the heavy codegen
+    // families (tokenizer/shingle, vector expressions, windows) —
+    // measured ~4 s of one-time compilation otherwise lands on
+    // whichever family's first query runs it (CcPhaseProbe: jaccard
+    // 6.6 s cold vs 2.6 s warm).
     spark.range(100000).selectExpr("sum(id)").collect()
+    val warmDir = "/root/testdata/sf0.001"
+    for (q <- Seq("dedup_ngram_jaccard", "sim_knn_brute", "agg_daily_product",
+        "evt_sessionize", "txt_chunk_overlap"))
+      try SparkEntry.queries(q)(spark, warmDir).count()
+      catch { case _: Throwable => () }
     // Each entry is either a seconds Double or the string "err" — a
     // failing query must be visible in the output, not silently timed.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: prints formatted plans for the newest operators so the
+  * scan schema / pushdown / exchange count can be eyeballed per round.
+  * Usage: `sbt "runMain graft.PlanProbe [sfDir]"`. */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-plan-probe")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftConf(spark)
+    for ((name, fn) <- Seq(
+        "smp_stratified" -> operators.PipelineOps.smpStratified,
+        "pipe_mixture" -> operators.PipelineOps.pipeMixture,
+        "txt_chunk_overlap" -> operators.PipelineOps.txtChunkOverlap,
+        "pipe_pack_sequences" -> operators.PipelineOps.pipePackSequences)) {
+      println(s"========== $name ==========")
+      println(fn(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

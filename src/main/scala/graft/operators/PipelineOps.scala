@@ -82,13 +82,14 @@ object PipelineOps {
     val agg = sampled.groupBy(col("corpus"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("n_tokens"))
-    // scalar total via broadcast cross join, not an unpartitioned
-    // window (which would single-partition its input — harmless on a
-    // 2-row aggregate but the wrong habit)
-    val tot = agg.agg(sum(col("n_docs")).as("tot_docs"))
-    agg.crossJoin(broadcast(tot))
-      .withColumn("pct_docs", Tables.round6(col("n_docs") / col("tot_docs")))
-      .drop("tot_docs")
+    // Unpartitioned window ON THE AGGREGATE: its input is |corpus
+    // classes| rows (2), so the single partition is trivially bounded.
+    // A broadcast cross join of a separate total would re-execute the
+    // whole scan+aggregate subtree (no CSE across join branches) —
+    // verified by explain: that variant scans documents twice.
+    agg
+      .withColumn("pct_docs",
+        Tables.round6(col("n_docs") / sum(col("n_docs")).over(Window.partitionBy())))
       .orderBy(col("corpus"))
   }
 
