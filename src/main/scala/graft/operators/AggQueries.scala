@@ -246,6 +246,25 @@ object AggQueries {
       .orderBy(col("product"))
   }
 
+  /** Extension (§2.D): sketch-based percentiles — the form
+    * [[aggPercentiles]]' scaladoc prescribes for unbounded groups at
+    * corpus scale: `approx_percentile` (KLL-style sketch) is one pass,
+    * mergeable map-side, O(accuracy) state per group — no per-group
+    * list. Rows-only (sketch interpolation is engine-internal);
+    * PipelineOpsSpec bounds it against the exact oracled percentiles. */
+  val aggApproxPercentiles: Q = (spark, dir) =>
+    graft.operators.CoreQueries.dailyBase(spark, dir)
+      .groupBy(col("product"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        percentile_approx(col("total_quantity"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
+      .select(col("product"), col("n_days"),
+        element_at(col("pcts"), 1).as("p50"),
+        element_at(col("pcts"), 2).as("p90"),
+        element_at(col("pcts"), 3).as("p99"))
+      .orderBy(col("product"))
+
   /** Extension (§2.D): multi-level CUBE over (market segment, order
     * priority) — all four grouping levels in one pass with map-side
     * partial aggregation. Aggregate-level nulls are projected to the
@@ -268,6 +287,7 @@ object AggQueries {
   def queries: Map[String, Q] = Map(
     "agg_cube"           -> aggCube,
     "agg_percentiles"    -> aggPercentiles,
+    "agg_approx_percentiles" -> aggApproxPercentiles,
     "agg_count_star"     -> aggCountStar,
     "agg_kpis"           -> aggKpis,
     "agg_count_by_key"   -> aggCountByKey,

@@ -93,6 +93,24 @@ object PipelineOps {
       .orderBy(col("corpus"))
   }
 
+  val SampleK = 200
+
+  /** `smp_fixed_k`: exact-size uniform sample — the k documents with
+    * the smallest replayable hash (ties broken by doc_id). Compiles to
+    * TakeOrderedAndProject: each partition keeps its local top-k and
+    * the driver merges k·partitions rows — no global sort, no full
+    * shuffle, deterministic under retries. The fixed-size complement
+    * of [[smpStratified]]'s fixed-rate sampling (a rebuild at 100 TB
+    * yields the same k rows, which rate-based sampling can't promise). */
+  val smpFixedK: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        hash10k(col("doc_id")).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(SampleK)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
   private val ChunkLen = 64
   private val ChunkStride = 48
 
@@ -146,6 +164,7 @@ object PipelineOps {
 
   def queries: Map[String, Q] = Map(
     "smp_stratified"      -> smpStratified,
+    "smp_fixed_k"         -> smpFixedK,
     "pipe_mixture"        -> pipeMixture,
     "txt_chunk_overlap"   -> txtChunkOverlap,
     "pipe_pack_sequences" -> pipePackSequences,
@@ -162,6 +181,11 @@ object PipelineOps {
          |WHERE ${hash10kSql("doc_id")} < $rateCase
          |ORDER BY doc_id""".stripMargin
     },
+    "smp_fixed_k" ->
+      s"""SELECT doc_id, lang, source FROM (
+         |  SELECT doc_id, lang, source FROM documents
+         |  ORDER BY ${hash10kSql("doc_id")}, doc_id LIMIT $SampleK) t
+         |ORDER BY doc_id""".stripMargin,
     "pipe_mixture" ->
       s"""WITH s AS (
          |  SELECT doc_id,

@@ -138,6 +138,22 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming form of [[evtSlidingWindow]]: append mode, overlapping
+    * 1h/30min windows, 2-hour watermark. State per key is 2× the
+    * tumbling equivalent (each event lives in two open windows) but
+    * still bounded by (open windows × event types) — the watermark
+    * finalizes both covering windows once it passes their ends.
+    * StreamMlSpec asserts stream ≡ batch on planted input. */
+  def slidingStreamAppend(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(Tables.cents(col("value"))) / lit(100.0)).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup by event id — the ingestion-side guard of
     * the dedup family (at-least-once sources re-deliver; the training
     * pipeline must not double-count). State is one id per event inside

@@ -64,6 +64,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(slid == 2 * nEvents)
   }
 
+  test("fixed-k sample: exact size (or whole corpus if smaller), " +
+    "deterministic, subset of corpus ids") {
+    val total = Tables.documents(spark, sf).count()
+    val s1 = operators.PipelineOps.smpFixedK(spark, sf).collect()
+    val s2 = operators.PipelineOps.smpFixedK(spark, sf).collect()
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.length == math.min(operators.PipelineOps.SampleK, total))
+    assert(s1.map(_.getLong(0)).distinct.length == s1.length)
+  }
+
+  test("approx percentiles track the exact oracled percentiles: p50 " +
+    "within one sketch step of exact per product") {
+    val exact = operators.AggQueries.aggPercentiles(spark, sf)
+      .select(col("product"), col("p50"), col("p90")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = operators.AggQueries.aggApproxPercentiles(spark, sf)
+      .select(col("product"), col("p50"), col("p90")).collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { r =>
+      val (e50, e90) = exact(r.getString(0))
+      val (a50, a90) = (r.getDouble(1), r.getDouble(2))
+      // approx returns an actual data value; exact interpolates —
+      // bound the gap by a generous relative margin at these group sizes
+      assert(math.abs(a50 - e50) <= math.max(1.0, 0.25 * math.abs(e50)),
+        s"${r.getString(0)}: approx p50 $a50 vs exact $e50")
+      assert(math.abs(a90 - e90) <= math.max(1.0, 0.25 * math.abs(e90)),
+        s"${r.getString(0)}: approx p90 $a90 vs exact $e90")
+    }
+  }
+
   test("mixture composition: fractions sum to 1 and web outweighs curated") {
     val rows = operators.PipelineOps.pipeMixture(spark, sf).collect()
     assert(rows.map(_.getAs[String]("corpus")).toSet == Set("web", "curated"))

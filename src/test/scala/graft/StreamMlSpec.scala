@@ -20,6 +20,37 @@ class StreamMlSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sliding windows ≡ batch sliding aggregation: every " +
+    "event lands in both covering windows, finalized by the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = streaming.EventStreams
+      .slidingStreamAppend(src.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("slide_sink")
+      .outputMode("append").start()
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    try {
+      src.addData((ts(10, 10), "click", 1.0), (ts(10, 40), "click", 2.0))
+      q.processAllAvailable()
+      src.addData((ts(20, 0), "click", 0.5)) // watermark → 18:00
+      q.processAllAvailable()
+      val out = spark.table("slide_sink")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      // 10:10 → windows [09:30,10:30) and [10:00,11:00);
+      // 10:40 → windows [10:00,11:00) and [10:30,11:30)
+      val expected = Set(
+        (ts(9, 30), "click", 1L, 1.0),
+        (ts(10, 0), "click", 2L, 3.0),
+        (ts(10, 30), "click", 1L, 2.0))
+      assert(out == expected, s"got $out")
+    } finally q.stop()
+  }
+
   test("append mode: watermark drops late data, on-time data aggregates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
