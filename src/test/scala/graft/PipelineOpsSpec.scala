@@ -72,6 +72,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s1.toSeq == s2.toSeq)
     assert(s1.length == math.min(operators.PipelineOps.SampleK, total))
     assert(s1.map(_.getLong(0)).distinct.length == s1.length)
+    // the scaladoc's scale claim, plan-asserted: per-partition top-k +
+    // driver merge, not a global sort
+    val plan = operators.PipelineOps.smpFixedK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
   }
 
   test("approx percentiles track the exact oracled percentiles: p50 " +
