@@ -77,6 +77,29 @@ object EventStreams {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Native `session_window` sessionization — Spark's built-in gap
+    * operator, semantically the GROUPED form of [[evtSessionize]]
+    * (same 30-minute-gap sessions, keyed by the session interval
+    * instead of a running index; one row per (user, session)). Shares
+    * a session-boundary oracle with the window-function formulation —
+    * the two plans differ (SessionWindow aggregation vs Window +
+    * groupBy) but must produce identical session groups; the oracle
+    * replays the gap rule in SQL. In streaming form `session_window`
+    * is the scale answer for sessionization: state merges adjacent
+    * windows per key and the watermark finalizes closed sessions. */
+  val evtSessionWindow: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (sum(Tables.cents(col("value"))) / lit(100.0)).as("session_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -245,6 +268,7 @@ object EventStreams {
     "evt_tumbling_window" -> evtTumblingWindow,
     "evt_sliding_window"  -> evtSlidingWindow,
     "evt_sessionize"      -> evtSessionize,
+    "evt_session_window"  -> evtSessionWindow,
     "evt_json_props"      -> evtJsonProps,
   )
 
@@ -271,6 +295,29 @@ object EventStreams {
         |  count(*) AS n_events,
         |  SUM(floor(value * 100.0 + 0.5)) / 100.0 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // session_window merges events whose [ts, ts+gap) windows OVERLAP:
+    // a gap of exactly 30 min starts a NEW session (>= breaks), unlike
+    // the window-function sessionizer's strict > rule — the oracle
+    // replays the >= semantics.
+    "evt_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g)
+        |SELECT user_id,
+        |  make_timestamp(epoch_us(min(ts))) AS session_start,
+        |  make_timestamp(epoch_us(max(ts))) AS session_end,
+        |  count(*) AS n_events,
+        |  SUM(floor(value * 100.0 + 0.5)) / 100.0 AS session_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
     "evt_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value,

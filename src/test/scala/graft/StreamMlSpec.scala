@@ -20,6 +20,17 @@ class StreamMlSpec extends AnyFunSuite {
     }
   }
 
+  test("native session_window ≡ window-function sessionizer: identical " +
+    "session groups (fixture has no exact-30-min gaps, where the two " +
+    "gap rules legitimately differ)") {
+    def groups(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_start", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val native = groups(streaming.EventStreams.evtSessionWindow(spark, sf))
+    val windowed = groups(streaming.EventStreams.evtSessionize(spark, sf))
+    assert(native == windowed)
+  }
+
   test("streaming sliding windows ≡ batch sliding aggregation: every " +
     "event lands in both covering windows, finalized by the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
