@@ -259,6 +259,48 @@ object JoinWindowQueries {
       .drop("total_revenue")
   }
 
+  /** Extension (§2.E): interval (range) join decomposed into an
+    * equi-join — each event matched to the session interval containing
+    * it. Spark has no native range-join optimization: a bare
+    * `a.ts BETWEEN s.lo AND s.hi` predicate compiles to a nested-loop
+    * join, O(|events|·|intervals per user|) — fatal at 100 TB. The
+    * scale shape (same family as the Jaccard probe replication):
+    * explode each interval into the hour buckets it covers, bucket
+    * each event once, and equi-join on (user_id, bucket) with the
+    * BETWEEN as a residual filter — postings grow with interval length
+    * / bucket width, the join is hash-partitioned, and no nested loop
+    * exists (plan-asserted in JoinWindowSpec). The ORACLE runs the
+    * naive range join, so the hash-match PROVES the decomposition
+    * equivalent. */
+  val joinRangeBucketed: Q = (spark, dir) => {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // interval side: ≥-gap sessions (the session_window rule)
+    val sessions = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= gapUs, 1)
+          .otherwise(0))
+      .withColumn("sid",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+    val sessBucketed = sessions.select(
+      col("user_id"), col("session_start"), col("session_end"),
+      explode(sequence(
+        expr("unix_micros(session_start) div 3600000000"),
+        expr("unix_micros(session_end) div 3600000000"))).as("bucket"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("unix_micros(ts) div 3600000000").as("bucket"))
+      .join(sessBucketed, Seq("user_id", "bucket"))
+      .where(col("ts") >= col("session_start") &&
+        col("ts") <= col("session_end"))
+      .select(col("event_id"), col("user_id"), col("session_start"))
+      .orderBy(col("event_id"))
+  }
+
   /** Extension: cumulative running total per product — frame-spec
     * window over exact cents, so the running sum is deterministic at
     * any partitioning. */
@@ -305,6 +347,7 @@ object JoinWindowQueries {
     "set_union_concat"      -> setUnionConcat,
     "join_pair_selfjoin"    -> joinPairSelfjoin,
     "join_asof"             -> joinAsof,
+    "join_range_bucketed"   -> joinRangeBucketed,
     "srt_multikey"          -> srtMultikey,
     "srt_distinct"          -> srtDistinct,
     "topk_head_per_group"   -> topkHeadPerGroup,
@@ -359,6 +402,28 @@ object JoinWindowQueries {
         | AND (a.p_name < b.p_name
         |      OR (a.p_name = b.p_name AND a.uid < b.uid))
         |GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2""".stripMargin,
+    // the NAIVE range join — the bucketed decomposition must hash-match it
+    "join_range_bucketed" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end
+        |  FROM s GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |  make_timestamp(epoch_us(sess.session_start)) AS session_start
+        |FROM events e JOIN sess
+        |  ON e.user_id = sess.user_id
+        | AND e.ts BETWEEN sess.session_start AND sess.session_end
+        |ORDER BY e.event_id""".stripMargin,
     "join_asof" ->
       """WITH best AS (
         |  SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS edate,

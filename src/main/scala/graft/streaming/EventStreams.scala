@@ -177,6 +177,24 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming form of [[evtSessionWindow]]: append mode, native
+    * session state. The engine MERGES adjacent session windows per
+    * user as events arrive (two open sessions that an in-between event
+    * bridges collapse into one); the watermark finalizes a session
+    * once no event can extend it. StreamMlSpec plants a
+    * bridge-then-gap sequence and asserts the merged session emits
+    * exactly once. */
+  def sessionStreamAppend(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(Tables.cents(col("value"))) / lit(100.0)).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
   /** Streaming exact dedup by event id — the ingestion-side guard of
     * the dedup family (at-least-once sources re-deliver; the training
     * pipeline must not double-count). State is one id per event inside

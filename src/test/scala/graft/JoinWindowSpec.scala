@@ -77,6 +77,16 @@ class JoinWindowSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected window carry-forward:\n$plan")
   }
 
+  test("bucketed range join: pure equi-join plan (no nested loop), " +
+    "every event matched to exactly one containing session") {
+    val df = operators.JoinWindowQueries.joinRangeBucketed(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"range join fell back to a nested loop:\n$plan")
+    assert(df.count() == Tables.events(spark, sf).count())
+    assert(df.select("event_id").distinct().count() == df.count())
+  }
+
   test("co-bucketed fact join is shuffle-free (no exchange under the join)") {
     // broadcast would hide the bucket layout at test SF — force SMJ,
     // which is what a 100 TB fact-fact join uses

@@ -31,6 +31,37 @@ class StreamMlSpec extends AnyFunSuite {
     assert(native == windowed)
   }
 
+  test("streaming session_window merges bridged sessions and emits the " +
+    "merged session exactly once after the watermark finalizes it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = streaming.EventStreams
+      .sessionStreamAppend(src.toDF.toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("sess_sink")
+      .outputMode("append").start()
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    try {
+      // two events 50 min apart: two OPEN sessions
+      src.addData((1L, ts(10, 0), 1.0), (1L, ts(10, 50), 2.0))
+      q.processAllAvailable()
+      // a bridging event 25 min from each: the engine must MERGE the
+      // two open sessions into one
+      src.addData((1L, ts(10, 25), 4.0))
+      q.processAllAvailable()
+      // advance the watermark past the merged session's end → emit
+      src.addData((2L, ts(20, 0), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_sink")
+        .select("user_id", "session_start", "n_events", "session_value")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(out == Set((1L, ts(10, 0), 3L, 7.0)), s"got $out")
+    } finally q.stop()
+  }
+
   test("streaming sliding windows ≡ batch sliding aggregation: every " +
     "event lands in both covering windows, finalized by the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
