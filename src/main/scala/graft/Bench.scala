@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,17 +15,25 @@ object Bench {
     // JIT/codegen warmup so the first measured query doesn't absorb
     // JVM startup; queries run in sorted name order so per-query
     // numbers are comparable across rounds (Map order shifts when
-    // keys are added). The sf0.001 pass exercises the heavy codegen
+    // keys are added). The smallest-sf pass exercises the heavy codegen
     // families (tokenizer/shingle, vector expressions, windows) —
     // measured ~4 s of one-time compilation otherwise lands on
     // whichever family's first query runs it (CcPhaseProbe: jaccard
-    // 6.6 s cold vs 2.6 s warm).
+    // 6.6 s cold vs 2.6 s warm). The warm dir derives from the bench
+    // dir (sibling sf0.001) so a relocated testdata root still warms;
+    // a failed warmup is WARNED, not swallowed — silence would cost
+    // the cross-round comparability this exists for.
     spark.range(100000).selectExpr("sum(id)").collect()
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir = {
+      val d = sfDir.replaceAll("sf[0-9.]+/*$", "sf0.001")
+      if (new java.io.File(d).isDirectory) d else sfDir
+    }
     for (q <- Seq("dedup_ngram_jaccard", "sim_knn_brute", "agg_daily_product",
         "evt_sessionize", "txt_chunk_overlap"))
       try SparkEntry.queries(q)(spark, warmDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARMUP $q failed on $warmDir: ${e.getMessage}")
+      }
     // Each entry is either a seconds Double or the string "err" — a
     // failing query must be visible in the output, not silently timed.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -36,20 +45,31 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) elapsed.toString else "\"err\"")
     }
-    // Seconds at 3 decimals: a short line survives the driver's tail
-    // capture (the r02 query map was truncated mid-line).
     def fmt(v: String): String =
       if (v == "\"err\"") v else f"${v.toDouble}%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def jmap(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val nErr = results.count(_._2 == "\"err\"")
     val ok = results.filter(_._2 != "\"err\"")
     val total = ok.map(_._2.toDouble).sum
     // per-family subtotals (family = name prefix before first '_')
-    val fams = ok.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
-      .map { case (f, rs) => "\"" + f + "\":" + f"${rs.map(_._2.toDouble).sum}%.3f" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$nErr,"families":$fams,"queries":$qs,"sf":"$sfDir"}""")
+    val fams = jmap(ok.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+      .map { case (f, rs) => f -> f"${rs.map(_._2.toDouble).sum}%.3f" })
+    val allQs = jmap(results.map { case (k, v) => k -> fmt(v) })
+    def line(qs: String, extra: String) =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$nErr,"families":$fams,"queries":$qs$extra,"sf":"$sfDir"}"""
+    // The full ~100-entry query map is ~2.6 KB — longer than the
+    // harness's stdout tail capture, which truncated (and failed to
+    // parse) the r02 AND r03 artifacts mid-map. The full map goes to a
+    // repo file; STDOUT carries one short parseable line whose
+    // "queries" holds the slowest 12 (errors always included).
+    val fullLine = line(allQs, "")
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    val slow = ok.sortBy(-_._2.toDouble).take(12) ++
+      results.filter(_._2 == "\"err\"")
+    val slowQs = jmap(slow.sortBy(_._1).map { case (k, v) => k -> fmt(v) })
+    println(line(slowQs, s""","n_queries":${results.size},"queries_full":"BENCH_FULL.json""""))
     spark.stop()
   }
 }

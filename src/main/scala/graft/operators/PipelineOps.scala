@@ -28,20 +28,28 @@ object PipelineOps {
 
   private val P = 1000000007L
 
-  /** Replayable uniform hash of an id into [0, 10000): s = (x·2654435761
-    * + 104729) mod P, then s³ mod P mod 10⁴ (P = 1e9+7; cubing mod a
-    * prime scrambles the low bits the multiply leaves structured). Max
-    * intermediate ~1e18 — no int64 overflow, ANSI-safe. */
+  /** Replayable uniform hash of an id into [0, 10000): s = ((x mod P)
+    * ·2654435761 + 104729) mod P, then s³ mod P mod 10⁴ (P = 1e9+7;
+    * cubing mod a prime scrambles the low bits the multiply leaves
+    * structured). The id is reduced mod P FIRST: the max intermediate is
+    * (P−1)·2654435761 ≈ 2.7e18 < 2⁶³−1, so the arithmetic is genuinely
+    * overflow-free (ANSI-safe) for any long id, not just ids < ~3.5e9.
+    * For 0 ≤ x < P the reduction is the identity, so hash values — and
+    * every sampling/mixture/packing oracle built on them — are unchanged. */
   private def hash10k(x: Column): Column = {
     val p = lit(P)
-    val s = pmod(x.cast("long") * lit(2654435761L) + lit(104729L), p)
+    val s = pmod(pmod(x.cast("long"), p) * lit(2654435761L) + lit(104729L), p)
     pmod(pmod(pmod(s * s, p) * s, p), lit(10000L))
   }
 
   /** Same hash as a DuckDB SQL fragment (kept adjacent so the two
-    * implementations evolve together). */
+    * implementations evolve together). DuckDB's % takes the dividend's
+    * sign, so the first reduction adds P back to stay non-negative and
+    * match Spark's pmod for negative ids too; after that every operand
+    * is non-negative and the engines agree bit-for-bit. */
   private def hash10kSql(x: String): String = {
-    val s = s"((CAST($x AS BIGINT) * 2654435761 + 104729) % $P)"
+    val r = s"(((CAST($x AS BIGINT) % $P) + $P) % $P)"
+    val s = s"(($r * 2654435761 + 104729) % $P)"
     s"(((($s * $s) % $P) * $s) % $P) % 10000"
   }
 
@@ -118,14 +126,24 @@ object PipelineOps {
     * 64-token chunks on a 48-token stride (16-token overlap) — the
     * long-document chunking step feeding fixed-context training.
     * Chunk starts are 0, 48, 96, … while < n_tokens, so every token
-    * lands in ≥1 chunk and the tail chunk may be short. Emits one row
-    * per chunk with its length and first token. Pure per-row explode —
-    * no shuffle; tokens materialize in their own projection (the
-    * generator-inlining trap, see [[DedupQueries.shingledOn]]). */
+    * lands in ≥1 chunk and the tail chunk may be short. A zero-token
+    * document emits NO chunks (the `n > 0` guard — without it Spark's
+    * truncating `(n-1) div stride` yields one chunk whose `element_at`
+    * on the empty array throws under ANSI, while the oracle's floor
+    * division emits zero rows). Emits one row per chunk with its length
+    * and first token. Pure per-row explode — no shuffle; tokens
+    * materialize in their own projection (the generator-inlining trap,
+    * see [[DedupQueries.shingledOn]]). */
   val txtChunkOverlap: Q = (spark, dir) =>
-    Tables.documents(spark, dir)
+    chunkedOn(Tables.documents(spark, dir))
+
+  /** [[txtChunkOverlap]] over an explicit `doc_id, text` frame (the
+    * spec injects an empty-text document the fixture lacks). */
+  private[graft] def chunkedOn(docs: org.apache.spark.sql.DataFrame) =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      .where(col("n") > 0)
       .select(col("doc_id"), col("w"), col("n"),
         posexplode(transform(
           sequence(lit(0L), expr(s"(n - 1) div $ChunkStride")),
@@ -210,7 +228,7 @@ object PipelineOps {
          |c AS (
          |  SELECT doc_id, w, len(w) AS n,
          |    unnest(range(0, (len(w) - 1) // $ChunkStride + 1)) AS chunk_idx
-         |  FROM tok)
+         |  FROM tok WHERE len(w) > 0)
          |SELECT doc_id, chunk_idx,
          |  least($ChunkLen, n - chunk_idx * $ChunkStride) AS n_chunk_tokens,
          |  w[chunk_idx * $ChunkStride + 1] AS head_token

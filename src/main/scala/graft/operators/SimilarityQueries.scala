@@ -122,9 +122,19 @@ object SimilarityQueries {
   }
 
   /** Vector width from a one-row probe (NOT a full-column scan — at
-    * 100 TB the dim is metadata, probed once). */
-  private def vecDim(emb: DataFrame): Int =
-    emb.select(size(col("vec")).as("d")).limit(1).head.getInt(0)
+    * 100 TB the dim is metadata, probed once). PRECONDITION: the
+    * embedding column is uniform-width (dot products against the
+    * literal hyperplanes truncate at the probed width otherwise) —
+    * asserted over the full fixture in PipelineSpec, probed here.
+    * Fails loud on an empty frame instead of NoSuchElementException. */
+  private def vecDim(emb: DataFrame): Int = {
+    val d = emb.select(size(col("vec")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(
+        throw new IllegalStateException(
+          "embeddings frame is empty: cannot probe vector dimension"))
+    require(d > 0, s"embedding vectors must be non-empty, probed dim $d")
+    d
+  }
 
   /** LSH-bucketed ANN: candidates = corpus vectors sharing any of the
     * [[NumTables]] table signatures with the query, then exact cosine +

@@ -49,12 +49,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(shards.map(_.getAs[Long]("n_tokens")).sum == totalTokens,
       "every token lands in exactly one shard")
     assert(shards.forall(_.getAs[Long]("n_docs") >= 1))
-    // within a bucket, shard ids are the floor of a nondecreasing
-    // prefix sum / budget — so they are dense from 0
-    shards.groupBy(_.getAs[Long]("bucket")).foreach { case (_, rs) =>
-      val ids = rs.map(_.getAs[Long]("shard")).sorted
-      assert(ids.head == 0 && ids.zipWithIndex.forall { case (s, i) => s == i })
+    // The documented contract, derived independently from the corpus:
+    // a document belongs to shard floor((cum − n)/budget) of its hash
+    // bucket, where cum is the doc_id-ordered running token total.
+    // (Shard ids need NOT be dense: a doc longer than the budget makes
+    // its successor skip ids — asserting density would encode a
+    // fixture accident.)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(functions.TextFunctions.tokens(col("text"))).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong)
+    def h10k(x: Long): Long = {
+      val P = 1000000007L
+      val s = (x % P * 2654435761L + 104729L) % P
+      s * s % P * s % P % 10000L
     }
+    val perDoc: Seq[((Long, Long), Long)] = docs.toSeq
+      .map { case (id, n) => (h10k(id) % 16, id, n) }
+      .groupBy(_._1).toSeq
+      .flatMap { case (bucket, rs) =>
+        var cum = 0L
+        rs.sortBy(_._2).map { case (_, _, n) =>
+          cum += n
+          ((bucket, (cum - n) / 2048L), n)
+        }
+      }
+    val expected: Map[(Long, Long), (Long, Long)] = perDoc
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> ((vs.size.toLong, vs.map(_._2).sum)) }
+    val actual = shards.map(r =>
+      (r.getAs[Long]("bucket"), r.getAs[Long]("shard")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(actual == expected,
+      "shard assignment must equal the prefix-sum derivation")
+  }
+
+  test("chunking a zero-token document emits no chunks (ANSI-safe) and " +
+    "per-token coverage holds on a hand-built frame") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""),                       // zero tokens — must vanish
+      (2L, "?!. ,,,"),                // punctuation only — zero tokens
+      (3L, (1 to 100).map(i => s"t$i").mkString(" ")) // 100 tokens → 3 chunks
+    ).toDF("doc_id", "text")
+    val out = operators.PipelineOps.chunkedOn(docs).collect()
+    assert(!out.exists(r => r.getLong(0) == 1L || r.getLong(0) == 2L),
+      "token-free documents must emit zero chunks, not throw under ANSI")
+    val c3 = out.filter(_.getLong(0) == 3L)
+    assert(c3.map(_.getAs[Int]("chunk_idx")).toSeq == Seq(0, 1, 2))
+    assert(c3.map(_.getAs[Number]("n_chunk_tokens").longValue).toSeq ==
+      Seq(64L, 52L, 4L), "starts 0/48/96 over 100 tokens, capped at 64")
+    assert(c3.map(_.getAs[String]("head_token")).toSeq ==
+      Seq("t1", "t49", "t97"))
+  }
+
+  test("embedding vectors are uniform-width (vecDim one-row probe " +
+    "precondition)") {
+    val widths = Tables.embeddings(spark, sf)
+      .select(size(col("embedding")).as("d")).distinct().collect()
+    assert(widths.length == 1 && widths.head.getInt(0) > 0,
+      s"expected one positive vector width, got ${widths.toSeq}")
   }
 
   test("sliding windows double-count exactly: Σ sliding n_events = 2 × events") {
