@@ -26,6 +26,7 @@ object SparkEntry {
       operators.TextQueries.queries ++
       operators.DedupQueries.queries ++
       operators.PipelineOps.queries ++
+      operators.ReshapeQueries.queries ++
       operators.SimilarityQueries.queries ++
       operators.MultimodalQueries.queries ++
       streaming.EventStreams.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       operators.TextQueries.oracles ++
       operators.DedupQueries.oracles ++
       operators.PipelineOps.oracles ++
+      operators.ReshapeQueries.oracles ++
       operators.SimilarityQueries.oracles ++
       operators.MultimodalQueries.oracles ++
       streaming.EventStreams.oracles ++

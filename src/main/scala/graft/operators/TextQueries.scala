@@ -136,6 +136,26 @@ object TextQueries {
       .orderBy(col("n").desc, col("bigram"))
       .limit(100)
 
+  /** PII-shaped redaction: mask account-identifier digit runs (≥3) and
+    * email-shaped spans, reporting the redaction count and the scrubbed
+    * value — the scrub-before-sharing step of a data pipeline. Runs
+    * over `customer` because it is the fixture's only PII-shaped
+    * content (`Customer#000000123`; the synthetic documents are
+    * digit-free). A pure codegen scan — no shuffle but the final
+    * order; the ASCII regexes behave identically in Java and RE2. */
+  val txtPiiRedact: Q = (spark, dir) => {
+    val masked = regexp_replace(
+      regexp_replace(col("c_name"), "[a-z0-9.]+@[a-z0-9.]+", "<email>"),
+      "[0-9]{3,}", "<id>")
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        size(regexp_extract_all(col("c_name"), lit("[0-9]{3,}"), lit(0)))
+          .as("n_digit_runs"),
+        masked.as("redacted_name"),
+        col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   def queries: Map[String, Q] = Map(
     "txt_tokens"      -> txtTokens,
     "txt_quality"     -> txtQuality,
@@ -143,6 +163,7 @@ object TextQueries {
     "txt_fingerprint" -> txtFingerprint,
     "txt_tfidf"       -> txtTfidf,
     "txt_bigram_freq" -> txtBigramFreq,
+    "txt_pii_redact"  -> txtPiiRedact,
   )
 
   private def sqlStop(words: Seq[String]): String =
@@ -213,6 +234,14 @@ object TextQueries {
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
         |  substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 2) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_pii_redact" ->
+      """SELECT c_custkey,
+        |  len(regexp_extract_all(c_name, '[0-9]{3,}')) AS n_digit_runs,
+        |  regexp_replace(regexp_replace(c_name,
+        |    '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g'),
+        |    '[0-9]{3,}', '<id>', 'g') AS redacted_name,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "txt_bigram_freq" ->
       s"""WITH tok AS (SELECT $T AS w FROM documents),
          |bg AS (
