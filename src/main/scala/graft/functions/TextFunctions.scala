@@ -34,6 +34,26 @@ object TextFunctions {
         i => xxhash64((0 until k).map(j => element_at(toks, i + j + 1)): _*))))
       .otherwise(array().cast("array<bigint>"))
 
+  /** Distinct word k-shingles as REPLAYABLE 60-bit hashes: the int64
+    * value of the first 15 hex chars of md5 over the space-joined k
+    * tokens. Unlike [[shingleHashes]] (xxhash64 — a Spark-internal
+    * function no other engine reproduces), this is bit-identical in
+    * DuckDB (`CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`), which
+    * makes every MinHash/SimHash signature built on it fully
+    * oracle-replayable — signatures are VALUES there, not just
+    * identities. Costs ~2× xxhash64 per shingle; used only where
+    * signature values must cross engines. 60 bits keeps the parse
+    * inside a signed int64 in both engines; collision odds at 1e12
+    * corpus shingles are ~1e-12 per pair — the same regime the 64-bit
+    * form already accepts. */
+  def shingleHashesMd5(toks: Column, k: Int = 3): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => conv(substring(md5(concat_ws(" ",
+            (0 until k).map(j => element_at(toks, i + j + 1)): _*)), 1, 15),
+          16, 10).cast("long"))))
+      .otherwise(array().cast("array<bigint>"))
+
   /** All word k-grams in order (multiset — counts preserved, unlike
     * [[shingles]]), for corpus n-gram statistics. */
   def ngrams(toks: Column, k: Int = 2): Column =

@@ -122,25 +122,40 @@ object DedupQueries {
   val Rows      = NumHashes / Bands
   private val Prime = 2147483647L // 2^31 − 1
 
-  /** 64 minhash values per doc: h_i(s) = (a_i·murmur3(s) + b_i) mod p,
-    * folded over the shingle set (order-independent: min). */
+  /** Replayable shingle-hash sets (md5-based, [[shingleHashesMd5]]) —
+    * the frame the MinHash/SimHash family builds on, so their
+    * signatures are bit-identical in the DuckDB oracle. */
+  private[graft] def shingledMd5On(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), shingleHashesMd5(col("w")).as("sh"))
+
+  private def shingledMd5(spark: SparkSession, dir: String): DataFrame =
+    shingledMd5On(Tables.documents(spark, dir))
+
+  /** 64 minhash values per doc: h_i(s) = (a_i·(s mod p) + b_i) mod p
+    * over the replayable shingle hashes, folded over the shingle set
+    * (order-independent: min). a_i ≤ 127 × (p−1) ≈ 2.7e11 — no
+    * overflow, ANSI-safe, and the DuckDB oracle replays it term for
+    * term. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val sigCols = (0 until NumHashes).map { i =>
       val a = 2L * i + 1   // odd multipliers
       val b = 7919L * i + 1
-      min(pmod(hash(col("shingle")).cast("long") * a + b, lit(Prime)))
+      min(pmod(pmod(col("shingle"), lit(Prime)) * a + b, lit(Prime)))
         .as(s"sig_$i")
     }
-    shingled(spark, dir)
+    shingledMd5(spark, dir)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** LSH candidate generation + exact-Jaccard verification. Output
-    * matches `dedup_ngram_jaccard` without any length blocking whenever
-    * LSH recall holds (asserted in DedupSpec, not oracled — the hash
-    * functions are engine-specific). */
+  /** LSH candidate generation + exact-Jaccard verification. Fully
+    * oracled: signatures, band keys, candidate join, and the Jaccard
+    * verify all replay in DuckDB over the same md5 shingle hashes (the
+    * superset-recall property vs brute force is additionally
+    * spec-asserted). */
   val dedupMinhashLsh: Q = (spark, dir) => {
     val sigs = minhashSignatures(spark, dir)
     val bandStructs = array((0 until Bands).map { bnd =>
@@ -155,7 +170,7 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingled(spark, dir).select(col("doc_id"), col("sh"))
+    val sh = shingledMd5(spark, dir).select(col("doc_id"), col("sh"))
     candidates
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -167,18 +182,19 @@ object DedupQueries {
 
   // ---- SimHash ------------------------------------------------------
 
-  private val SimBits = 64
+  private val SimBits = 60
 
-  /** 64-bit SimHash: per-bit majority vote over murmur3-hashed shingles. */
+  /** 60-bit SimHash: per-bit majority vote over the replayable md5
+    * shingle hashes (their 60 bits are already well-mixed — no spread
+    * multiply needed, and the whole vote table replays in the DuckDB
+    * oracle). */
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
-    val h = hash(col("shingle")).cast("long") * 2654435761L + 104729L // spread to 64 bit
     // branch-free bit votes: sum of extracted bits vs half the count
     val bitVotes = (0 until SimBits).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"v_$j")
     }
-    val votes = shingled(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .withColumn("h", h)
+    val votes = shingledMd5(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"), bitVotes: _*)
     val simhash = (0 until SimBits).map { j =>
@@ -188,13 +204,13 @@ object DedupQueries {
   }
 
   /** SimHash near-dup pairs at hamming distance ≤ 3, blocked by the
-    * pigeonhole principle on 4×16-bit chunks (distance ≤3 ⇒ at least one
+    * pigeonhole principle on 4×15-bit chunks (distance ≤3 ⇒ at least one
     * of 4 chunks is identical) — candidate join is equi, not quadratic. */
   val dedupSimhash: Q = (spark, dir) => {
     val sim = simhashes(spark, dir)
     val chunks = sim.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL))): _*))
         .as(Seq("chunk_idx", "chunk_val")))
     val pairs = chunks.as("a").join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
@@ -355,7 +371,75 @@ object DedupQueries {
     """list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |               FOR i IN range(1, len(w) - 1)])""".stripMargin
 
+  /** Replayable md5 shingle hashes — DuckDB side of
+    * [[graft.functions.TextFunctions.shingleHashesMd5]]. */
+  private val SHMD5 =
+    """list_distinct([CAST('0x' ||
+      |    substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15)
+      |    AS BIGINT) FOR i IN range(1, len(w) - 1)])""".stripMargin
+
+  /** Shared oracle prefix: per-doc replayable shingle-hash sets and the
+    * exploded (doc_id, h) form. */
+  private val Md5ShinglePrefixSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN $SHMD5 ELSE [] END AS s
+       |  FROM tok),
+       |e AS (SELECT doc_id, unnest(s) AS h FROM sh)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      s"""$Md5ShinglePrefixSql,
+         |hf AS (SELECT unnest(range(0, $NumHashes)) AS i),
+         |sig AS (
+         |  SELECT doc_id, i,
+         |    MIN(((h % 2147483647) * (2*i + 1) + (7919*i + 1)) % 2147483647)
+         |      AS sig
+         |  FROM e CROSS JOIN hf GROUP BY 1, 2),
+         |band AS (
+         |  SELECT doc_id, i // $Rows AS band,
+         |    string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i) AS key
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+         |    (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+         |    AS jaccard
+         |FROM cand
+         |JOIN sh sa ON doc_a = sa.doc_id
+         |JOIN sh sb ON doc_b = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+         |    (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""$Md5ShinglePrefixSql,
+         |bits AS (SELECT unnest(range(0, $SimBits)) AS j),
+         |v AS (
+         |  SELECT doc_id, j, SUM((h >> CAST(j AS INT)) & 1) AS vote
+         |  FROM e CROSS JOIN bits GROUP BY 1, 2),
+         |n AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY 1),
+         |simh AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN vote * 2 > n_sh
+         |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
+         |      AS BIGINT) AS simhash
+         |  FROM v JOIN n USING (doc_id) GROUP BY 1),
+         |ch AS (
+         |  SELECT doc_id, simhash, c,
+         |    (simhash >> CAST(c * 15 AS INT)) & 32767 AS val
+         |  FROM simh CROSS JOIN (SELECT unnest(range(0, 4)) AS c) t),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM ch a JOIN ch b
+         |    ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM p
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies
