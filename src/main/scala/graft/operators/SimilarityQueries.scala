@@ -138,9 +138,10 @@ object SimilarityQueries {
 
   /** LSH-bucketed ANN: candidates = corpus vectors sharing any of the
     * [[NumTables]] table signatures with the query, then exact cosine +
-    * top-k on the candidate set only. Recall vs brute force asserted in
-    * PipelineSpec (rows-only for the driver: bucketing is
-    * hash-specific). */
+    * top-k on the candidate set only. FULLY oracled: the integer
+    * hyperplane rule, candidate join, and sequential-left-fold cosine
+    * all replay bit-for-bit in DuckDB; recall vs brute force is
+    * additionally asserted in PipelineSpec. */
   val simKnnLsh: Q = (spark, dir) => simKnnLshWith(spark, dir, SigBits, NumTables)
 
   /** Parameterized form of [[simKnnLsh]] (used by the recall-tuning
@@ -186,8 +187,10 @@ object SimilarityQueries {
     * whole-stage codegen. The candidate join is an equi-join on cluster
     * id. At 100 TB this is the standard trillion-vector layout:
     * partition the corpus BY assigned cluster so a probe reads only its
-    * clusters' partitions. Rows-only (assignment is codebook-specific);
-    * PipelineSpec bounds recall vs brute force and asserts the
+    * clusters' partitions. FULLY oracled: the integer-scaled centroid
+    * means, deterministic (csim desc, cluster asc) argmax, probe
+    * selection, and exact-cosine top-k replay in DuckDB; PipelineSpec
+    * additionally bounds recall vs brute force and asserts the
     * assignment plan carries no Window/Sort. */
   val simKnnIvf: Q = (spark, dir) => simKnnIvfWith(spark, dir, NProbe)
 
@@ -421,6 +424,105 @@ object SimilarityQueries {
 
   def oracles: Map[String, String] = baseOracles +
     ("sim_knn_native" -> baseOracles("sim_knn_brute")) +
+    // Replays the full LSH retrieval: the 4-bit × 16-table hyperplane
+    // signatures (same replayable integer weight rule as
+    // dedup_embedding_cosine), the (table, sig) candidate join, and the
+    // exact-cosine top-k — sequential-left-fold dots keep every float
+    // bit-identical across engines.
+    ("sim_knn_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS norm
+         |  FROM embeddings),
+         |tb AS (SELECT gt.t AS t, ub.b AS b
+         |       FROM generate_series(0, ${NumTables - 1}) gt(t),
+         |            unnest(range(0, $SigBits)) ub(b)),
+         |proj AS (
+         |  SELECT e.vec_id, tb.t, tb.b,
+         |    list_dot_product(e.vec,
+         |      list_transform(range(0, len(e.vec)),
+         |        d -> ((((((tb.t * 1009 + tb.b) * 7919 + d) * ((tb.t * 1009 + tb.b) * 7919 + d)) % 1000000007)
+         |               * ((tb.t * 1009 + tb.b) * 7919 + d)) % 1000000007) % 10000 / 10000.0 - 0.5)) AS pr
+         |  FROM e, tb),
+         |sigs AS (
+         |  SELECT vec_id, t AS table_id,
+         |    SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+         |  FROM proj GROUP BY 1, 2),
+         |q AS (SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm
+         |      FROM e WHERE vec_id < $NQueries),
+         |qs AS (SELECT vec_id AS query_id, table_id, sig FROM sigs
+         |       WHERE vec_id < $NQueries),
+         |cand AS (
+         |  SELECT DISTINCT s.vec_id, qs.query_id
+         |  FROM sigs s JOIN qs ON s.table_id = qs.table_id AND s.sig = qs.sig
+         |  WHERE s.vec_id <> qs.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.vec_id, e.label,
+         |    floor((list_dot_product(e.vec, q.qvec) / (e.norm * q.qnorm))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+         |  FROM cand c JOIN e ON c.vec_id = e.vec_id
+         |              JOIN q ON c.query_id = q.query_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, label, cos_sim, rank FROM ranked
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin) +
+    // Replays IVF end-to-end: integer-scaled exact centroid means, the
+    // deterministic (csim desc, cluster asc) argmax assignment, nProbe
+    // probe selection, and the exact-cosine top-k on probed clusters.
+    ("sim_knn_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS norm
+         |  FROM embeddings),
+         |x AS (
+         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         |    generate_subscripts(embedding, 1) - 1 AS dim
+         |  FROM embeddings),
+         |cm AS (
+         |  SELECT label AS cluster, dim,
+         |    SUM(floor(x * 1000000.0 + 0.5)) / 1000000.0 / count(*) AS cx
+         |  FROM x GROUP BY 1, 2),
+         |cb AS (
+         |  SELECT cluster, list(cx ORDER BY dim) AS cvec FROM cm GROUP BY 1),
+         |cbn AS (
+         |  SELECT cluster, cvec,
+         |    sqrt(list_dot_product(cvec, cvec)) AS cn
+         |  FROM cb),
+         |cs AS (
+         |  SELECT e.vec_id, cbn.cluster,
+         |    list_dot_product(e.vec, cbn.cvec) / (e.norm * cbn.cn) AS csim
+         |  FROM e CROSS JOIN cbn),
+         |assigned AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cluster) AS rn FROM cs) t
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cluster FROM (
+         |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cluster) AS rn
+         |    FROM cs WHERE vec_id < $NQueries) t
+         |  WHERE rn <= $NProbe),
+         |q AS (SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm
+         |      FROM e WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id, e.label,
+         |    floor((list_dot_product(e.vec, q.qvec) / (e.norm * q.qnorm))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+         |  FROM assigned a JOIN probes p ON a.cluster = p.cluster
+         |       JOIN e ON a.vec_id = e.vec_id
+         |       JOIN q ON p.query_id = q.query_id
+         |  WHERE a.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, label, cos_sim, rank FROM ranked
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin) +
     ("sim_knn_rerank" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
