@@ -341,7 +341,28 @@ object JoinWindowQueries {
       .orderBy(col("product"), col("sale_date"))
   }
 
+  /** Extension (§2.H note): the full SQL rank family — rank (gaps on
+    * ties), dense_rank (no gaps), percent_rank ((rank−1)/(n−1)) of
+    * order value within each priority class. Ordering is by exact
+    * integer cents so tie GROUPS are identical across engines; tied
+    * rows share all three rank values, and the final sort includes the
+    * key so row order is deterministic too. */
+  val winRankKinds: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("tc"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        Tables.cents(col("o_totalprice")).as("tc"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("dense_rnk", dense_rank().over(w))
+      .withColumn("pct_rnk", Tables.round6(percent_rank().over(w)))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("tc") / lit(100.0)).as("o_total"),
+        col("rnk"), col("dense_rnk"), col("pct_rnk"))
+      .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "win_rank_kinds"        -> winRankKinds,
     "join_left_enrich"      -> joinLeftEnrich,
     "join_multiway_region"  -> joinMultiwayRegion,
     "set_union_concat"      -> setUnionConcat,
@@ -365,6 +386,16 @@ object JoinWindowQueries {
   private val dailySql = CoreQueries.aggDailyProductSql
 
   def oracles: Map[String, String] = Map(
+    "win_rank_kinds" ->
+      s"""SELECT o_orderkey, o_orderpriority,
+         |  floor(o_totalprice * 100.0 + 0.5) / 100.0 AS o_total,
+         |  CAST(rank() OVER w AS INT) AS rnk,
+         |  CAST(dense_rank() OVER w AS INT) AS dense_rnk,
+         |  ${Tables.round6Sql("percent_rank() OVER w")} AS pct_rnk
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_orderpriority
+         |  ORDER BY floor(o_totalprice * 100.0 + 0.5))
+         |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
     "join_multiway_region" ->
       s"""SELECT r_name AS region, year(o_orderdate) AS year,
          |  $R AS total_revenue,

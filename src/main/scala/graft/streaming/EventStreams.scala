@@ -100,6 +100,43 @@ object EventStreams {
         col("n_events"), col("session_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Stream-static enrichment, batch form: events joined to the
+    * customer dimension (user_id ⋈ c_custkey — the fixture keys the
+    * event stream by customer), hourly value by market segment. The
+    * dim join is an explicit broadcast: in the STREAMING form
+    * ([[enrichStreamAppend]]) a static broadcast is the only join shape
+    * that adds zero streaming state — the stream side never buffers for
+    * the dimension. */
+  val evtUserEnrich: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    ev.join(broadcast(dim), ev("user_id") === dim("c_custkey"))
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(Tables.cents(col("value"))) / lit(100.0)).as("total_value"))
+      .orderBy(col("window_start"), col("c_mktsegment"))
+  }
+
+  /** Streaming form of [[evtUserEnrich]]: a stream-static join (the
+    * static side re-resolves per micro-batch — dimension updates are
+    * picked up without restarts) feeding a watermarked tumbling
+    * aggregation in append mode. State stays (open windows × segments);
+    * the join itself is stateless. StreamMlSpec asserts stream ≡ batch
+    * on planted input. */
+  def enrichStreamAppend(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(Tables.cents(col("value"))) / lit(100.0)).as("total_value"))
+      .select(col("window.start").as("window_start"), col("c_mktsegment"),
+        col("n_events"), col("total_value"))
+
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -288,9 +325,16 @@ object EventStreams {
     "evt_sessionize"      -> evtSessionize,
     "evt_session_window"  -> evtSessionWindow,
     "evt_json_props"      -> evtJsonProps,
+    "evt_user_enrich"     -> evtUserEnrich,
   )
 
   def oracles: Map[String, String] = Map(
+    "evt_user_enrich" ->
+      """SELECT date_trunc('hour', ts) AS window_start, c_mktsegment,
+        |  count(*) AS n_events,
+        |  SUM(floor(value * 100.0 + 0.5)) / 100.0 AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "evt_sliding_window" ->
       """WITH x AS (
         |  SELECT make_timestamp(

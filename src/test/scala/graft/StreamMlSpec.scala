@@ -93,6 +93,36 @@ class StreamMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment ≡ batch join+window: dimension joins " +
+    "add no streaming state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "AUTO"), (2L, "HOUSE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val src = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val q = streaming.EventStreams
+      .enrichStreamAppend(src.toDF.toDF("ts", "user_id", "value"), dim)
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode("append").start()
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    try {
+      src.addData((ts(10, 10), 1L, 1.0), (ts(10, 40), 2L, 2.0),
+        (ts(10, 50), 1L, 0.5), (ts(11, 5), 3L, 9.0)) // user 3: no dim row
+      q.processAllAvailable()
+      src.addData((ts(20, 0), 1L, 0.25)) // watermark → 18:00 flushes 10/11h
+      q.processAllAvailable()
+      val out = spark.table("enrich_sink")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      val expected = Set(
+        (ts(10, 0), "AUTO", 2L, 1.5),
+        (ts(10, 0), "HOUSE", 1L, 2.0))
+      assert(out == expected, s"got $out")
+    } finally q.stop()
+  }
+
   test("append mode: watermark drops late data, on-time data aggregates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
