@@ -94,9 +94,57 @@ object MultimodalQueries {
       .select("doc_id", "frame_idx", "frame_key")
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** `mm_resize_plan`: aspect-preserving resize planning to a 224×224
+    * letterbox — scale factor, scaled dims, and pad offsets per image.
+    * This is the metadata half of a real resize stage (the pixel
+    * resample itself lives behind the stubbed codec); at 100 TB the
+    * plan is computed in the scan stage so the shuffle-free decode →
+    * resize pipeline stays one codegen span. Double arithmetic is the
+    * same op sequence in the oracle — bit-identical. */
+  val mmResizePlan: Q = (spark, dir) => {
+    val target = lit(224.0)
+    mmDecodeMeta(spark, dir)
+      .select(col("doc_id"), col("width"), col("height"))
+      .withColumn("scale", Tables.round6(
+        least(target / col("width"), target / col("height"))))
+      .withColumn("out_w",
+        floor(col("width") * least(target / col("width"),
+          target / col("height"))).cast("int"))
+      .withColumn("out_h",
+        floor(col("height") * least(target / col("width"),
+          target / col("height"))).cast("int"))
+      .withColumn("pad_x", ((lit(224) - col("out_w")) / 2).cast("int"))
+      .withColumn("pad_y", ((lit(224) - col("out_h")) / 2).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** `mm_patch_grid`: ViT-style feature-extraction bookkeeping — the
+    * 16×16 patch grid per image and the resulting sequence length
+    * (+1 class token), aggregated to per-format training-token totals.
+    * The corpus-level roll-up is the number a data pipeline actually
+    * schedules on (total visual tokens ≈ compute budget). */
+  val mmPatchGrid: Q = (spark, dir) =>
+    mmDecodeMeta(spark, dir)
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        when(col("doc_id") % 3 === 0, "jpeg")
+          .when(col("doc_id") % 3 === 1, "png").otherwise("webm")
+          .as("format"))
+      .withColumn("patches_x", ceil(col("width") / lit(16.0)).cast("int"))
+      .withColumn("patches_y", ceil(col("height") / lit(16.0)).cast("int"))
+      .withColumn("seq_len",
+        (col("patches_x") * col("patches_y") + lit(1)).cast("int"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("seq_len").cast("long") * col("n_frames")).cast("long")
+          .as("total_visual_tokens"),
+        max(col("seq_len")).as("max_seq_len"))
+      .orderBy(col("format"))
+
   def queries: Map[String, Q] = Map(
     "mm_decode_meta"   -> mmDecodeMeta,
     "mm_frame_explode" -> mmFrameExplode,
+    "mm_resize_plan"   -> mmResizePlan,
+    "mm_patch_grid"    -> mmPatchGrid,
   )
 
   def oracles: Map[String, String] = Map(
@@ -114,6 +162,44 @@ object MultimodalQueries {
         |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes
         |      FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+    "mm_resize_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(64 + n_bytes % 193 AS INT) AS width,
+        |    CAST(64 + (n_bytes * 7) % 129 AS INT) AS height
+        |  FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes
+        |        FROM documents) t),
+        |s AS (
+        |  SELECT doc_id, width, height,
+        |    least(224.0 / width, 224.0 / height) AS sc
+        |  FROM d)
+        |SELECT doc_id, width, height,
+        |  floor(sc * 1000000.0 + 0.5) / 1000000.0 AS scale,
+        |  CAST(floor(width * sc) AS INT) AS out_w,
+        |  CAST(floor(height * sc) AS INT) AS out_h,
+        |  CAST(floor((224 - CAST(floor(width * sc) AS INT)) / 2) AS INT) AS pad_x,
+        |  CAST(floor((224 - CAST(floor(height * sc) AS INT)) / 2) AS INT) AS pad_y
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "mm_patch_grid" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(64 + n_bytes % 193 AS INT) AS width,
+        |    CAST(64 + (n_bytes * 7) % 129 AS INT) AS height,
+        |    CAST(1 + doc_id % 24 AS INT) AS n_frames,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
+        |         WHEN doc_id % 3 = 1 THEN 'png' ELSE 'webm' END AS format
+        |  FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes
+        |        FROM documents) t),
+        |p AS (
+        |  SELECT format, n_frames,
+        |    CAST(ceil(width / 16.0) AS INT) * CAST(ceil(height / 16.0) AS INT)
+        |      + 1 AS seq_len
+        |  FROM d)
+        |SELECT format, count(*) AS n_media,
+        |  CAST(SUM(CAST(seq_len AS BIGINT) * n_frames) AS BIGINT)
+        |    AS total_visual_tokens,
+        |  max(seq_len) AS max_seq_len
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_frame_explode" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(1 + doc_id % 24 AS INT) AS n_frames,
