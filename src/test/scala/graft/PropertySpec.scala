@@ -100,4 +100,25 @@ object PropertySpec extends Properties("graft") {
       }.sum
       sseGbt <= sseMean + 1e-9
     }
+
+  private val tokenGen: Gen[List[String]] =
+    Gen.listOfN(8, Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
+      .suchThat(_.size >= 3)
+
+  property("shingleHashesMd5 matches an independent JVM md5 computation " +
+    "(the replayable-oracle contract) and stays in [0, 2^60)") =
+    forAll(tokenGen) { toks =>
+      val df = List((1L, toks)).toDF("id", "toks")
+      val got = df.select(
+          functions.TextFunctions.shingleHashesMd5($"toks").as("sh"))
+        .head.getSeq[Long](0)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expect = toks.sliding(3).map(_.mkString(" ")).toList.distinct.map {
+        s =>
+          val hex = md.digest(s.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15)
+          java.lang.Long.parseLong(hex, 16)
+      }
+      got == expect && got.forall(h => h >= 0L && h < (1L << 60))
+    }
 }
