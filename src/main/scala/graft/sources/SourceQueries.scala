@@ -116,10 +116,52 @@ object SourceQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** §2.A sink + partition layout: write the daily report
+    * date-partitioned (`PARTITIONED BY month`), read it back with a
+    * month filter, and aggregate. The month predicate must resolve as a
+    * PARTITION filter — the scan touches only the selected directories
+    * (asserted in SourceSinkSpec: `PartitionFilters` non-empty, no data
+    * filter on month). At 100 TB date-partitioning is the first-line
+    * pruning layout: a one-month query reads 1/12th of the corpus
+    * before any row-level work. */
+  val snkPartitionedPrune: Q = (spark, dir) => {
+    val out = s"target/tmp/part_daily_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    CoreQueries.dailyBase(spark, dir)
+      .withColumn("month", date_format(col("sale_date"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("month").parquet(out)
+    spark.read.parquet(out)
+      .where(col("month").isin("1996-03", "1997-07"))
+      .groupBy(col("month"), col("product"))
+      .agg(
+        sum(col("total_quantity")).as("total_quantity"),
+        (sum(Tables.cents(col("total_revenue"))) / lit(100.0))
+          .as("total_revenue"))
+      .orderBy(col("month"), col("product"))
+  }
+
+  /** §2.A `snk_orc_roundtrip`: the ORC sibling of the CSV round trip —
+    * columnar sink, typed read-back (no schema re-declaration needed:
+    * ORC carries types), re-aggregate. Doubles survive bit-exactly
+    * (binary format, unlike text). */
+  val snkOrcRoundtrip: Q = (spark, dir) => {
+    val out = s"target/tmp/orc_roundtrip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    CoreQueries.dailyBase(spark, dir)
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("product"))
+      .agg(
+        sum(col("total_quantity")).as("total_quantity"),
+        (sum(Tables.cents(col("total_revenue"))) / lit(100.0))
+          .as("total_revenue"))
+      .orderBy(col("product"))
+  }
+
   def queries: Map[String, Q] = Map(
-    "src_extjson_load"  -> srcExtjsonLoad,
-    "snk_csv_roundtrip" -> snkCsvRoundtrip,
-    "snk_bucketed_join" -> snkBucketedJoin,
+    "src_extjson_load"     -> srcExtjsonLoad,
+    "snk_csv_roundtrip"    -> snkCsvRoundtrip,
+    "snk_bucketed_join"    -> snkBucketedJoin,
+    "snk_partitioned_prune" -> snkPartitionedPrune,
+    "snk_orc_roundtrip"    -> snkOrcRoundtrip,
   )
 
   def oracles: Map[String, String] = Map(
@@ -133,6 +175,18 @@ object SourceQueries {
         |       ELSE floor(o_totalprice * 100.0 + 0.5) / 100.0 END AS price
         |FROM orders""".stripMargin,
     "snk_csv_roundtrip" ->
+      ("""SELECT product, SUM(total_quantity) AS total_quantity,
+        |  SUM(floor(total_revenue * 100.0 + 0.5)) / 100.0 AS total_revenue
+        |FROM (""".stripMargin + CoreQueries.aggDailyProductSql +
+        ") t GROUP BY 1 ORDER BY 1"),
+    "snk_partitioned_prune" ->
+      ("""SELECT strftime(sale_date, '%Y-%m') AS month, product,
+        |  SUM(total_quantity) AS total_quantity,
+        |  SUM(floor(total_revenue * 100.0 + 0.5)) / 100.0 AS total_revenue
+        |FROM (""".stripMargin + CoreQueries.aggDailyProductSql +
+        """) t WHERE strftime(sale_date, '%Y-%m') IN ('1996-03', '1997-07')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "snk_orc_roundtrip" ->
       ("""SELECT product, SUM(total_quantity) AS total_quantity,
         |  SUM(floor(total_revenue * 100.0 + 0.5)) / 100.0 AS total_revenue
         |FROM (""".stripMargin + CoreQueries.aggDailyProductSql +
