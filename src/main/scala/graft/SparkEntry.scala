@@ -31,7 +31,8 @@ object SparkEntry {
       operators.MultimodalQueries.queries ++
       streaming.EventStreams.queries ++
       ml.Forecast.queries ++
-      plans.PairCount.queries
+      plans.PairCount.queries ++
+      plans.SkewJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
       operators.MultimodalQueries.oracles ++
       streaming.EventStreams.oracles ++
       ml.Forecast.oracles ++
+      plans.SkewJoin.oracles ++
       Map("join_pair_onepass" -> operators.JoinWindowQueries.oracles("join_pair_selfjoin"))
 }

@@ -28,4 +28,34 @@ object SkewJoin {
       explode(array((0 until factor).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** `join_skew_salted`: the salted join as a driver query — brand
+    * revenue through an 8-way salted lineitem ⋈ part join. The oracle
+    * is the PLAIN join aggregate: salting must be invisible in the
+    * result (same rows, same hashes), only the shuffle key layout
+    * changes. The small side is deliberately NOT broadcast here — the
+    * salt path exists for dimension tables too big to broadcast but
+    * joined on a skewed fact key. */
+  val joinSkewSalted: graft.Q = (spark, dir) => {
+    val li = graft.Tables.lineitem(spark, dir)
+      .withColumnRenamed("l_partkey", "p_partkey")
+    val p = graft.Tables.part(spark, dir)
+    saltedJoin(li, p, "p_partkey", factor = 8,
+      largeIdentity = Seq(col("l_orderkey"), col("l_linenumber")))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(col("l_quantity")).as("total_quantity"),
+        graft.Tables.revenueSum.as("total_revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  def queries: Map[String, graft.Q] = Map(
+    "join_skew_salted" -> joinSkewSalted)
+
+  def oracles: Map[String, String] = Map(
+    "join_skew_salted" ->
+      s"""SELECT p_brand, SUM(l_quantity) AS total_quantity,
+         |  ${graft.Tables.revenueSumSql} AS total_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
