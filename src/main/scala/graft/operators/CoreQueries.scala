@@ -160,6 +160,28 @@ object CoreQueries {
         add_months(col("max_date"), -6).as("six_months_ago"),
         date_sub(col("max_date"), 14).as("cutoff_14d"))
 
+  /** §2.G ext. `dt_ship_delay`: order-to-ship latency distribution —
+    * `datediff` over the orders ⋈ lineitem join, floored to 7-day
+    * buckets. The fixture contains NEGATIVE delays, where Spark's
+    * `pmod` (floor) and DuckDB's `%` (toward zero) disagree — the
+    * oracle replays pmod as `((x % 7) + 7) % 7` so bucket −7 covers
+    * [−7,−1) in both engines. The join shuffles on orderkey (or rides
+    * the bucketed layout at scale); the histogram is a tiny second
+    * aggregate. */
+  val dtShipDelay: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+        .as("delay_days"))
+      .groupBy((col("delay_days") - pmod(col("delay_days"), lit(7)))
+        .as("delay_week_floor"))
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy(col("delay_week_floor"))
+  }
+
   def queries: Map[String, Q] = Map(
     "agg_daily_product" -> aggDailyProduct,
     "prj_project"       -> prjProject,
@@ -174,6 +196,7 @@ object CoreQueries {
     "dt_hour"           -> dtHour,
     "dt_week_trunc"     -> dtWeekTrunc,
     "dt_offset"         -> dtOffset,
+    "dt_ship_delay"     -> dtShipDelay,
   )
 
   def oracles: Map[String, String] = Map(
@@ -224,6 +247,13 @@ object CoreQueries {
       """SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
         |  SUM(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)) / 100.0 AS weekly_revenue
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dt_ship_delay" ->
+      """SELECT delay_days - (((delay_days % 7) + 7) % 7) AS delay_week_floor,
+        |  count(*) AS n_lines
+        |FROM (SELECT datediff('day', CAST(o_orderdate AS DATE),
+        |        CAST(l_shipdate AS DATE)) AS delay_days
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dt_offset" ->
       """SELECT max_date,
         |  CAST(max_date - INTERVAL 6 MONTH AS DATE) AS six_months_ago,

@@ -361,8 +361,29 @@ object JoinWindowQueries {
       .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
   }
 
+  /** Extension (§2.H): `first_value` / `last_value` over the FULL
+    * partition frame — each day's revenue against the product's first
+    * and latest day (the "indexed to launch" time-series view). The
+    * frame must be explicitly UNBOUNDED FOLLOWING: the default frame
+    * ends at CURRENT ROW, which silently turns last_value into the
+    * running value — a classic window-semantics trap both engines
+    * share. Unique (product, sale_date) keys make both edges
+    * deterministic. */
+  val winFirstLast: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("product")).orderBy(col("sale_date"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    CoreQueries.dailyBase(spark, dir)
+      .select(col("product"), col("sale_date"), col("total_revenue"),
+        first(col("total_revenue")).over(w).as("first_day_rev"),
+        last(col("total_revenue")).over(w).as("last_day_rev"))
+      .withColumn("vs_first",
+        Tables.round6(col("total_revenue") / col("first_day_rev")))
+      .orderBy(col("product"), col("sale_date"))
+  }
+
   def queries: Map[String, Q] = Map(
     "win_rank_kinds"        -> winRankKinds,
+    "win_first_last"        -> winFirstLast,
     "join_left_enrich"      -> joinLeftEnrich,
     "join_multiway_region"  -> joinMultiwayRegion,
     "set_union_concat"      -> setUnionConcat,
@@ -386,6 +407,19 @@ object JoinWindowQueries {
   private val dailySql = CoreQueries.aggDailyProductSql
 
   def oracles: Map[String, String] = Map(
+    "win_first_last" ->
+      (s"""WITH base AS (""" + CoreQueries.aggDailyProductSql + s"""),
+         |f AS (
+         |  SELECT product, sale_date, total_revenue,
+         |    first_value(total_revenue) OVER w AS first_day_rev,
+         |    last_value(total_revenue) OVER w AS last_day_rev
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY product ORDER BY sale_date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |SELECT product, sale_date, total_revenue, first_day_rev,
+         |  last_day_rev,
+         |  ${Tables.round6Sql("total_revenue / first_day_rev")} AS vs_first
+         |FROM f ORDER BY product, sale_date""".stripMargin),
     "win_rank_kinds" ->
       s"""SELECT o_orderkey, o_orderpriority,
          |  floor(o_totalprice * 100.0 + 0.5) / 100.0 AS o_total,
