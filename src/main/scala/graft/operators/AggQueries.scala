@@ -83,6 +83,30 @@ object AggQueries {
         approx_count_distinct(col("l_partkey"), rsd = 0.02)
           .as("approx_parts"))
 
+  /** Scale ext. `agg_hll_merge`: MERGEABLE distinct sketches — the
+    * distributed-distinct algebra that actually runs at 100 TB.
+    * Per-event-type DataSketches HLL sketches of the user set, then a
+    * sketch UNION (not a re-scan) for the global distinct — the merged
+    * estimate is computed from the per-group sketches alone, which is
+    * exactly how a 1000-executor rollup (or an incremental daily
+    * pipeline) composes: partial sketches are small, associative, and
+    * re-aggregable at any grouping level without touching raw data
+    * again. Rows-only (sketch internals are engine-specific);
+    * PipelineSpec bounds every estimate against the exact count and
+    * asserts union-vs-direct sketch equivalence. */
+  val aggHllMerge: Q = (spark, dir) => {
+    val sketches = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val per = sketches.select(col("event_type"),
+      hll_sketch_estimate(col("sk")).as("n_users_est"))
+    val merged = sketches
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .select(lit("__all_merged").as("event_type"),
+        hll_sketch_estimate(col("sk")).as("n_users_est"))
+    per.unionAll(merged).orderBy(col("event_type"))
+  }
+
   /** §2.D `agg_nunique` (dashboard.py:280,531): nunique over two
     * dimensions, one row. Two independent single-row aggs cross-joined —
     * both sides broadcast, no driver round-trip. */
@@ -295,6 +319,7 @@ object AggQueries {
     "agg_value_counts"   -> aggValueCounts,
     "agg_ngroups"        -> aggNgroups,
     "agg_approx_ngroups" -> aggApproxNgroups,
+    "agg_hll_merge"      -> aggHllMerge,
     "agg_nunique"        -> aggNunique,
     "agg_group_size"     -> aggGroupSize,
     "agg_named_multi"    -> aggNamedMulti,

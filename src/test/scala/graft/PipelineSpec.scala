@@ -144,6 +144,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(rel < 0.05, s"approx=${approx.getLong(0)} exact=$exact rel=$rel")
   }
 
+  test("HLL sketch merge: every estimate within 5% of exact, and the " +
+    "union of per-group sketches equals the direct whole-column sketch") {
+    val rows = operators.AggQueries.aggHllMerge(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactPer = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactPer.foreach { case (et, exact) =>
+      val est = rows(et)
+      assert(math.abs(est - exact).toDouble / exact < 0.05,
+        s"$et: est=$est exact=$exact")
+    }
+    val exactAll = Tables.events(spark, sf)
+      .agg(countDistinct(col("user_id"))).head.getLong(0)
+    assert(math.abs(rows("__all_merged") - exactAll).toDouble / exactAll < 0.05)
+    // merge-vs-direct: the union of group sketches must estimate the
+    // same value as one sketch over the whole column (associativity —
+    // the property the 1000-executor rollup depends on)
+    val direct = Tables.events(spark, sf)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .head.getLong(0)
+    assert(rows("__all_merged") == direct,
+      s"merged=${rows("__all_merged")} direct=$direct")
+  }
+
   test("multimodal typed decode pipeline: schema + determinism") {
     val ds = operators.MultimodalQueries.decodeAll(spark, sf)
     val one = ds.filter(_.doc_id == 0L).head()
