@@ -128,6 +128,11 @@ object SourceQueries {
     val out = s"target/tmp/part_daily_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     CoreQueries.dailyBase(spark, dir)
       .withColumn("month", date_format(col("sale_date"), "yyyy-MM"))
+      // repartition BY the partition column before a partitioned write:
+      // without it every upstream task writes a sliver into every month
+      // directory (tasks × months small files — the classic partitioned-
+      // sink anti-pattern at scale); with it each month is one file.
+      .repartition(col("month"))
       .write.mode("overwrite").partitionBy("month").parquet(out)
     spark.read.parquet(out)
       .where(col("month").isin("1996-03", "1997-07"))
