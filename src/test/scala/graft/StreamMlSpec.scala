@@ -159,6 +159,40 @@ class StreamMlSpec extends AnyFunSuite {
       s"unexpected sink contents: $out")
   }
 
+  test("checkpoint recovery: a restarted stream resumes from the " +
+    "checkpoint and emits every input row exactly once") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("ckpt_recovery")
+    val srcDir = base.resolve("in"); val ckpt = base.resolve("ckpt")
+    val outDir = base.resolve("out")
+    java.nio.file.Files.createDirectories(srcDir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    import spark.implicits._
+    def writeBatch(name: String, rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("id", "v").coalesce(1).write.mode("overwrite")
+        .parquet(srcDir.resolve(name).toString)
+    def startQuery() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString + "/*")
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    // batch 1 → process → STOP (simulated failure/redeploy)
+    writeBatch("b1", Seq((1L, 1.0), (2L, 2.0)))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // batch 2 lands while the query is down
+    writeBatch("b2", Seq((3L, 3.0)))
+    // restart from the SAME checkpoint: must pick up ONLY b2 (b1 is
+    // committed in the checkpoint log) and emit nothing twice
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(outDir.toString)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(out == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+      s"exactly-once across restart violated: $out")
+  }
+
   test("streaming dedup: cross-batch duplicate event ids emit exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
