@@ -37,6 +37,24 @@ object NestedQueries {
         (sum(col("item.revenue_cents")) / lit(100.0)).as("total_revenue"))
       .orderBy(col("product"))
 
+  /** §2.C `arr_unwind_outer`: the PRESERVING unwind — Mongo's `$unwind
+    * {preserveNullAndEmptyArrays: true}` / pandas explode-keeps-NaN.
+    * Orders with no items (257 exist at sf0.01) must survive as a
+    * zero row, which plain `explode` silently drops — the semantic
+    * difference this operator exists to pin. Implemented as orders
+    * LEFT JOIN the nested view + `explode_outer`; re-aggregated per
+    * sale so the output is deterministic. */
+  val arrUnwindOuter: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("sale_id"))
+      .join(Tables.salesNested(spark, dir), Seq("sale_id"), "left")
+      .select(col("sale_id"), explode_outer(col("items")).as("item"))
+      .groupBy(col("sale_id"))
+      .agg(
+        count(col("item")).as("n_items"),
+        coalesce(sum(col("item.quantity")), lit(0.0)).as("total_quantity"))
+      .orderBy(col("sale_id"))
+
   /** §2.C `arr_transform` (dashboard.py:177-185): `$map` items→names,
     * emitted as a sorted CSV (array order itself is not defined). */
   val arrTransform: Q = (spark, dir) =>
@@ -127,6 +145,7 @@ object NestedQueries {
 
   def queries: Map[String, Q] = Map(
     "arr_unwind"          -> arrUnwind,
+    "arr_unwind_outer"    -> arrUnwindOuter,
     "arr_transform"       -> arrTransform,
     "arr_distinct_size"   -> arrDistinctSize,
     "arr_size"            -> arrSize,
@@ -138,6 +157,11 @@ object NestedQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "arr_unwind_outer" ->
+      """SELECT o_orderkey AS sale_id, count(l_orderkey) AS n_items,
+        |  coalesce(SUM(l_quantity), 0.0) AS total_quantity
+        |FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "arr_unwind" ->
       """SELECT p_name AS product, SUM(l_quantity) AS total_quantity,
         |  SUM(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)) / 100.0 AS total_revenue
