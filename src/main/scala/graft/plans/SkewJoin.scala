@@ -39,7 +39,11 @@ object SkewJoin {
   val joinSkewSalted: graft.Q = (spark, dir) => {
     val li = graft.Tables.lineitem(spark, dir)
       .withColumnRenamed("l_partkey", "p_partkey")
-    val p = graft.Tables.part(spark, dir)
+    // SHUFFLE_HASH hint: without it the fixture-sized dim auto-
+    // broadcasts and the salt never actually distributes anything —
+    // the hint forces the shuffled join the salt exists for (the
+    // at-scale shape where the dim exceeds the broadcast threshold).
+    val p = graft.Tables.part(spark, dir).hint("shuffle_hash")
     saltedJoin(li, p, "p_partkey", factor = 8,
       largeIdentity = Seq(col("l_orderkey"), col("l_linenumber")))
       .groupBy(col("p_brand"))

@@ -21,6 +21,15 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("join_skew_salted actually shuffles on (key, salt) — the hint " +
+    "holds against auto-broadcast") {
+    val plan = plans.SkewJoin.joinSkewSalted(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salted join must not degrade to broadcast (salt would be inert):\n$plan")
+    assert(plan.contains("__salt"), "salt column must be in the join key")
+  }
+
   test("salt spreads a hot key across the factor range") {
     import spark.implicits._
     val hot = Seq.tabulate(1000)(i => (42L, i.toLong)).toDF("key", "row_id")
