@@ -85,10 +85,13 @@ object Tables {
     * flat testdata: one row per order with an `items` array of
     * (name, price, quantity, revenue) structs.
     *
-    * Join is shuffle-on-l_partkey vs broadcast: `part` is a dimension
-    * (small relative to lineitem at every SF) so we broadcast it; the
-    * groupBy then shuffles once on l_orderkey. At 100 TB, lineitem
-    * pre-bucketed by l_orderkey would make the re-nest shuffle-free.
+    * Join shape is planner-chosen: `part` is smaller than lineitem at
+    * every SF but still GROWS with the corpus (TPC-H scales it
+    * linearly), so a forced broadcast hint would eventually OOM — AQE
+    * broadcasts it while its measured size allows and falls back to a
+    * shuffle join on l_partkey beyond that. The groupBy then shuffles
+    * once on l_orderkey. At 100 TB, lineitem pre-bucketed by l_orderkey
+    * would make the re-nest shuffle-free.
     *
     * NOTE: `collect_list` order is nondeterministic under parallelism —
     * consumers must treat `items` as a multiset (sort or aggregate,
@@ -98,7 +101,7 @@ object Tables {
   def salesNested(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
     val p  = part(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .select(
         col("l_orderkey").as("sale_id"),
         struct(

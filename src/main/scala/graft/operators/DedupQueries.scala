@@ -239,8 +239,8 @@ object DedupQueries {
     * min-label propagation iterates distributed. Near-dup graphs on
     * clean corpora sit far below the cutover; crawl-scale dup webs go
     * distributed. Both paths produce identical min-label components
-    * (asserted component-for-component in DedupSpec, which forces the
-    * distributed branch through [[componentsOf]] with cutover 0). */
+    * (asserted component-for-component in PipelineSpec, which forces
+    * the distributed branch through [[componentsOf]] with cutover 0). */
   private val DriverCcMaxEdges = 2000000L
 
   val dedupComponents: Q = (spark, dir) =>
@@ -510,9 +510,11 @@ object DedupQueries {
            |UNION ALL SELECT 'e_quality', count(*) FROM qual_keep
            |ORDER BY 1""".stripMargin
     },
-    // dedup_minhash_lsh / dedup_simhash: rows-only (hash functions are
-    // engine-specific); cross-checked against the brute-force baseline
-    // in DedupSpec instead.
+    // dedup_minhash_lsh / dedup_simhash: fully oracled since round 4 —
+    // the replayable md5 shingle hashes let DuckDB rebuild signatures,
+    // bands, and candidates bit-for-bit (entries in the map above).
+    // PipelineSpec additionally cross-checks both against the
+    // brute-force baseline (recall on planted near-dups).
   )
 
   /** Shared CTE prefix (tok → sh → pairs) replaying the shingle +

@@ -95,8 +95,16 @@ object TextQueries {
     * identical in the oracle, and the result is floor-rounded to 6
     * decimals before the deterministic (score desc, token asc) rank —
     * `ln` may differ by 1 ulp between libm implementations, far below
-    * the rounding grain. Three hash-aggregates + one broadcast of the
-    * (token, df) dim; nothing quadratic. */
+    * the rounding grain. Three hash-aggregates + a shuffle join on
+    * `token`; nothing quadratic.
+    *
+    * 100 TB note: the (token, df) side has one row per DISTINCT token —
+    * a web-corpus vocabulary is 10^8–10^9 rows, heavy-tailed, and NOT
+    * broadcastable. The join is left planner-chosen: the tf side is
+    * already hash-partitioned by (doc_id, token) from its aggregate, so
+    * the token join is a same-key shuffle join (AQE will still broadcast
+    * when the measured dim is genuinely small, as at test SF). The only
+    * forced broadcast is the 1-row corpus count `n`. */
   val txtTfidf: Q = (spark, dir) => {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -107,7 +115,7 @@ object TextQueries {
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(nTok, Seq("doc_id"))
-      .join(broadcast(df), Seq("token"))
+      .join(df, Seq("token"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf", Tables.round6(
         (col("tf").cast("double") / col("n_tokens")) *

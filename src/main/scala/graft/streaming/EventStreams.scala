@@ -103,15 +103,17 @@ object EventStreams {
   /** Stream-static enrichment, batch form: events joined to the
     * customer dimension (user_id ⋈ c_custkey — the fixture keys the
     * event stream by customer), hourly value by market segment. The
-    * dim join is an explicit broadcast: in the STREAMING form
-    * ([[enrichStreamAppend]]) a static broadcast is the only join shape
-    * that adds zero streaming state — the stream side never buffers for
-    * the dimension. */
+    * dim join is planner-chosen: a user/customer dimension is
+    * DATA-SIZED at 100 TB (it grows with the user base), so the batch
+    * form must be able to shuffle on the key — AQE broadcasts only
+    * while the measured dim size allows. Contrast the STREAMING form
+    * ([[enrichStreamAppend]]), which keeps an explicit broadcast
+    * because a stateless stream-static join is the point there. */
   val evtUserEnrich: Q = (spark, dir) => {
     val ev = Tables.events(spark, dir)
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    ev.join(broadcast(dim), ev("user_id") === dim("c_custkey"))
+    ev.join(dim, ev("user_id") === dim("c_custkey"))
       .groupBy(date_trunc("hour", col("ts")).as("window_start"),
         col("c_mktsegment"))
       .agg(
@@ -124,8 +126,14 @@ object EventStreams {
     * static side re-resolves per micro-batch — dimension updates are
     * picked up without restarts) feeding a watermarked tumbling
     * aggregation in append mode. State stays (open windows × segments);
-    * the join itself is stateless. StreamMlSpec asserts stream ≡ batch
-    * on planted input. */
+    * the join itself is stateless. The broadcast here is DELIBERATE
+    * (unlike the batch form): a shuffle join against a stream would
+    * buffer stream rows as state, and a stateless per-batch dim
+    * broadcast is the shape this operator exists to provide. At a
+    * 100 TB user dimension the honest alternative is a keyed-state
+    * lookup (mapGroupsWithState against a pre-partitioned dim snapshot)
+    * — this entry point covers the bounded-dim case. StreamMlSpec
+    * asserts stream ≡ batch on planted input. */
   def enrichStreamAppend(events: DataFrame, dim: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")

@@ -170,6 +170,18 @@ class PipelineSpec extends AnyFunSuite {
       s"merged=${rows("__all_merged")} direct=$direct")
   }
 
+  test("txt_tfidf: the token->df join is planner-chosen (the only " +
+    "broadcast hint is the 1-row corpus count)") {
+    // The (token, df) dim has one row per distinct token — web-corpus
+    // vocabulary is 1e8-1e9 rows, so a forced broadcast would OOM at
+    // scale. The analyzed plan must carry exactly one hint: the 1-row n.
+    val analyzed = operators.TextQueries.txtTfidf(spark, sf)
+      .queryExecution.analyzed.toString
+    val nHints = "ResolvedHint".r.findAllIn(analyzed).size
+    assert(nHints == 1,
+      s"expected exactly 1 broadcast hint (the 1-row n), got $nHints:\n$analyzed")
+  }
+
   test("multimodal typed decode pipeline: schema + determinism") {
     val ds = operators.MultimodalQueries.decodeAll(spark, sf)
     val one = ds.filter(_.doc_id == 0L).head()
