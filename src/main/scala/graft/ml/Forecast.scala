@@ -169,8 +169,15 @@ object Forecast {
     * millions of keys only grouped local training survives at all.
     * Winner per product by its own validation MAPE, refit on
     * train+val, scored on the 14-day holdout. Products lacking train/
-    * val/test rows are skipped (nothing to score). */
-  def trainPerProduct(spark: SparkSession, dir: String): Dataset[ProductWinner] = {
+    * val/test rows are skipped (nothing to score).
+    *
+    * Emits the full [[ModelStore.ProductModel]] — selection metadata
+    * PLUS the refit winner in serializable form — so the result feeds
+    * both the report ([[trainPerProduct]] projects the winner row) and
+    * the reference's persistence path (`best_model_{product}.pkl` ≙
+    * [[ModelStore.save]], one parquet partition per product). */
+  def trainPerProductModels(spark: SparkSession,
+      dir: String): Dataset[ModelStore.ProductModel] = {
     import spark.implicits._
     // unordered base: the global sort in the Q form is a range exchange
     // this pipeline would immediately re-shuffle by product
@@ -241,10 +248,18 @@ object Forecast {
           val rmse = math.sqrt(testIdx.map { i =>
             val d = y(i) - refit.predict(xs(i)); d * d
           }.sum / testIdx.length)
-          Iterator.single(ProductWinner(p, winner.family, winner.toString,
-            vMape, testIdx.length.toLong, tMape, rmse))
+          Iterator.single(ModelStore.toSaved(
+            ProductWinner(p, winner.family, winner.toString,
+              vMape, testIdx.length.toLong, tMape, rmse), refit))
         }
       }
+  }
+
+  /** Winner-report view of [[trainPerProductModels]] (the `ml_forecast`
+    * surface: one metadata row per product, models dropped). */
+  def trainPerProduct(spark: SparkSession, dir: String): Dataset[ProductWinner] = {
+    import spark.implicits._
+    trainPerProductModels(spark, dir).map(_.winner)
   }
 
   /** `ml_forecast` (rows-only — model internals aren't

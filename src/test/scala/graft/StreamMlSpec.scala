@@ -193,6 +193,50 @@ class StreamMlSpec extends AnyFunSuite {
       s"exactly-once across restart violated: $out")
   }
 
+  test("tumbling aggregation state survives a restart: a window half-filled " +
+    "before the stop completes from checkpointed state and emits exactly once") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("tumble_restart")
+    val srcDir = base.resolve("in"); val ckpt = base.resolve("ckpt")
+    val outDir = base.resolve("out")
+    java.nio.file.Files.createDirectories(srcDir)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    import spark.implicits._
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    def writeBatch(name: String, rows: Seq[(java.sql.Timestamp, String, Double)]): Unit =
+      rows.toDF("ts", "event_type", "value").coalesce(1).write
+        .mode("overwrite").parquet(srcDir.resolve(name).toString)
+    def startQuery() = streaming.EventStreams
+      .tumblingStreamAppend(
+        spark.readStream.schema(schema).parquet(srcDir.toString + "/*"))
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    // batch 1: the 10:00 window accumulates two events, stays OPEN → stop
+    writeBatch("b1", Seq((ts(10, 0), "click", 1.0), (ts(10, 30), "click", 2.0)))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // batch 2 lands while the query is down; on restart the recovered
+    // window state must merge with nothing new, the 20:00 event moves
+    // the watermark to 18:00, finalizing (and emitting once) the 10:00
+    // window WITH its pre-restart contents
+    writeBatch("b2", Seq((ts(20, 0), "click", 4.0)))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    // batch 3: flush the 20:00 window too
+    writeBatch("b3", Seq((ts(23, 30), "click", 8.0)))
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    val out = spark.read.parquet(outDir.toString)
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1.getTime).toList
+    assert(out == List(
+      (ts(10, 0), "click", 2L, 3.0),
+      (ts(20, 0), "click", 1L, 4.0)),
+      s"restart broke window state or exactly-once emission: $out")
+  }
+
   test("streaming dedup: cross-batch duplicate event ids emit exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -276,6 +320,52 @@ class StreamMlSpec extends AnyFunSuite {
     assert(winners.forall(w => w.n_test > 0 && w.val_mape >= 0 && !w.rmse.isNaN))
     // seeded local learners: bit-identical at any parallelism
     assert(winners == ml.Forecast.trainPerProduct(spark, sf).collect().toSeq)
+  }
+
+  test("per-product winners persist one parquet partition per product and " +
+    "reload with bit-identical predictions (best_model_{product} parity)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // flatten/unflatten is an exact inverse on a directly-fit model
+    val txs = Array.tabulate(60)(i => Array(i.toDouble, (i % 7).toDouble))
+    val ty = txs.map(a => a(0) * 2 + 3 * a(1))
+    val binned = ml.LocalTrees.binDataset(txs)
+    val rf = ml.LocalTrees.fitRf(binned, ty, txs.indices.toArray, 5, 4, 7L)
+    val w0 = ml.Forecast.ProductWinner("t", "rf", "rf(5,4)", 0, 1, 0, 0)
+    val rt = ml.ModelStore.toSaved(w0, rf).model
+    assert(rt.asInstanceOf[ml.LocalTrees.RfModel].trees.toSeq == rf.trees.toSeq)
+    val gbt = ml.LocalTrees.fitGbt(binned, txs, ty, txs.indices.toArray, 5, 3, 7L)
+    val grt = ml.ModelStore.toSaved(w0.copy(family = "gbt"), gbt).model
+      .asInstanceOf[ml.LocalTrees.GbtModel]
+    assert(grt.f0 == gbt.f0 && grt.shrinkage == gbt.shrinkage &&
+      grt.trees.toSeq == gbt.trees.toSeq)
+
+    // full serve path: train → save (partitioned by product) → load →
+    // predict, bit-identical to the in-memory winners
+    val models = ml.Forecast.trainPerProductModels(spark, sf).collect().toSeq
+    assert(models.nonEmpty)
+    val path = "target/tmp/per_product_models"
+    ml.ModelStore.save(spark.createDataset(models), path)
+    val productDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("product=")).length
+    assert(productDirs == models.size,
+      s"expected one partition dir per product, got $productDirs/${models.size}")
+    val loaded = ml.ModelStore.load(spark, path).collect()
+      .map(m => m.product -> m).toMap
+    assert(loaded.keySet == models.map(_.product).toSet)
+    val featRows = operators.JoinWindowQueries.winLagFeaturesBase(spark, sf)
+      .select(col("product"),
+        array(ml.Forecast.LagCols.map(c => col(c).cast("double")): _*).as("x"))
+      .collect().map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+    models.foreach { m =>
+      val l = loaded(m.product)
+      assert(l == m, s"parquet round trip altered ${m.product}")
+      val orig = m.model
+      val re = l.model
+      featRows.filter(_._1 == m.product).foreach { case (_, x) =>
+        assert(orig.predict(x) == re.predict(x)) // bit-identical
+      }
+    }
   }
 
   test("forecast: grid-searched model trains, persists, reloads, predicts " +
