@@ -2,9 +2,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** 1-minute load average from /proc — recorded at start and end so a
+    * polluted capture (concurrent JVMs inflating wall-clock ~1.8-2.7×
+    * in the r02-r04 driver runs) is adjudicable from the artifact
+    * alone. -1 when /proc is unavailable. */
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  private def nProcs(): Int =
+    try new java.io.File("/proc").listFiles.count(_.getName.forall(_.isDigit))
+    catch { case _: Throwable => -1 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
+    val nprocStart = nProcs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local-iteration filter: comma-separated query names; unset = all
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,7 +55,9 @@ object Bench {
       }
     // Each entry is either a seconds Double or the string "err" — a
     // failing query must be visible in the output, not silently timed.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>
@@ -56,8 +77,11 @@ object Bench {
     val fams = jmap(ok.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
       .map { case (f, rs) => f -> f"${rs.map(_._2.toDouble).sum}%.3f" })
     val allQs = jmap(results.map { case (k, v) => k -> fmt(v) })
+    val loadEnd = loadAvg()
+    val nprocEnd = nProcs()
+    val loadFields = f""","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"nproc_start":$nprocStart,"nproc_end":$nprocEnd"""
     def line(qs: String, extra: String) =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$nErr,"families":$fams,"queries":$qs$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$nErr,"families":$fams,"queries":$qs$extra$loadFields,"sf":"$sfDir"}"""
     // The full ~100-entry query map is ~2.6 KB — longer than the
     // harness's stdout tail capture, which truncated (and failed to
     // parse) the r02 AND r03 artifacts mid-map. The full map goes to a

@@ -36,7 +36,7 @@ object PipelineOps {
     * overflow-free (ANSI-safe) for any long id, not just ids < ~3.5e9.
     * For 0 ≤ x < P the reduction is the identity, so hash values — and
     * every sampling/mixture/packing oracle built on them — are unchanged. */
-  private def hash10k(x: Column): Column = {
+  private[graft] def hash10k(x: Column): Column = {
     val p = lit(P)
     val s = pmod(pmod(x.cast("long"), p) * lit(2654435761L) + lit(104729L), p)
     pmod(pmod(pmod(s * s, p) * s, p), lit(10000L))

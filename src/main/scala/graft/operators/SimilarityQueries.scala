@@ -270,9 +270,19 @@ object SimilarityQueries {
     * tables·n²/√n = O(n^1.5), sub-quadratic (vs the old fixed-10-label
     * block's O(n²/10)). At trillion-vector scale this yields ~20-bit
     * signatures; recall at a production dup threshold (≥0.95 cosine,
-    * per-bit agreement ≈ 0.9) stays ≈ 1 across 16 tables. */
-  def sigBitsFor(n: Long): Int =
-    math.max(4, math.ceil(math.log(n.toDouble) / math.log(2.0) / 2.0).toInt)
+    * per-bit agreement ≈ 0.9) stays ≈ 1 across 16 tables.
+    *
+    * Computed in EXACT integer arithmetic — the smallest k in [4, 31]
+    * with 4^k ≥ n — not via ceil(log2(n)/2): libm log drifts off the
+    * exact value at 2^50+ boundaries (measured: n=2^50+1 → 25 via log
+    * vs 26 exact, n=2^58 → 30 vs 29), where Spark's and DuckDB's libm
+    * could each round differently and break the oracle replay. The
+    * oracle SQL uses the same shift-based form. */
+  def sigBitsFor(n: Long): Int = {
+    var b = 4
+    while (b < 31 && (1L << (2 * b)) < n) b += 1
+    b
+  }
 
   /** Embedding-cosine near-dup pairs — the vector-space member of the
     * dedup family: random-hyperplane LSH blocking (candidates = pairs
@@ -551,13 +561,16 @@ object SimilarityQueries {
          |        ORDER BY cos_sim DESC, vec_id) AS rank FROM ex)
          |SELECT query_id, vec_id, label, cos_sim, rank FROM r WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin) +
-    // Replays the full blocking rule: bits = greatest(4, ceil(log2(n)/2)),
+    // Replays the full blocking rule: bits = min k in [4,31] with 4^k ≥ n
+    // (exact shift arithmetic, matching sigBitsFor bit-for-bit at any n),
     // weight(t,b,d) = (((s²%P)·s)%P)%10⁴/10⁴ − 0.5 with s=(t·1009+b)·7919+d
     // and P=1e9+7 — pure int64 arithmetic, bit-identical to the Spark side.
     ("dedup_embedding_cosine" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-         |p AS (SELECT greatest(4, CAST(ceil(log2(count(*)) / 2.0) AS INT)) AS bits FROM e),
+         |p AS (SELECT coalesce(min(k), 31) AS bits
+         |      FROM range(4, 32) r(k), (SELECT count(*) AS n FROM e) c
+         |      WHERE (CAST(1 AS BIGINT) << CAST(2*k AS INT)) >= c.n),
          |tb AS (SELECT gt.t AS t, ub.b AS b
          |       FROM generate_series(0, ${DedupTables - 1}) gt(t), p,
          |            unnest(range(0, p.bits)) ub(b)),

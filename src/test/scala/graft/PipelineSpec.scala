@@ -116,6 +116,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(bits(500) == 5 && bits(5000) == 7)
     assert(bits(500) < bits(500000) && bits(500000) < bits(5000000000L))
     assert(bits(10) == 4) // floor
+    // exact-arithmetic contract: smallest k in [4,31] with 4^k >= n,
+    // verified against a BigInt replay at every power-of-two boundary.
+    // The old ceil(log2(n)/2) form drifted here (n=2^50+1 gave 25 not
+    // 26; n=2^58 gave 30 not 29) with libm-dependent rounding that
+    // could split Spark from the DuckDB oracle.
+    assert(bits(1L << 50) == 25 && bits((1L << 50) + 1) == 26)
+    assert(bits(1L << 58) == 29 && bits((1L << 58) + 1) == 30)
+    for (k <- 2 to 62; d <- Seq(-1L, 0L, 1L)) {
+      val n = (1L << k) + d
+      if (n > 1) {
+        var e = 4
+        while (e < 31 && (BigInt(1) << (2 * e)) < BigInt(n)) e += 1
+        assert(bits(n) == e, s"sigBitsFor($n) = ${bits(n)}, expected $e")
+      }
+    }
   }
 
   test("IVF assignment is a pure projection: exactly one Window node " +

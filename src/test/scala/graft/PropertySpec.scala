@@ -121,4 +121,33 @@ object PropertySpec extends Properties("graft") {
       }
       got == expect && got.forall(h => h >= 0L && h < (1L << 60))
     }
+
+  property("hash10k is overflow-free (ANSI) for ARBITRARY long ids — " +
+    "including Long.MinValue/MaxValue — lands in [0, 10000), and matches " +
+    "an exact BigInt replay") =
+    forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { x =>
+      // ANSI mode means an overflowing intermediate would THROW here,
+      // so mere evaluation at the extremes proves the r3 overflow fix
+      val got = List(x).toDF("id")
+        .select(operators.PipelineOps.hash10k($"id").as("h")).head.getLong(0)
+      val bp = BigInt(1000000007L)
+      val r = ((BigInt(x) mod bp) + bp) mod bp
+      val s = (r * BigInt(2654435761L) + BigInt(104729L)) mod bp
+      val expect = ((((s * s) mod bp) * s) mod bp) mod BigInt(10000)
+      got == expect.toLong && got >= 0L && got < 10000L
+    }
+
+  property("hash10k is uniform over sequential ids: 1M ids fill all 10k " +
+    "basis points, each within ~6 sigma of the mean") = {
+    val counts = spark.range(1000000L)
+      .select(operators.PipelineOps.hash10k($"id").as("h"))
+      .groupBy($"h").count().collect()
+    // mean 100 per bucket, Poisson sigma 10: [40, 160] is a >6-sigma
+    // envelope — a structured-low-bits regression (the bug class the
+    // cubing step exists to prevent) blows past it immediately
+    org.scalacheck.Prop.propBoolean(counts.length == 10000 &&
+      counts.forall { r =>
+        val c = r.getLong(1); c >= 40L && c <= 160L
+      })
+  }
 }
