@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * Scale notes: every query here is a single hash-aggregate shuffle with
   * map-side partial aggregation (Catalyst's HashAggregate pair); scalar
   * denominators (`agg_ratio_of_total`) are broadcast, never collected to
-  * the driver. Non-exact float aggregates (stddev/corr) are rounded to 6
+  * the driver. The lineitem ⋈ part joins are planner-chosen (part GROWS
+  * with the corpus — the salesNested standard, Tables.scala): AQE
+  * broadcasts at SFs where part fits and degrades to a shuffled join
+  * instead of an OOM beyond that. Non-exact float aggregates (stddev/corr) are rounded to 6
   * decimals — well above the ~1e-10 cross-engine numeric noise, well
   * below anything semantically meaningful.
   */
@@ -38,7 +41,7 @@ object AggQueries {
   val aggCountByKey: Q = (spark, dir) => {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_name").as("product"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("product"))
@@ -128,7 +131,7 @@ object AggQueries {
   val aggNamedMulti: Q = (spark, dir) => {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         Tables.revenueSum.as("total_revenue"),
@@ -142,7 +145,7 @@ object AggQueries {
   val aggMeanGroup: Q = (spark, dir) => {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_name").as("product"))
       .agg(
         (sum(col("l_quantity")) / count(lit(1))).as("avg_quantity"),
@@ -211,7 +214,7 @@ object AggQueries {
   val aggRollup: Q = (spark, dir) => {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .rollup(col("p_brand"))
       .agg(grouping_id().as("g"),
         Tables.revenueSum.as("total_revenue"),

@@ -19,17 +19,20 @@ import org.apache.spark.sql.functions._
 object CoreQueries {
 
   /** Unordered daily×product aggregate (SURVEY.md §2.D
-    * `agg_daily_product` base, dashboard.py:54-106) — lineitem ⋈ part is
-    * broadcast (part is a dimension at every SF); the groupBy is one
-    * shuffle on (date, product) with map-side partial aggregation, so
-    * at 100 TB the join→partial-agg pipeline stays in one stage.
+    * `agg_daily_product` base, dashboard.py:54-106) — the lineitem ⋈ part
+    * join is planner-chosen: part GROWS with the corpus (TPC-H scales it
+    * linearly — Tables.scala "salesNested" note), so a forced broadcast
+    * hint would eventually OOM at 100 TB. AQE broadcasts it at any SF
+    * where it actually fits, and falls back to a shuffled join beyond
+    * that. The groupBy is one shuffle on (date, product) with map-side
+    * partial aggregation, so the join→partial-agg pipeline stays tight.
     * Kept free of ORDER BY: a global sort is a range exchange + full
     * sort that downstream windows/aggregates would immediately redo on
     * their own keys; only leaf queries order. */
   val dailyBase: Q = (spark, dir) => {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(
         to_date(col("l_shipdate")).as("sale_date"),
         col("p_name").as("product"))

@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §2.E, §2.F, §2.H).
   *
   * Scale notes:
-  *  - dimension enrichments broadcast (`join_left_enrich`) — never
-  *    shuffle a fact table against a small dim;
+  *  - genuinely bounded dims (nation: 25 rows, region: 5, 1-row scalar
+  *    totals) broadcast; anything that GROWS with the corpus (part,
+  *    customer, per-product aggregates) is planner-chosen — AQE
+  *    broadcasts at SFs where it fits and degrades to a shuffled join
+  *    instead of an OOM beyond that (the salesNested standard,
+  *    Tables.scala);
   *  - top-k per group uses `row_number` over a partitioned window (one
   *    shuffle, streaming rank) rather than sort+head;
   *  - the pair self-join (§2.J.1) is quadratic in basket size by
@@ -23,17 +27,20 @@ import org.apache.spark.sql.functions._
 object JoinWindowQueries {
 
   /** §2.E `join_left_enrich` (dashboard.py:411): enrich a per-product
-    * aggregate with the purchase-probability dimension — broadcast-hash
-    * left join on the 7-ish-row dim. */
+    * aggregate with the purchase-probability dimension. Both the part
+    * join and the per-product dim join are planner-chosen: part and
+    * anything keyed by product GROW with the corpus, so a forced
+    * broadcast hint would eventually OOM (the salesNested standard,
+    * Tables.scala). AQE broadcasts them at SFs where they fit. */
   val joinLeftEnrich: Q = (spark, dir) => {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
-    val base = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    val base = li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_name").as("product"))
       .agg(Tables.revenueSum.as("total_revenue"))
     val dim = AggQueries.aggRatioOfTotal(spark, dir)
       .select(col("product"), col("probability"))
-    base.join(broadcast(dim), Seq("product"), "left")
+    base.join(dim, Seq("product"), "left")
       .orderBy(col("product"))
   }
 
@@ -47,7 +54,7 @@ object JoinWindowQueries {
   val setUnionConcat: Q = (spark, dir) => {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(Tables.revenueSum.as("rev"), sum(col("l_quantity")).as("units"))
       .select(col("p_brand"), explode(array(
@@ -74,7 +81,7 @@ object JoinWindowQueries {
   val joinPairSelfjoin: Q = (spark, dir) => {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
-    val names = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    val names = li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_list(col("p_name"))).as("names"))
     val pos = names.select(col("l_orderkey"),
@@ -92,12 +99,13 @@ object JoinWindowQueries {
   }
 
   /** Extension: multi-way star join (customer→nation→region dims onto
-    * the orders⋈lineitem fact chain) — revenue by region × year. The
-    * dimension chain (region ⋈ nation ⋈ customer) is resolved
-    * broadcast-side first (all three are small), so the fact table is
-    * touched by exactly one broadcast-hash join + one shuffle for the
-    * final aggregate; at 100 TB nothing but (regionkey, year, cents)
-    * ever moves. */
+    * the orders⋈lineitem fact chain) — revenue by region × year. Only
+    * the genuinely bounded dims broadcast: nation (25 rows) and region
+    * (5 rows). The customer-derived frame is one row per CUSTOMER —
+    * data-sized at 100 TB (same class as evt_user_enrich,
+    * EventStreams.scala) — so that join is planner-chosen: AQE
+    * broadcasts it at SFs where it fits and degrades to a shuffled
+    * join instead of an OOM beyond that. */
   val joinMultiwayRegion: Q = (spark, dir) => {
     val region   = Tables.region(spark, dir)
     val nation   = Tables.nation(spark, dir)
@@ -109,7 +117,7 @@ object JoinWindowQueries {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey"), col("r_name"))
     li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name").as("region"), year(col("o_orderdate")).as("year"))
       .agg(
         Tables.revenueSum.as("total_revenue"),
@@ -197,7 +205,7 @@ object JoinWindowQueries {
   val topkFirstAfterSort: Q = (spark, dir) => {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_name").as("product"), month(col("l_shipdate")).as("month"))
       .agg(sum(col("l_quantity")).as("total_quantity"))
       .orderBy(col("total_quantity").desc, col("product"), col("month"))

@@ -73,7 +73,7 @@ object PairCount {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
-    val baskets = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    val baskets = li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(collect_list(col("p_name")).as("names"))
       .select(col("names")).as[Seq[String]]
