@@ -79,21 +79,28 @@ object Bench {
     val allQs = jmap(results.map { case (k, v) => k -> fmt(v) })
     val loadEnd = loadAvg()
     val nprocEnd = nProcs()
+    // A SPARK_GRAFT_ONLY-filtered run self-identifies: an "only" field
+    // marks the artifact as a subset so it can't be mistaken for (or
+    // clobber — it writes a separate file) a full benchmark result.
+    val onlyField = only
+      .map(s => s""","only":"${s.toSeq.sorted.mkString(",")}"""")
+      .getOrElse("")
+    val fullMapFile = if (only.isDefined) "BENCH_ONLY.json" else "BENCH_FULL.json"
     val loadFields = f""","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"nproc_start":$nprocStart,"nproc_end":$nprocEnd"""
     def line(qs: String, extra: String) =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$nErr,"families":$fams,"queries":$qs$extra$loadFields,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$nErr,"families":$fams,"queries":$qs$extra$onlyField$loadFields,"sf":"$sfDir"}"""
     // The full ~100-entry query map is ~2.6 KB — longer than the
     // harness's stdout tail capture, which truncated (and failed to
     // parse) the r02 AND r03 artifacts mid-map. The full map goes to a
     // repo file; STDOUT carries one short parseable line whose
     // "queries" holds the slowest 12 (errors always included).
     val fullLine = line(allQs, "")
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullMapFile),
       (fullLine + "\n").getBytes("UTF-8"))
     val slow = ok.sortBy(-_._2.toDouble).take(12) ++
       results.filter(_._2 == "\"err\"")
     val slowQs = jmap(slow.sortBy(_._1).map { case (k, v) => k -> fmt(v) })
-    println(line(slowQs, s""","n_queries":${results.size},"queries_full":"BENCH_FULL.json""""))
+    println(line(slowQs, s""","n_queries":${results.size},"queries_full":"$fullMapFile""""))
     spark.stop()
   }
 }

@@ -264,9 +264,32 @@ object Forecast {
 
   /** `ml_forecast` (rows-only — model internals aren't
     * SQL-expressible): one row per product — the per-product winning
-    * family/config with its validation MAPE and holdout MAPE + RMSE. */
-  val mlForecast: Q = (spark, dir) =>
-    trainPerProduct(spark, dir).toDF().orderBy(col("product"))
+    * family/config with its validation MAPE and holdout MAPE + RMSE.
+    *
+    * The reported rows come back THROUGH the persistence round trip
+    * (train → [[ModelStore.save]] → [[ModelStore.load]] → predict), so
+    * the driver exercises the reference's full serve loop
+    * (`best_model_{product}.pkl` dump at EDA.ipynb cell 69, load at
+    * dashboard.py:753-757), not just training: `pred_at_origin` is the
+    * RELOADED model's prediction at the all-zero feature point — it
+    * only reproduces if the deserialized trees walk correctly.
+    * StreamMlSpec additionally asserts bit-identical reload predictions
+    * over real feature rows. */
+  val mlForecast: Q = (spark, dir) => {
+    import spark.implicits._
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_model_store").getPath
+    ModelStore.save(trainPerProductModels(spark, dir), path)
+    ModelStore.load(spark, path)
+      .map { pm =>
+        (pm.product, pm.family, pm.config, pm.val_mape, pm.n_test,
+          pm.test_mape, pm.rmse,
+          pm.model.predict(Array.fill(LagCols.length)(0.0)))
+      }
+      .toDF("product", "family", "config", "val_mape", "n_test",
+        "test_mape", "rmse", "pred_at_origin")
+      .orderBy(col("product"))
+  }
 
   /** Model persistence round trip (§2.A joblib.dump/load parity) for
     * either tree family. */

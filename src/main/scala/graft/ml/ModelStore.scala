@@ -92,6 +92,12 @@ object ModelStore {
 
   def load(spark: SparkSession, path: String): Dataset[ProductModel] = {
     import spark.implicits._
-    spark.read.parquet(path).as[ProductModel]
+    // Explicit schema, so the `product` partition column is read as a
+    // string by declaration. Left to partition-column type inference, an
+    // all-numeric product catalog would be inferred numeric and keys
+    // like "0123" would reload as "123" after the as[ProductModel]
+    // upcast — silently corrupting round-trip fidelity.
+    spark.read.schema(implicitly[org.apache.spark.sql.Encoder[ProductModel]].schema)
+      .parquet(path).as[ProductModel]
   }
 }

@@ -325,36 +325,52 @@ object DedupQueries {
   /** End-to-end corpus-cleaning funnel — the training-data pipeline in
     * ONE query: total → exact-dedup keepers → near-dup component
     * keepers → language-verified → quality-filtered, reporting the
-    * retention count at each stage. Every stage reuses an
-    * independently-oracled single-op builder, and the funnel itself is
-    * oracled end-to-end (the SQL replays all four stages over the same
-    * tables), so the composition — not just the parts — is checked.
-    * Scale: each stage is a semi-join on doc_id against a
-    * progressively smaller keeper set; documents never re-scan wider
-    * than the previous stage's survivors. */
+    * retention count at each stage. The stage rules are the same
+    * independently-oracled single-op semantics (exact-keeper min-id,
+    * component self-keeper, [[TextQueries.predictedLangCol]],
+    * [[TextQueries.qualityScoreCol]]), and the funnel itself is oracled
+    * end-to-end, so the composition — not just the parts — is checked.
+    *
+    * Shape: ONE scan of documents computes every per-doc flag (the
+    * lang/quality rules are pure projections), the exact-keeper rule is
+    * a single window over the text digest (only digests + booleans
+    * transit the shuffle, never text), the component map joins once on
+    * doc_id, and all five stage counts come out of ONE conditional
+    * aggregate — vs the naive five-branch union whose branches re-run
+    * their shared prefix per stage (Spark does not CSE across union
+    * branches; measured ~3.7 s → ~2.4 s at sf0.1). The near-dup pair
+    * derivation still runs once inside [[dedupComponents]] — that IS
+    * the dominant, irreducible work. */
   val pipeCorpusClean: Q = (spark, dir) => {
-    val docs = Tables.documents(spark, dir)
-    val exactKeep = docs.groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val t = tokens(col("text"))
+    val flags = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("h"),
+        (TextQueries.predictedLangCol(t) === col("lang")).as("lang_ok"),
+        (TextQueries.qualityScoreCol(col("text"), t) >= 0.5).as("qual_ok"))
+      .withColumn("exact_keep",
+        col("doc_id") === min(col("doc_id"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
     val comp = dedupComponents(spark, dir)
-    val nearKeep = exactKeep.join(comp, Seq("doc_id"), "left")
-      .where(col("component_id").isNull ||
-        col("component_id") === col("doc_id"))
-      .select("doc_id")
-    val langKeep = nearKeep.join(
-      TextQueries.txtLangid(spark, dir).where(col("is_correct") === 1)
-        .select("doc_id"), Seq("doc_id"))
-    val qualKeep = langKeep.join(
-      TextQueries.txtQuality(spark, dir).where(col("quality_score") >= 0.5)
-        .select("doc_id"), Seq("doc_id"))
-    def stage(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(name).as("stage"), col("n_docs"))
-    stage("a_total", docs)
-      .unionAll(stage("b_exact", exactKeep))
-      .unionAll(stage("c_neardup", nearKeep))
-      .unionAll(stage("d_lang", langKeep))
-      .unionAll(stage("e_quality", qualKeep))
+    val staged = flags.join(comp, Seq("doc_id"), "left")
+      .withColumn("near_keep", col("exact_keep") &&
+        (col("component_id").isNull || col("component_id") === col("doc_id")))
+      .agg(
+        count(lit(1)).as("a_total"),
+        count(when(col("exact_keep"), 1)).as("b_exact"),
+        count(when(col("near_keep"), 1)).as("c_neardup"),
+        count(when(col("near_keep") && col("lang_ok"), 1)).as("d_lang"),
+        count(when(col("near_keep") && col("lang_ok") && col("qual_ok"), 1))
+          .as("e_quality"))
+    staged.select(explode(array(
+        struct(lit("a_total").as("stage"), col("a_total").as("n_docs")),
+        struct(lit("b_exact").as("stage"), col("b_exact").as("n_docs")),
+        struct(lit("c_neardup").as("stage"), col("c_neardup").as("n_docs")),
+        struct(lit("d_lang").as("stage"), col("d_lang").as("n_docs")),
+        struct(lit("e_quality").as("stage"), col("e_quality").as("n_docs"))))
+        .as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
       .orderBy(col("stage"))
   }
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,27 +54,42 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The [[txtQuality]] score as a reusable scalar over (text, tokens) —
+    * term-identical to the query (and its oracle), so composed pipelines
+    * (pipe_corpus_clean) filter on the exact same rounded value. */
+  private[operators] def qualityScoreCol(text: Column, t: Column): Column = {
+    val nTokens  = size(t)
+    val alphaRat = length(regexp_replace(text, "[^a-z]", "")).cast("double") /
+      length(text)
+    val stopRat  = stopwordCount(t, EN_STOP).cast("double") / nTokens
+    Tables.round6(
+      least(nTokens.cast("double") / lit(100.0), lit(1.0)) * lit(0.4)
+        + alphaRat * lit(0.4)
+        + least(stopRat * lit(5.0), lit(1.0)) * lit(0.2))
+  }
+
+  /** The [[txtLangid]] fixed-priority argmax as a reusable scalar over
+    * a token array — same expression tree as the query/oracle. */
+  private[operators] def predictedLangCol(t: Column): Column = {
+    val (sEn, sEs, sDe, sFr, sZh) =
+      (stopwordCount(t, EN_STOP), stopwordCount(t, ES_STOP),
+        stopwordCount(t, DE_STOP), stopwordCount(t, FR_STOP),
+        stopwordCount(t, ZH_STOP))
+    when(sEn >= sEs && sEn >= sDe && sEn >= sFr && sEn >= sZh, "en")
+      .when(sEs >= sDe && sEs >= sFr && sEs >= sZh, "es")
+      .when(sDe >= sFr && sDe >= sZh, "de")
+      .when(sFr >= sZh, "fr")
+      .otherwise("zh")
+  }
+
   /** N-gram-heuristic language ID: per-language stopword-token scores,
     * fixed-priority argmax (deterministic tie-break), compared against
     * the labeled `lang`. */
   val txtLangid: Q = (spark, dir) => {
     val t = tokens(col("text"))
-    val scored = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        stopwordCount(t, EN_STOP).as("s_en"),
-        stopwordCount(t, ES_STOP).as("s_es"),
-        stopwordCount(t, DE_STOP).as("s_de"),
-        stopwordCount(t, FR_STOP).as("s_fr"),
-        stopwordCount(t, ZH_STOP).as("s_zh"))
-    scored
-      .withColumn("predicted_lang",
-        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
-          col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
-          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") &&
-            col("s_es") >= col("s_zh"), "es")
-          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
-          .when(col("s_fr") >= col("s_zh"), "fr")
-          .otherwise("zh"))
+        predictedLangCol(t).as("predicted_lang"))
       .withColumn("is_correct", (col("predicted_lang") === col("lang")).cast("int"))
       .select("doc_id", "lang", "predicted_lang", "is_correct")
       .orderBy(col("doc_id"))

@@ -84,7 +84,8 @@ class CoreQueriesSpec extends AnyFunSuite {
   test("flagship plan: broadcast join + partial aggregation, no extra shuffle") {
     val plan = operators.CoreQueries.aggDailyProduct(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), "part dim should broadcast")
+    assert(plan.contains("BroadcastHashJoin"),
+      "part dim should broadcast at test SF (planner-chosen, not hinted)")
     assert(!plan.contains("SortMergeJoin"), "flagship must not sort-merge join")
   }
 }

@@ -197,6 +197,40 @@ class PipelineSpec extends AnyFunSuite {
       s"expected exactly 1 broadcast hint (the 1-row n), got $nHints:\n$analyzed")
   }
 
+  test("un-forced dim joins still resolve to broadcast-hash at test SF " +
+    "(guard against a silent sort-merge fallback costing the local bench)") {
+    // These queries had their forced broadcast hints dropped because the
+    // dim is data-sized at 100 TB (part / customer grow with the
+    // corpus). At test SF the planner must still pick broadcast-hash
+    // from the measured parquet sizes — if stats estimation ever
+    // regresses to a sort-merge join here, this fails loudly instead of
+    // silently slowing the bench.
+    // Inspect the plan AFTER execution: a derived dim (custRegion) has
+    // no static size estimate, so its join legitimately starts as a
+    // sort-merge in the initial plan and is converted to broadcast by
+    // AQE once the runtime shuffle size is measured — the final
+    // adaptive plan is the one that must contain no sort-merge join.
+    for ((name, df) <- Seq(
+        "salesNested" -> Tables.salesNested(spark, sf),
+        "evt_user_enrich(batch)" ->
+          streaming.EventStreams.evtUserEnrich(spark, sf),
+        "join_multiway_region" ->
+          operators.JoinWindowQueries.joinMultiwayRegion(spark, sf))) {
+      // materialize THIS frame's own plan (count() would build a new
+      // QueryExecution) so AQE finalizes it; the adaptive toString
+      // appends the pre-AQE "== Initial Plan ==" section, which
+      // legitimately contains the sort-merge start — assert on the
+      // final section only
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: expected a broadcast-hash join at test SF:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name: sort-merge fallback at test SF:\n$plan")
+    }
+  }
+
   test("multimodal typed decode pipeline: schema + determinism") {
     val ds = operators.MultimodalQueries.decodeAll(spark, sf)
     val one = ds.filter(_.doc_id == 0L).head()
