@@ -317,7 +317,14 @@ object EventStreams {
 
   /** JSON property extraction from the events `props` column
     * (semi-structured payload parsing — `get_json_object` per row,
-    * grouped stats per extracted key bucket). */
+    * grouped stats per extracted key bucket).
+    *
+    * One-parse rule: `get_json_object` parses the JSON once PER CALL,
+    * so it is the right tool only while exactly one key is extracted
+    * (as here). The moment a second key is needed, switch to a single
+    * `from_json` with an explicit schema and project its fields — one
+    * parse per row regardless of key count; at 100 TB a per-key
+    * re-parse of the payload is a scan-stage multiplier. */
   val evtJsonProps: Q = (spark, dir) =>
     Tables.events(spark, dir)
       .select(col("event_type"),

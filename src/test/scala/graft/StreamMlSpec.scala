@@ -368,6 +368,27 @@ class StreamMlSpec extends AnyFunSuite {
     }
   }
 
+  test("ModelStore round-trips an all-numeric product catalog as strings " +
+    "(partition-column inference would read \"0123\" back as \"123\")") {
+    import spark.implicits._
+    val txs = Array.tabulate(20)(i => Array(i.toDouble))
+    val ty = txs.map(_(0) * 2)
+    val rf = ml.LocalTrees.fitRf(
+      ml.LocalTrees.binDataset(txs), ty, txs.indices.toArray, 3, 3, 7L)
+    // every key parses as a number; two differ ONLY by a leading zero
+    val keys = Seq("0123", "123", "007")
+    val models = keys.map { k =>
+      ml.ModelStore.toSaved(
+        ml.Forecast.ProductWinner(k, "rf", "rf(3,3)", 0, 1, 0, 0), rf)
+    }
+    val path = "target/tmp/numeric_key_models"
+    ml.ModelStore.save(spark.createDataset(models), path)
+    val reloaded = ml.ModelStore.load(spark, path)
+      .collect().map(_.product).toSet
+    assert(reloaded == keys.toSet,
+      s"numeric-looking keys corrupted on reload: $reloaded")
+  }
+
   test("forecast: grid-searched model trains, persists, reloads, predicts " +
     "identically (sf0.001)") {
     val (model, scored) = ml.Forecast.trainBest(spark, sf)
