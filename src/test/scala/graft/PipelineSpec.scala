@@ -197,6 +197,23 @@ class PipelineSpec extends AnyFunSuite {
       s"expected exactly 1 broadcast hint (the 1-row n), got $nHints:\n$analyzed")
   }
 
+  test("corpus-clean funnel: one documents scan, no stage-count union " +
+    "(every per-doc flag computed in a single pass)") {
+    // The naive five-branch union re-ran its shared prefix per stage
+    // (exact-keep ×4, langid ×2). The restructured funnel must keep:
+    // exactly ONE documents FileScan in the returned plan (the pair
+    // derivation inside dedupComponents materializes at build time and
+    // surfaces as a local relation at test scale) and NO union — the
+    // five stage rows explode out of one conditional aggregate.
+    val plan = operators.DedupQueries.pipeCorpusClean(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nScans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(nScans == 1,
+      s"expected exactly one documents scan, got $nScans:\n$plan")
+    assert(!plan.contains("Union"),
+      s"stage counts must come from one aggregate, not a union:\n$plan")
+  }
+
   test("un-forced dim joins still resolve to broadcast-hash at test SF " +
     "(guard against a silent sort-merge fallback costing the local bench)") {
     // These queries had their forced broadcast hints dropped because the
