@@ -32,6 +32,37 @@ object DedupQueries {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("text_hash"))
 
+  /** Incremental-ingest exact dedup — the DAILY shape of [[dedupExact]]:
+    * an incoming batch (every 5th doc_id, a deterministic 20% "new
+    * crawl") is deduplicated in-batch (min-doc_id keeper per digest)
+    * and then anti-joined against the EXISTING corpus's digest set, so
+    * only genuinely new content survives. Emits the admitted (doc_id,
+    * text_hash) rows.
+    *
+    * This is the shape that matters in production: the historical
+    * corpus is never re-scanned as text — at 100 TB the existing side
+    * is a digest STORE (16-byte hashes + ids, bucketed by digest
+    * prefix so the anti-join is co-located and shuffle-free), appended
+    * each ingest. Here both sides derive from the one documents table;
+    * only digests transit the shuffle either way. */
+  val dedupIncremental: Q = (spark, dir) =>
+    incrementalOn(Tables.documents(spark, dir))
+
+  /** Core of [[dedupIncremental]] over an arbitrary (doc_id, text)
+    * frame — exposed so specs can plant fixtures (an incoming doc
+    * duplicating the existing corpus, an in-batch duplicate pair). */
+  private[graft] def incrementalOn(docs: DataFrame): DataFrame = {
+    val digests = docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val incoming = digests.where(pmod(col("doc_id"), lit(5)) === 0)
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val existing = digests.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("text_hash"))
+    incoming.join(existing, Seq("text_hash"), "left_anti")
+      .select(col("doc_id"), col("text_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shingle-hash sets per document, with a 100-char length block key.
     *
     * Two plan-shape traps handled here (found via explain at sf0.1 —
@@ -376,6 +407,7 @@ object DedupQueries {
 
   def queries: Map[String, Q] = Map(
     "dedup_exact"         -> dedupExact,
+    "dedup_incremental"   -> dedupIncremental,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh"   -> dedupMinhashLsh,
     "dedup_simhash"       -> dedupSimhash,
@@ -460,6 +492,15 @@ object DedupQueries {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+        |inc AS (
+        |  SELECT text_hash, min(doc_id) AS doc_id FROM d
+        |  WHERE doc_id % 5 = 0 GROUP BY 1),
+        |ex AS (SELECT DISTINCT text_hash FROM d WHERE doc_id % 5 <> 0)
+        |SELECT doc_id, text_hash FROM inc
+        |WHERE text_hash NOT IN (SELECT text_hash FROM ex)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH tok AS (
          |  SELECT doc_id, n_chars // 100 AS len_bucket,

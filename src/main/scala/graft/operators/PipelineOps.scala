@@ -47,7 +47,7 @@ object PipelineOps {
     * sign, so the first reduction adds P back to stay non-negative and
     * match Spark's pmod for negative ids too; after that every operand
     * is non-negative and the engines agree bit-for-bit. */
-  private def hash10kSql(x: String): String = {
+  private[graft] def hash10kSql(x: String): String = {
     val r = s"(((CAST($x AS BIGINT) % $P) + $P) % $P)"
     val s = s"(($r * 2654435761 + 104729) % $P)"
     s"(((($s * $s) % $P) * $s) % $P) % 10000"
@@ -99,6 +99,41 @@ object PipelineOps {
       .withColumn("pct_docs",
         Tables.round6(col("n_docs") / sum(col("n_docs")).over(Window.partitionBy())))
       .orderBy(col("corpus"))
+  }
+
+  /** `smp_temperature`: temperature-weighted language rebalancing — the
+    * multilingual-pretraining mix rule q_l ∝ p_l^α at α = 0.5. The
+    * per-language keep rate that turns the corpus distribution p into
+    * the target q is p^(α−1) = 1/√p, normalized so the SMALLEST
+    * language keeps everything: rate_l = ⌊10⁴·√(n_min/n_l)⌋ basis
+    * points, decided per row by the same replayable hash as
+    * [[smpStratified]]. Reports per language: corpus count, rate, kept
+    * count, and the kept share of the rebalanced mixture.
+    *
+    * α is fixed at 0.5 BECAUSE of the oracle: √ is IEEE
+    * correctly-rounded in both engines (one division + one sqrt + one
+    * floor → bit-identical rates), where a libm `pow(p, α−1)` may
+    * differ by an ulp and flip a floor at a basis-point boundary.
+    *
+    * Scale: one scan aggregates (lang, count) — bounded by the
+    * language catalog, so the rate dim legitimately broadcasts — and
+    * one scan joins rates back and counts keeps; the row decision is a
+    * pure scan predicate. Nothing data-sized leaves the executors. */
+  val smpTemperature: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val minc = counts.agg(min(col("n_total")).as("min_total"))
+    val rates = counts.crossJoin(broadcast(minc))
+      .withColumn("rate_bp",
+        floor(lit(10000.0) *
+          sqrt(col("min_total").cast("double") / col("n_total"))).cast("long"))
+      .select(col("lang"), col("n_total"), col("rate_bp"))
+    docs.join(rates, Seq("lang"))
+      .groupBy(col("lang"), col("n_total"), col("rate_bp"))
+      .agg(count(when(hash10k(col("doc_id")) < col("rate_bp"), 1)).as("n_kept"))
+      .withColumn("pct_kept",
+        Tables.round6(col("n_kept") / sum(col("n_kept")).over(Window.partitionBy())))
+      .orderBy(col("lang"))
   }
 
   val SampleK = 200
@@ -182,6 +217,7 @@ object PipelineOps {
 
   def queries: Map[String, Q] = Map(
     "smp_stratified"      -> smpStratified,
+    "smp_temperature"     -> smpTemperature,
     "smp_fixed_k"         -> smpFixedK,
     "pipe_mixture"        -> pipeMixture,
     "txt_chunk_overlap"   -> txtChunkOverlap,
@@ -204,6 +240,24 @@ object PipelineOps {
          |  SELECT doc_id, lang, source FROM documents
          |  ORDER BY ${hash10kSql("doc_id")}, doc_id LIMIT $SampleK) t
          |ORDER BY doc_id""".stripMargin,
+    "smp_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+         |r AS (
+         |  SELECT lang, n_total,
+         |    CAST(floor(10000.0 * sqrt(
+         |      CAST((SELECT min(n_total) FROM c) AS DOUBLE) / n_total))
+         |      AS BIGINT) AS rate_bp
+         |  FROM c),
+         |k AS (
+         |  SELECT lang, n_total, rate_bp,
+         |    count(CASE WHEN ${hash10kSql("d.doc_id")} < rate_bp
+         |          THEN 1 END) AS n_kept
+         |  FROM documents d JOIN r USING (lang)
+         |  GROUP BY 1, 2, 3)
+         |SELECT lang, n_total, rate_bp, n_kept,
+         |  floor((CAST(n_kept AS DOUBLE) / SUM(n_kept) OVER ())
+         |        * 1000000.0 + 0.5) / 1000000.0 AS pct_kept
+         |FROM k ORDER BY lang""".stripMargin,
     "pipe_mixture" ->
       s"""WITH s AS (
          |  SELECT doc_id,

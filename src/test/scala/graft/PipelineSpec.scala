@@ -197,6 +197,46 @@ class PipelineSpec extends AnyFunSuite {
       s"expected exactly 1 broadcast hint (the 1-row n), got $nHints:\n$analyzed")
   }
 
+  test("incremental dedup admits only novel incoming content (planted " +
+    "existing-dup, in-batch-dup, and novel docs)") {
+    import spark.implicits._
+    // ids 1,2 are the existing corpus (id % 5 != 0); 5,10,15,20 the
+    // incoming batch. 5 duplicates existing 1 → rejected; 15 duplicates
+    // 10 in-batch → min-id 10 admitted once; 20 is novel → admitted.
+    val docs = Seq(
+      (1L, "alpha"), (2L, "beta"),
+      (5L, "alpha"), (10L, "gamma"), (15L, "gamma"), (20L, "delta")
+    ).toDF("doc_id", "text")
+    val admitted = operators.DedupQueries.incrementalOn(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(10L, 20L), s"got $admitted")
+  }
+
+  test("temperature rebalancing: the smallest language keeps everything, " +
+    "rates fall with language size, kept counts are consistent") {
+    val rows = operators.PipelineOps.smpTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val minTotal = rows.map(_._2).min
+    rows.foreach { case (lang, nTotal, rateBp, nKept) =>
+      assert(nKept <= nTotal, s"$lang kept more than it has")
+      assert(rateBp <= 10000, s"$lang rate above 100%")
+      if (nTotal == minTotal)
+        assert(rateBp == 10000 && nKept == nTotal,
+          s"smallest language $lang must keep everything, got " +
+            s"rate=$rateBp kept=$nKept/$nTotal")
+    }
+    // rates are anti-monotone in corpus size: a bigger language never
+    // gets a higher keep rate
+    for (pair <- rows.sortBy(_._2).sliding(2) if pair.length == 2) {
+      val (a, b) = (pair(0), pair(1))
+      if (a._2 != b._2)
+        assert(a._3 >= b._3,
+          s"rate not anti-monotone: ${a._1}(${a._2})=${a._3} vs " +
+            s"${b._1}(${b._2})=${b._3}")
+    }
+  }
+
   test("corpus-clean funnel: one documents scan, no stage-count union " +
     "(every per-doc flag computed in a single pass)") {
     // The naive five-branch union re-ran its shared prefix per stage
