@@ -277,8 +277,10 @@ object Forecast {
     * over real feature rows. */
   val mlForecast: Q = (spark, dir) => {
     import spark.implicits._
-    val path = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_model_store").getPath
+    // session-unique path: a fixed name would race with a concurrent
+    // driver/bench process overwriting the same store mid-read
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_model_store_${spark.sparkContext.applicationId}").getPath
     ModelStore.save(trainPerProductModels(spark, dir), path)
     ModelStore.load(spark, path)
       .map { pm =>
