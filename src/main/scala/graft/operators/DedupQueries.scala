@@ -369,9 +369,9 @@ object DedupQueries {
     * doc_id, and all five stage counts come out of ONE conditional
     * aggregate — vs the naive five-branch union whose branches re-run
     * their shared prefix per stage (Spark does not CSE across union
-    * branches; measured ~3.7 s → ~2.4 s at sf0.1). The near-dup pair
-    * derivation still runs once inside [[dedupComponents]] — that IS
-    * the dominant, irreducible work. */
+    * branches; measured ~3.7 s → ~2.7-3.0 s at sf0.1). The near-dup
+    * pair derivation still runs once inside [[dedupComponents]] — that
+    * IS the dominant, irreducible work. */
   val pipeCorpusClean: Q = (spark, dir) => {
     val t = tokens(col("text"))
     val flags = Tables.documents(spark, dir)
