@@ -26,6 +26,18 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("testdata surface: every Tables reader loads its table with rows " +
+    "(incl. the nanos-parquet events path)") {
+    val readers: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq("region" -> Tables.region, "nation" -> Tables.nation,
+        "customer" -> Tables.customer, "supplier" -> Tables.supplier,
+        "part" -> Tables.part, "orders" -> Tables.orders,
+        "lineitem" -> Tables.lineitem, "events" -> Tables.events,
+        "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
+    for ((name, rd) <- readers)
+      assert(rd(spark, sf).count() > 0, s"$name read no rows")
+  }
+
   test("cross-pipeline revenue invariant (reference's own check, SURVEY.md §5): " +
     "daily×product total == weekly total") {
     val daily = operators.CoreQueries.aggDailyProduct(spark, sf)
