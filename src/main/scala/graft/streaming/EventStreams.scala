@@ -252,6 +252,24 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming form of [[graft.operators.DedupQueries.dedupIncremental]]:
+    * admit only documents whose content digest is NOT in the existing
+    * corpus — a stream-static LEFT ANTI join (the static digest store
+    * re-resolves per micro-batch, so a store appended between batches
+    * is honored without restart). Composes with
+    * `dropDuplicatesWithinWatermark` upstream for in-stream repeats;
+    * the anti join itself is STATELESS (nothing buffers — each batch
+    * probes the store and passes novel rows through). At 100 TB the
+    * static side is the bucketed digest store, exactly as in the batch
+    * form; only digests are compared, the document payload rides
+    * through untouched. StreamMlSpec plants known-vs-novel digests and
+    * asserts only novel ones emerge. */
+  def incrementalDedupStreamAppend(docs: DataFrame,
+      existingDigests: DataFrame): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .join(existingDigests, Seq("text_hash"), "left_anti")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       value: Double)
   case class SessionState(sessionIdx: Long, lastTs: Long, n: Long,

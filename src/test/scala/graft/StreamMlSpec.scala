@@ -368,6 +368,30 @@ class StreamMlSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming incremental dedup: a stream-static anti join admits " +
+    "only documents whose digest is not in the existing store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.md5
+    val existing = Seq("alpha", "omega").toDF("text")
+      .select(md5($"text").as("text_hash"))
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.EventStreams
+      .incrementalDedupStreamAppend(src.toDF.toDF("doc_id", "text"), existing)
+      .writeStream.format("memory").queryName("incdedup_sink")
+      .outputMode("append").start()
+    try {
+      src.addData((1L, "alpha"), (2L, "beta"))   // alpha known → dropped
+      q.processAllAvailable()
+      src.addData((3L, "omega"), (4L, "gamma"))  // omega known → dropped
+      q.processAllAvailable()
+      val admitted = spark.table("incdedup_sink")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted == Set(2L, 4L), s"got $admitted")
+    } finally q.stop()
+  }
+
   test("ModelStore round-trips an all-numeric product catalog as strings " +
     "(partition-column inference would read \"0123\" back as \"123\")") {
     import spark.implicits._
