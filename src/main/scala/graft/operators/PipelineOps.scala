@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{shingleHashes, tokens, EN_STOP}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -215,11 +215,77 @@ object PipelineOps {
       .orderBy(col("bucket"), col("shard"))
   }
 
+  /** `pipe_decontaminate`: benchmark decontamination — flag every
+    * training document that shares a word 3-gram with the held-out
+    * eval set (the standard n-gram-overlap rule used to scrub eval
+    * leakage from pretraining corpora). The eval set is deterministic
+    * here (every 50th doc_id, a 2% "benchmark"); in production it is
+    * the actual eval suites. Emits (doc_id, n_hit_ngrams) for every
+    * contaminated training doc.
+    *
+    * Scale: both sides reduce to 8-byte shingle hashes before the
+    * equi-join — 100 TB of text never transits the shuffle, only
+    * hashes + ids (the [[DedupQueries]] discipline). The eval side is
+    * BOUNDED by the benchmark suite (not the corpus), so the planner
+    * broadcasts it at any realistic eval size; we leave the join
+    * planner-chosen rather than forcing the hint. Shingle sets are
+    * distinct per doc and the eval side is de-duplicated, so the
+    * per-doc hit count needs no countDistinct — each (doc, hash)
+    * pair occurs once. */
+  val pipeDecontaminate: Q = (spark, dir) =>
+    decontaminateOn(Tables.documents(spark, dir))
+
+  /** [[pipeDecontaminate]] over an explicit (doc_id, text) frame — the
+    * spec plants an eval/train pair sharing exactly one 3-gram. */
+  private[graft] def decontaminateOn(docs: org.apache.spark.sql.DataFrame) = {
+    // tokens materialize in their own projection (the generator-inlining
+    // trap, see [[DedupQueries.shingledOn]] — fused, the tokenizer regex
+    // re-runs per shingle reference: measured 9.4 s vs 1.9 s at sf0.1).
+    val ex = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), shingleHashes(col("w")).as("s"))
+      .select(col("doc_id"), explode(col("s")).as("h"))
+    val evalGrams = ex.where(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("h")).distinct()
+    ex.where(pmod(col("doc_id"), lit(50)) =!= 0)
+      .join(evalGrams, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_ngrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** `pipe_quality_filter`: percentile-threshold corpus cut — keep the
+    * documents whose quality score (the exact [[TextQueries]] scalar)
+    * clears the corpus 25th percentile. This is the adaptive form of
+    * quality filtering: the cut tracks the corpus distribution instead
+    * of a hand-tuned constant.
+    *
+    * The threshold is exact `percentile` here because the oracle
+    * demands bit-replayability (DuckDB `quantile_cont`, same
+    * idx = p·(n−1) interpolation); at 100 TB the drop-in scale path is
+    * `approx_percentile` — the sketch family already proven by
+    * agg_approx_percentiles. The threshold is a 1-row frame, so the
+    * broadcast is bounded by construction (the crossJoin(broadcast(…))
+    * pattern every corpus-relative operator here uses). */
+  val pipeQualityFilter: Q = (spark, dir) => {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextQueries.qualityScoreCol(col("text"), tokens(col("text")))
+          .as("quality_score"))
+    val thr = scored.agg(percentile(col("quality_score"), lit(0.25)).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .where(col("quality_score") >= col("thr"))
+      .select(col("doc_id"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "smp_stratified"      -> smpStratified,
     "smp_temperature"     -> smpTemperature,
     "smp_fixed_k"         -> smpFixedK,
     "pipe_mixture"        -> pipeMixture,
+    "pipe_decontaminate"  -> pipeDecontaminate,
+    "pipe_quality_filter" -> pipeQualityFilter,
     "txt_chunk_overlap"   -> txtChunkOverlap,
     "pipe_pack_sequences" -> pipePackSequences,
   )
@@ -276,6 +342,39 @@ object PipelineOps {
          |  floor((CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ())
          |        * 1000000.0 + 0.5) / 1000000.0 AS pct_docs
          |FROM a ORDER BY corpus""".stripMargin,
+    // Identity-only shingles (string form ≡ xxhash64 form up to 2^-64
+    // collisions, the dedup_ngram_jaccard argument): membership and
+    // per-doc hit COUNTS are preserved, which is all this oracle reads.
+    "pipe_decontaminate" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $T AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 3
+         |         THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                            FOR i IN range(1, len(w) - 1)])
+         |         ELSE [] END AS s
+         |  FROM tok),
+         |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |ev AS (SELECT DISTINCT g FROM e WHERE doc_id % 50 = 0)
+         |SELECT e.doc_id, count(*) AS n_hit_ngrams
+         |FROM e JOIN ev USING (g)
+         |WHERE e.doc_id % 50 <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipe_quality_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    floor((least(CAST(len($T) AS DOUBLE) / 100.0, 1.0) * 0.4
+         |          + CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+         |                 AS DOUBLE) / length(text) * 0.4
+         |          + least(CAST(${TextQueries.sw(EN_STOP)} AS DOUBLE)
+         |                  / len($T) * 5.0, 1.0) * 0.2)
+         |        * 1000000.0 + 0.5) / 1000000.0 AS quality_score
+         |  FROM documents),
+         |t AS (SELECT quantile_cont(quality_score, 0.25) AS thr FROM q)
+         |SELECT q.doc_id, q.quality_score FROM q, t
+         |WHERE q.quality_score >= t.thr
+         |ORDER BY q.doc_id""".stripMargin,
     "txt_chunk_overlap" ->
       s"""WITH tok AS (
          |  SELECT doc_id, $T AS w FROM documents),

@@ -180,6 +180,42 @@ object TextQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Repetition signal (the Gopher-rules quality family): per document,
+    * the most frequent word bigram and the fraction of all bigram slots
+    * it occupies — high top-bigram fractions mark boilerplate/spam
+    * (`txt_quality`'s ratios can't see phrase-level looping). Ties
+    * break deterministically (count desc, bigram asc). Documents with
+    * fewer than two tokens emit no row (they have no bigram slots).
+    *
+    * Scale: one (doc_id, bigram) hash-aggregate with map-side combine,
+    * then one doc-partitioned window pass for the argmax + total —
+    * both shuffles are on corpus-scaling keys, and only 8-byte counts
+    * plus the single winning bigram string per doc leave the
+    * aggregate. The fraction is an exact integer-over-integer divide —
+    * IEEE-identical in both engines, no rounding needed. */
+  val txtRepetition: Q = (spark, dir) =>
+    repetitionOn(Tables.documents(spark, dir))
+
+  /** [[txtRepetition]] over an explicit (doc_id, text) frame — the spec
+    * plants a looping document and an exact three-way count tie. */
+  private[graft] def repetitionOn(docs: org.apache.spark.sql.DataFrame) = {
+    val counts = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(ngrams(col("w"), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    counts
+      .withColumn("n_bigrams", sum(col("c")).over(byDoc))
+      .withColumn("rn",
+        row_number().over(byDoc.orderBy(col("c").desc, col("bigram"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("bigram").as("top_bigram"),
+        col("c").as("n_top"), col("n_bigrams"),
+        (col("c").cast("double") / col("n_bigrams")).as("top_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "txt_tokens"      -> txtTokens,
     "txt_quality"     -> txtQuality,
@@ -187,6 +223,7 @@ object TextQueries {
     "txt_fingerprint" -> txtFingerprint,
     "txt_tfidf"       -> txtTfidf,
     "txt_bigram_freq" -> txtBigramFreq,
+    "txt_repetition"  -> txtRepetition,
     "txt_pii_redact"  -> txtPiiRedact,
   )
 
@@ -273,5 +310,21 @@ object TextQueries {
          |  FROM tok)
          |SELECT bigram, count(*) AS n FROM bg
          |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    "txt_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $T AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+         |  FROM tok),
+         |c AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+         |r AS (
+         |  SELECT doc_id, bigram, c,
+         |    CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY c DESC, bigram) AS rn
+         |  FROM c)
+         |SELECT doc_id, bigram AS top_bigram, c AS n_top, n_bigrams,
+         |  CAST(c AS DOUBLE) / n_bigrams AS top_frac
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -352,7 +352,74 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
       .orderBy(col("event_type"), col("k_bucket"))
 
+  /** Ordered funnel view → click → purchase: a user reaches a stage
+    * only via an event strictly AFTER their entry into the previous
+    * stage (first view, then first click after that view, then first
+    * purchase after that click). Emits one summary row with the user
+    * count surviving each stage.
+    *
+    * Scale: three chained min-over-user windows on ONE partitioning —
+    * a single shuffle on user_id, three Window operators, no
+    * self-joins (the naive per-stage join formulation shuffles the
+    * event log once per stage). The per-user collapse rides the same
+    * partitioning and the final global count is a 4-long reduce. */
+  val evtFunnel: Q = (spark, dir) =>
+    funnelOn(Tables.events(spark, dir))
+
+  /** [[evtFunnel]] over an explicit (user_id, event_type, ts) frame —
+    * the spec plants out-of-order stage sequences. */
+  private[graft] def funnelOn(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    events
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+          col("ts"))).over(byUser))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+          col("ts"))).over(byUser))
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+      .distinct()
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"))
+  }
+
+  /** Cohort retention: users grouped by first-active day, counted on
+    * each of the next 7 days they return (day_offset 0 = cohort size).
+    * The standard activation/retention table every analytics engine
+    * ships.
+    *
+    * Scale: ONE shuffle on user_id builds the per-user distinct-day
+    * set (collect_set is bounded by the calendar — days per user can't
+    * exceed the product's age, thousands at most, nothing data-sized);
+    * cohort day and offsets derive inline from that array, and the
+    * final (cohort, offset) count is the only other shuffle. The
+    * distinct-then-self-join formulation the oracle uses would shuffle
+    * three times. */
+  val evtRetention: Q = (spark, dir) =>
+    retentionOn(Tables.events(spark, dir))
+
+  /** [[evtRetention]] over an explicit (user_id, ts) frame — the spec
+    * plants a user returning past the 7-day horizon. */
+  private[graft] def retentionOn(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(collect_set(to_date(col("ts"))).as("days"))
+      .select(col("user_id"), array_min(col("days")).as("cohort_day"),
+        explode(col("days")).as("day"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .where(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+
   def queries: Map[String, Q] = Map(
+    "evt_funnel"          -> evtFunnel,
+    "evt_retention"       -> evtRetention,
     "evt_tumbling_window" -> evtTumblingWindow,
     "evt_sliding_window"  -> evtSlidingWindow,
     "evt_sessionize"      -> evtSessionize,
@@ -362,6 +429,35 @@ object EventStreams {
   )
 
   def oracles: Map[String, String] = Map(
+    "evt_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view
+        |        THEN e.ts END) AS t_click
+        |  FROM events e JOIN v USING (user_id) GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click
+        |        THEN e.ts END) AS t_purchase
+        |  FROM events e JOIN c USING (user_id) GROUP BY 1)
+        |SELECT count(*) AS n_users, count(t_view) AS n_view,
+        |  count(t_click) AS n_click, count(t_purchase) AS n_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+        .stripMargin,
+    "evt_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |co AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT co.cohort_day,
+        |  CAST(d.day - co.cohort_day AS INT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM d JOIN co USING (user_id)
+        |WHERE d.day - co.cohort_day <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "evt_user_enrich" ->
       """SELECT date_trunc('hour', ts) AS window_start, c_mktsegment,
         |  count(*) AS n_events,

@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-fixture specs for the round-6 analytics additions:
+  * decontamination, percentile quality filtering, repetition scoring,
+  * funnel, and cohort retention — each checked on a hand-derivable
+  * input the sf fixtures can't guarantee (exact ties, out-of-order
+  * stages, past-horizon returns). */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("decontamination flags exactly the training docs sharing a " +
+    "3-gram with the eval set, counting distinct shared shingles") {
+    // doc_id % 50 == 0 → eval; others train.
+    val docs = Seq(
+      0L  -> "the quick brown fox jumps",
+      50L -> "lorem ipsum dolor sit",
+      1L  -> "quick brown fox runs away",      // shares {quick brown fox}
+      2L  -> "totally clean document here",    // no overlap
+      3L  -> "lorem ipsum dolor sit amet",     // shares 2 shingles with 50
+    ).toDF("doc_id", "text")
+    val got = operators.PipelineOps.decontaminateOn(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("quality filter keeps exactly the docs at or above the corpus " +
+    "p25 (independently interpolated) and at least 75% of the corpus") {
+    val scores = operators.TextQueries.txtQuality(spark, sf)
+      .select(col("doc_id"), col("quality_score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sorted = scores.values.toArray.sorted
+    val idx = 0.25 * (sorted.length - 1)
+    val (lo, hi) = (sorted(idx.toInt), sorted(math.ceil(idx).toInt))
+    val thr = lo + (hi - lo) * (idx - idx.toInt)
+    val kept = operators.PipelineOps.pipeQualityFilter(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val expected = scores.filter(_._2 >= thr).keySet
+    // Docs in the symmetric difference may only sit AT the threshold
+    // (lerp association can differ by an ulp between this replication
+    // and Spark's percentile) — anything clearly above or below must
+    // agree exactly.
+    val disputed = (kept.diff(expected) ++ expected.diff(kept))
+    assert(disputed.forall(d => math.abs(scores(d) - thr) < 1e-9),
+      s"non-boundary disagreement: $disputed (thr=$thr)")
+    assert(kept.size >= (0.75 * (scores.size - 1)).toInt)
+  }
+
+  test("repetition: looping doc scores 3/5, an exact three-way count " +
+    "tie breaks lexicographically, sub-bigram docs emit no row") {
+    val docs = Seq(
+      1L -> "a b a b a b",      // ab×3, ba×2 of 5 slots
+      2L -> "a b c d a b c d",  // ab=bc=cd=2, da=1 of 7 → tie → "a b"
+      3L -> "solo",             // 1 token → no bigram slots
+    ).toDF("doc_id", "text")
+    val got = operators.TextQueries.repetitionOn(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a b", 3L, 5L, 0.6),
+      (2L, "a b", 2L, 7L, 2.0 / 7.0)))
+  }
+
+  test("funnel: stages only count strictly AFTER the previous stage's " +
+    "first event (equal timestamps and reversed orders don't)") {
+    val events = Seq(
+      // u1 completes the funnel in order
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      // u2: click BEFORE its first view, purchase without click-after-view
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 09:30:00")),
+      (2L, "purchase", ts("2024-01-01 09:45:00")),
+      // u3: purchase lands between view and click → reaches click only
+      (3L, "view", ts("2024-01-01 08:00:00")),
+      (3L, "purchase", ts("2024-01-01 08:10:00")),
+      (3L, "click", ts("2024-01-01 08:20:00")),
+      // u4 never views
+      (4L, "error", ts("2024-01-01 07:00:00")),
+      // u5: click at the SAME instant as the view — strict > excludes it
+      (5L, "view", ts("2024-01-01 06:00:00")),
+      (5L, "click", ts("2024-01-01 06:00:00")),
+    ).toDF("user_id", "event_type", "ts")
+    val r = streaming.EventStreams.funnelOn(events).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((5L, 4L, 2L, 1L)))
+  }
+
+  test("retention: offsets clip at the 7-day horizon, same-day repeats " +
+    "collapse, cohorts aggregate across users") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-04 11:00:00")),  // offset 3
+      (1L, ts("2024-01-09 12:00:00")),  // offset 8 → beyond horizon
+      (2L, ts("2024-01-06 10:00:00")),
+      (2L, ts("2024-01-06 23:00:00")),  // same day → one activity
+      (2L, ts("2024-01-07 01:00:00")),  // offset 1
+      (3L, ts("2024-01-01 09:00:00")),  // joins u1's cohort
+      (3L, ts("2024-01-04 09:00:00")),
+    ).toDF("user_id", "ts")
+    val got = streaming.EventStreams.retentionOn(events)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 3) -> 2L,
+      ("2024-01-06", 0) -> 1L, ("2024-01-06", 1) -> 1L))
+  }
+}
