@@ -240,6 +240,62 @@ object EventStreams {
         col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** Click→purchase attribution: every purchase matched to each click
+    * by the same user in the preceding hour — the batch (oracled) form
+    * of a STREAM-STREAM interval join, the one join family the
+    * streaming layer did not yet cover. Output is the attribution pair
+    * set (user, click, purchase, lag), deterministic by construction
+    * (event ids are unique).
+    *
+    * Scale: an equi-join on user_id with the time window as a residual
+    * range predicate — both sides shuffle ONCE on the bounded join key;
+    * the pair blow-up is capped by (clicks per user-hour × purchases
+    * per user-hour), a rate×window product, not a corpus-sized cross.
+    * The streaming form is [[attribStreamAppend]]. */
+  val evtStreamStreamJoin: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"),
+        col("value"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** Streaming form of [[evtStreamStreamJoin]]: a watermarked
+    * stream-stream inner join. This is the join whose state Spark can
+    * only bound when BOTH sides carry watermarks AND the join condition
+    * carries an event-time range — here `purchase_ts ∈ (click_ts,
+    * click_ts + 1h]`, from which the engine derives how long each side
+    * must buffer: a click can stop waiting one hour past the purchase
+    * watermark, a purchase the moment the click watermark passes it.
+    * Without the range predicate the buffers grow with the stream —
+    * the unbounded-state shape this entry point exists to avoid.
+    * StreamMlSpec asserts stream ≡ batch on planted input.
+    *
+    * Inputs: `clicks(user_id, click_id, click_ts)` and
+    * `purchases(p_user_id, purchase_id, purchase_ts, value)`. */
+  def attribStreamAppend(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("click_ts", "30 minutes")
+      .join(purchases.withWatermark("purchase_ts", "30 minutes"),
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"),
+        col("value"))
+
   /** Streaming exact dedup by event id — the ingestion-side guard of
     * the dedup family (at-least-once sources re-deliver; the training
     * pipeline must not double-count). State is one id per event inside
@@ -420,6 +476,7 @@ object EventStreams {
   def queries: Map[String, Q] = Map(
     "evt_funnel"          -> evtFunnel,
     "evt_retention"       -> evtRetention,
+    "evt_stream_stream_join" -> evtStreamStreamJoin,
     "evt_tumbling_window" -> evtTumblingWindow,
     "evt_sliding_window"  -> evtSlidingWindow,
     "evt_sessionize"      -> evtSessionize,
@@ -429,6 +486,15 @@ object EventStreams {
   )
 
   def oracles: Map[String, String] = Map(
+    "evt_stream_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us, p.value
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, event_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p USING (user_id)
+        |WHERE p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
     "evt_funnel" ->
       """WITH v AS (
         |  SELECT user_id,

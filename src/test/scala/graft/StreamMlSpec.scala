@@ -413,6 +413,56 @@ class StreamMlSpec extends AnyFunSuite {
       s"numeric-looking keys corrupted on reload: $reloaded")
   }
 
+  test("stream-stream interval join ≡ batch attribution on planted input; " +
+    "out-of-window and wrong-order purchases never match") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // (user, id, ts): u1 click 10:00 → purchases 10:30 (match), 11:30
+    // (outside 1h), 09:50 (before click); u2 click 10:00 → purchase at
+    // exactly 10:00 (not strictly after) and 10:20 (match); u3 purchase
+    // with no click at all
+    val clickRows = Seq((1L, 100L, ts(10, 0)), (2L, 200L, ts(10, 0)))
+    val purchRows = Seq(
+      (1L, 101L, ts(10, 30), 5.0), (1L, 102L, ts(11, 30), 6.0),
+      (1L, 103L, ts(9, 50), 7.0),  (2L, 201L, ts(10, 0), 8.0),
+      (2L, 202L, ts(10, 20), 9.0), (3L, 301L, ts(10, 10), 10.0))
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val q = streaming.EventStreams.attribStreamAppend(
+        clicks.toDF.toDF("user_id", "click_id", "click_ts"),
+        purchases.toDF.toDF("p_user_id", "purchase_id", "purchase_ts", "value"))
+      .writeStream.format("memory").queryName("attrib_sink")
+      .outputMode("append").start()
+    try {
+      clicks.addData(clickRows: _*)
+      purchases.addData(purchRows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val streamed = spark.table("attrib_sink").collect().map(key).toSet
+    // batch formulation over the same planted frames
+    val batch = clickRows.toDF("user_id", "click_id", "click_ts")
+      .join(purchRows.toDF("p_user_id", "purchase_id", "purchase_ts", "value"),
+        $"user_id" === $"p_user_id" &&
+        $"purchase_ts" > $"click_ts" &&
+        $"purchase_ts" <= $"click_ts" + org.apache.spark.sql.functions
+          .expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"click_id", $"purchase_id",
+        (org.apache.spark.sql.functions.unix_micros($"purchase_ts") -
+          org.apache.spark.sql.functions.unix_micros($"click_ts"))
+          .as("lag_us"), $"value")
+      .collect().map(key).toSet
+    val expected = Set(
+      (1L, 100L, 101L, 1800000000L, 5.0),
+      (2L, 200L, 202L, 1200000000L, 9.0))
+    assert(batch == expected, s"batch formulation wrong: $batch")
+    assert(streamed == expected, s"stream ≢ batch: $streamed")
+  }
+
   test("forecast: grid-searched model trains, persists, reloads, predicts " +
     "identically (sf0.001)") {
     val (model, scored) = ml.Forecast.trainBest(spark, sf)
