@@ -144,6 +144,34 @@ object SourceQueries {
       .orderBy(col("month"), col("product"))
   }
 
+  /** §2.A sink + sort-clustered layout: write events range-clustered
+    * (`repartitionByRange` + `sortWithinPartitions` on user_id), read
+    * back with a selective user filter, and aggregate. The layout makes
+    * every file and row group carry a NARROW, pairwise-disjoint
+    * user_id min/max band in its parquet footer, so the pushed filter
+    * (`PushedFilters: [GreaterThanOrEqual(user_id,…), …]`) skips whole
+    * row groups from the footer alone — SourceSinkSpec reads the
+    * footers and asserts the bands are disjoint and the probe touches
+    * one file. At 100 TB this is the second pruning axis after date
+    * partitioning: partition dirs cut time, in-file clustering cuts
+    * the key dimension, and a point/range probe reads ~one row group
+    * instead of the whole day. Oracled over the original table —
+    * layout must not change results. */
+  val snkSortedPrune: Q = (spark, dir) => {
+    val out = s"target/tmp/sorted_events_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.events(spark, dir)
+      .repartitionByRange(4, col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .where(col("user_id").between(10, 19))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(Tables.cents(col("value"))) / lit(100.0)).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** §2.A `snk_orc_roundtrip`: the ORC sibling of the CSV round trip —
     * columnar sink, typed read-back (no schema re-declaration needed:
     * ORC carries types), re-aggregate. Doubles survive bit-exactly
@@ -166,6 +194,7 @@ object SourceQueries {
     "snk_csv_roundtrip"    -> snkCsvRoundtrip,
     "snk_bucketed_join"    -> snkBucketedJoin,
     "snk_partitioned_prune" -> snkPartitionedPrune,
+    "snk_sorted_prune"     -> snkSortedPrune,
     "snk_orc_roundtrip"    -> snkOrcRoundtrip,
   )
 
@@ -191,6 +220,11 @@ object SourceQueries {
         |FROM (""".stripMargin + CoreQueries.aggDailyProductSql +
         """) t WHERE strftime(sale_date, '%Y-%m') IN ('1996-03', '1997-07')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "snk_sorted_prune" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  SUM(floor(value * 100.0 + 0.5)) / 100.0 AS total_value
+        |FROM events WHERE user_id BETWEEN 10 AND 19
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "snk_orc_roundtrip" ->
       ("""SELECT product, SUM(total_quantity) AS total_quantity,
         |  SUM(floor(total_revenue * 100.0 + 0.5)) / 100.0 AS total_revenue

@@ -105,4 +105,49 @@ class JoinWindowSpec extends AnyFunSuite {
       assert(joined.count() == Tables.lineitem(spark, sf).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("runtime bloom filter: a selective dim-side predicate injects a " +
+    "bloom probe into the fact scan of a shuffle join") {
+    // The 100 TB shape this guards: fact ⋈ σ(dim) where the dim
+    // predicate is selective — Spark builds a bloom filter from the
+    // filtered dim keys and probes it INSIDE the fact scan stage, so
+    // non-matching fact rows die before the shuffle instead of after
+    // it. Defaults only fire above 10 GB scans; the thresholds here are
+    // lowered so the test SF exercises the same rule the cluster uses.
+    val prevs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val o = Tables.orders(spark, sf)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val l = Tables.lineitem(spark, sf)
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom probe on the fact side:\n$optimized")
+      // the filter must not change results vs the plain join
+      val n = joined.collect().map(r => r.getLong(1)).sum
+      val expected = l.join(
+          Tables.orders(spark, sf)
+            .where(col("o_orderpriority") === "1-URGENT")
+            .select("o_orderkey"),
+          l("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(n == expected, s"bloom-filtered join changed results: $n vs $expected")
+    } finally prevs.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }

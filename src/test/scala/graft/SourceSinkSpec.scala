@@ -27,6 +27,53 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("sort-clustered sink: files carry disjoint user_id bands in their " +
+    "parquet footers, the range probe skips at least one file on stats " +
+    "alone, and the user filter is pushed to the scan") {
+    val df = sources.SourceQueries.snkSortedPrune(spark, sf)
+    df.collect() // runs the write
+    val out = s"target/tmp/sorted_events_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // read the footers the way the scan's row-group pruner does —
+    // min/max stats only, no data pages
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length == 4, s"expected 4 range-partitioned files: ${files.length}")
+    val bands = files.map { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        val stats = reader.getFooter.getBlocks.asScala.map { block =>
+          val col = block.getColumns.asScala
+            .find(_.getPath.toDotString == "user_id").get
+          val s = col.getStatistics
+          (s.genericGetMin.asInstanceOf[Long], s.genericGetMax.asInstanceOf[Long])
+        }
+        (stats.map(_._1).min, stats.map(_._2).max)
+      } finally reader.close()
+    }
+    // range clustering ⇒ pairwise-disjoint per-file key bands
+    bands.sorted.toSeq.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file bands overlap: ${bands.mkString(", ")}")
+      case _ =>
+    }
+    // the [10, 19] probe's band must MISS at least one file's band —
+    // the footer alone lets the scan skip those files entirely (how
+    // many survive depends on where the range boundaries fall at this
+    // SF; disjointness above is what caps it)
+    val touched = bands.count { case (lo, hi) => hi >= 10 && lo <= 19 }
+    assert(touched < bands.length,
+      s"probe touched every band — nothing skippable: ${bands.mkString(", ")}")
+    // and the filter actually reaches the scan as a pushed filter
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("user_id"),
+      s"user_id filter not pushed:\n$scan")
+  }
+
   test("ORC round trip is row-exact, not just aggregate-equal") {
     val base = operators.CoreQueries.dailyBase(spark, sf)
       .orderBy(col("sale_date"), col("product")).collect()
