@@ -400,6 +400,121 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Subspace count for product quantization: d=64 splits into 8
+    * subvectors of 8 dims — each encoded independently against its own
+    * codebook, so a vector stores m=8 small codes (8 bytes) instead of
+    * 64 doubles (512 bytes): the 64× compression PQ exists for. */
+  val PqSubspaces = 8
+
+  /** Centroids per subspace codebook. Production PQ uses 256 (one
+    * byte per code); 64 here keeps the literal argmin expression
+    * proportionate to the 500-vector fixture (at which 256 would be
+    * half the corpus) — the plan is IDENTICAL at any k, only the
+    * literal array is longer. */
+  val PqCodebookK = 64
+
+  /** PQ shortlist width before exact re-rank (see [[simKnnPq]]). */
+  val PqShortlist = 50
+
+  /** Product-quantization ANN (the remaining classic ANN family next
+    * to LSH/IVF/int8-rerank): per-subspace codebooks, each corpus
+    * vector encoded as m=[[PqSubspaces]] centroid codes, queries
+    * scored by ADC — asymmetric distance computation — against the PQ
+    * RECONSTRUCTION (the concatenation of each subspace's chosen
+    * centroid), then the [[PqShortlist]]-wide shortlist re-ranked with
+    * exact cosine (compressed-scan shortlist + exact re-rank: the
+    * production PQ serving shape; pure-PQ ordering on this
+    * near-uniform fixture ranks at ~0.1 recall — compression distortion
+    * dominates when neighbors are barely closer than noise — while the
+    * re-ranked form measures 0.82, spec floor 0.7). Codebooks are
+    * seeded from a deterministic hash-ordered corpus sample (k sample
+    * subvectors per subspace — replayable where production would
+    * k-means offline; the plumbing is identical).
+    *
+    * Scale shape: codebooks are bounded (m × k × subDim) and inlined
+    * as LITERALS, so encoding is a pure map-side projection (argmin
+    * over k structs per subspace — no shuffle, no window); at 100 TB
+    * the corpus stores ONLY the m byte-codes column, the PQ scan reads
+    * codes not vectors, the 5-row query set broadcasts, and the exact
+    * re-rank touches [[PqShortlist]] vectors per query fetched by an
+    * equi-join on vec_id. FULLY oracled: both engines score
+    * cos(q, reconstruction) as ONE 64-element sequential-left-fold dot
+    * product over the flattened centroid concatenation, so every float
+    * bit matches through both ranking stages.
+    *
+    * Determinism: per-subspace argmin breaks distance ties by centroid
+    * id ascending (struct array_min); shortlist by (pq_sim desc,
+    * vec_id asc) after round6; final rank by (cos_sim desc, vec_id). */
+  val simKnnPq: Q = (spark, dir) => {
+    val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
+      .select(col("vec_id"), col("label"), col("vec"), col("norm"))
+    val d = vecDim(emb)
+    require(d % PqSubspaces == 0,
+      s"dim $d must split evenly into $PqSubspaces subspaces")
+    val subDim = d / PqSubspaces
+    // codebook seeds: the first PqCodebookK corpus vectors in
+    // replayable integer-hash order (same Knuth multiplier rule the
+    // samplers use) — bounded, collected once, inlined as literals
+    val sampled: Array[Seq[Double]] = emb
+      .orderBy((col("vec_id") * lit(2654435761L)) % lit(4294967296L),
+        col("vec_id"))
+      .limit(PqCodebookK)
+      .select(col("vec"))
+      .collect().map(_.getSeq[Double](0))
+    val k = sampled.length
+    // cbVecs(s)(j): subspace s of sample j; cbN2 via the same
+    // left-fold accumulation order the engines use for list_dot_product
+    val cbVecs = Array.tabulate(PqSubspaces, k)((s, j) =>
+      sampled(j).slice(s * subDim, (s + 1) * subDim))
+    val cbN2 = cbVecs.map(_.map(cv => cv.foldLeft(0.0)((a, x) => a + x * x)))
+    // encode: per subspace, argmin_{centroid} ‖sub − c‖² with ties to
+    // the lower code id — dist² = sn2 − 2·⟨sub,c⟩ + cn2, each term a
+    // left-fold dot, so the float profile replays in SQL
+    def codeCol(s: Int): Column = {
+      val sub = slice(col("vec"), s * subDim + 1, subDim)
+      val sn2 = dot(sub, sub)
+      array_min(array((0 until k).map { j =>
+        struct((sn2 - lit(2.0) * dot(sub, typedLit(cbVecs(s)(j))) +
+          lit(cbN2(s)(j))).as("dist2"), lit(j).as("code"))
+      }: _*)).getField("code")
+    }
+    val encoded = emb.select(
+      (Seq(col("vec_id"), col("label")) ++
+        (0 until PqSubspaces).map(s => codeCol(s).as(s"code_$s"))): _*)
+    // reconstruction: concatenate each subspace's chosen centroid —
+    // the decoded codeword ADC scores against
+    val recon = concat((0 until PqSubspaces).map { s =>
+      element_at(typedLit(cbVecs(s).toSeq), col(s"code_$s") + 1)
+    }: _*)
+    val queries = emb.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("norm").as("qnorm"))
+    val pqScored = encoded.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("rv", recon)
+      .select(col("query_id"), col("vec_id"),
+        Tables.round6(dot(col("qvec"), col("rv")) /
+          (col("qnorm") * sqrt(dot(col("rv"), col("rv"))))).as("pq_sim"))
+    val wPq = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_sim").desc, col("vec_id"))
+    val shortlist = pqScored.withColumn("crank", row_number().over(wPq))
+      .where(col("crank") <= PqShortlist)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank: fetch the shortlist's true vectors (5×50 rows) by
+    // equi-join and score exact cosine
+    val exact = shortlist
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        Tables.round6(dot(col("vec"), col("qvec")) /
+          (col("norm") * col("qnorm"))).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Centroid aggregation per label — the IVF coarse-quantizer step
     * (element-wise mean of vectors via posexplode + group). Exactness:
     * per-dimension sums of doubles are shuffled — kept deterministic by
@@ -426,6 +541,7 @@ object SimilarityQueries {
     "sim_knn_native"      -> simKnnNative,
     "sim_knn_lsh"         -> simKnnLsh,
     "sim_knn_ivf"         -> simKnnIvf,
+    "sim_knn_pq"          -> simKnnPq,
     "sim_quantize_int8"   -> simQuantizeInt8,
     "sim_label_centroids" -> simLabelCentroids,
     "dedup_embedding_cosine" -> dedupEmbCosine,
@@ -531,6 +647,81 @@ object SimilarityQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos_sim DESC, vec_id) AS rank
          |  FROM scored)
+         |SELECT query_id, vec_id, label, cos_sim, rank FROM ranked
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin) +
+    // Replays PQ end-to-end: the hash-ordered codebook sample, the
+    // (dist² asc, code asc) argmin encoding with dist² = sn2 − 2⟨sub,c⟩
+    // + cn2 (every term a left-fold dot), the flattened
+    // centroid-concatenation reconstruction, the ADC cosine as ONE
+    // 64-element list_dot_product, the shortlist cut, and the exact
+    // re-rank — bit-identical to the Spark folds at every stage.
+    ("sim_knn_pq" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS norm
+         |  FROM embeddings),
+         |dims AS (SELECT len(vec) // $PqSubspaces AS sd FROM e LIMIT 1),
+         |sel AS (
+         |  SELECT vec, row_number() OVER (
+         |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1
+         |    AS code
+         |  FROM e
+         |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+         |  LIMIT $PqCodebookK),
+         |cbn AS (
+         |  SELECT sel.code, gs.sub,
+         |    list_slice(sel.vec, gs.sub * (SELECT sd FROM dims) + 1,
+         |      (gs.sub + 1) * (SELECT sd FROM dims)) AS cvec,
+         |    list_dot_product(
+         |      list_slice(sel.vec, gs.sub * (SELECT sd FROM dims) + 1,
+         |        (gs.sub + 1) * (SELECT sd FROM dims)),
+         |      list_slice(sel.vec, gs.sub * (SELECT sd FROM dims) + 1,
+         |        (gs.sub + 1) * (SELECT sd FROM dims))) AS cn2
+         |  FROM sel, generate_series(0, ${PqSubspaces - 1}) gs(sub)),
+         |subv AS (
+         |  SELECT e.vec_id, gs.sub,
+         |    list_slice(e.vec, gs.sub * (SELECT sd FROM dims) + 1,
+         |      (gs.sub + 1) * (SELECT sd FROM dims)) AS sv
+         |  FROM e, generate_series(0, ${PqSubspaces - 1}) gs(sub)),
+         |dist AS (
+         |  SELECT s.vec_id, s.sub, c.code,
+         |    list_dot_product(s.sv, s.sv)
+         |      - 2.0 * list_dot_product(s.sv, c.cvec) + c.cn2 AS dist2
+         |  FROM subv s JOIN cbn c ON s.sub = c.sub),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY dist2 ASC, code ASC) AS rn FROM dist) t
+         |  WHERE rn = 1),
+         |recon AS (
+         |  SELECT co.vec_id, flatten(list(c.cvec ORDER BY co.sub)) AS rv
+         |  FROM codes co JOIN cbn c ON co.sub = c.sub AND co.code = c.code
+         |  GROUP BY co.vec_id),
+         |q AS (SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm
+         |      FROM e WHERE vec_id < $NQueries),
+         |pq AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    floor((list_dot_product(q.qvec, r.rv)
+         |           / (q.qnorm * sqrt(list_dot_product(r.rv, r.rv))))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS pq_sim
+         |  FROM e JOIN recon r ON e.vec_id = r.vec_id CROSS JOIN q
+         |  WHERE e.vec_id <> q.query_id),
+         |short AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY pq_sim DESC, vec_id) AS crank FROM pq) t
+         |  WHERE crank <= $PqShortlist),
+         |ex AS (
+         |  SELECT s.query_id, s.vec_id, e.label,
+         |    floor((list_dot_product(e.vec, q.qvec) / (e.norm * q.qnorm))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+         |  FROM short s JOIN e ON s.vec_id = e.vec_id
+         |       JOIN q ON s.query_id = q.query_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rank
+         |  FROM ex)
          |SELECT query_id, vec_id, label, cos_sim, rank FROM ranked
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin) +
     ("sim_knn_rerank" ->

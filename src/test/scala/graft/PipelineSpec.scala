@@ -152,6 +152,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall") // 6-probe over 10 clusters: measured 0.78
   }
 
+  test("PQ ANN recall@10 vs brute force on sf0.001 (shortlist + exact " +
+    "re-rank); pure-PQ ordering is documented-poor on this fixture") {
+    val brute = operators.SimilarityQueries.simKnnBrute(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = operators.SimilarityQueries.simKnnPq(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.7, s"recall=$recall") // k=64, shortlist 50: measured 0.82
+  }
+
+  test("PQ encoding is a pure projection: exactly two Window nodes " +
+    "(shortlist + final re-rank), no Window/Sort in the encode stage") {
+    val plan = operators.SimilarityQueries.simKnnPq(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nWindow = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(nWindow == 2,
+      s"expected 2 Windows (shortlist, re-rank), got $nWindow:\n$plan")
+  }
+
   test("approx_count_distinct within 5% of exact at sf0.001") {
     val approx = operators.AggQueries.aggApproxNgroups(spark, sf).head
     val exact = operators.AggQueries.aggNgroups(spark, sf).head.getLong(0)
