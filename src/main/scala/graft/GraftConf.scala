@@ -33,6 +33,12 @@ object GraftConf {
     // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
     // unless read as long (Tables.events converts with `div 1000`)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Write timestamps as INT64 micros, not legacy INT96: INT96 columns
+    // carry NO parquet min/max statistics, so every time-predicate scan
+    // over a sink loses row-group/file pruning (snk_zorder_prune's
+    // footer-band spec would be unprunable). Micros is also what the
+    // read side and DuckDB agree on.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     functions.VectorExpressions.register(spark)
     spark
   }

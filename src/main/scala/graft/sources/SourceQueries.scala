@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.{Q, Tables}
 import graft.operators.CoreQueries
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -172,6 +173,61 @@ object SourceQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Bit-interleave two 16-bit grid coordinates into a 32-bit Morton
+    * (z-order) value. Pure `shiftright`/`bitwiseAND`/`shiftleft` tree —
+    * 32 codegen'd integer ops per row, no UDF. */
+  private[sources] def mortonInterleave(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** §2.A sink + z-order-clustered layout: the multi-dimension
+    * generalization of [[snkSortedPrune]]. A linear sort clusters ONE
+    * key; a probe on any other column still touches every file. Here
+    * events are clustered on the Morton interleave of (user_id, day):
+    * both coordinates are min/max-normalized onto a 16-bit grid (the
+    * 4-scalar stats row rides a 1-row broadcast, the same bounded
+    * pattern as every ratio-of-total query), bits interleaved with
+    * shift/and/or built-ins, range-partitioned and sorted by the
+    * z-value, then the helper columns are dropped before the write —
+    * the layout persists in row order, not in the schema. Each file's
+    * parquet footer then carries a NARROW min/max band in BOTH
+    * dimensions, so a two-sided probe (user range AND time range)
+    * skips files on either band — SourceSinkSpec reads the footers and
+    * asserts both axes prune. At 100 TB this is the layout for the
+    * "this user, this week" access pattern date-partitioning alone
+    * can't serve: partition dirs cut coarse time, z-order cuts
+    * user × fine-time inside each partition. Oracled over the original
+    * table — layout must not change results. */
+  val snkZorderPrune: Q = (spark, dir) => {
+    val out = s"target/tmp/zorder_events_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", datediff(to_date(col("ts")), lit("2024-01-01")))
+    val stats = ev.agg(
+      min("user_id").as("u0"), max("user_id").as("u1"),
+      min("day").as("d0"), max("day").as("d1"))
+    val grid = ev.crossJoin(broadcast(stats))
+      .withColumn("xg", ((col("user_id") - col("u0")) * 65535L /
+        greatest(col("u1") - col("u0"), lit(1))).cast("int"))
+      .withColumn("yg", ((col("day") - col("d0")) * 65535L /
+        greatest(col("d1") - col("d0"), lit(1))).cast("int"))
+      .withColumn("zval", mortonInterleave(col("xg"), col("yg")))
+    grid
+      .repartitionByRange(8, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .drop("day", "u0", "u1", "d0", "d1", "xg", "yg", "zval")
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .where(col("user_id").between(10, 39) &&
+        col("ts") >= lit("2024-01-08") && col("ts") < lit("2024-01-15"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(Tables.cents(col("value"))) / lit(100.0)).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** §2.A `snk_orc_roundtrip`: the ORC sibling of the CSV round trip —
     * columnar sink, typed read-back (no schema re-declaration needed:
     * ORC carries types), re-aggregate. Doubles survive bit-exactly
@@ -195,6 +251,7 @@ object SourceQueries {
     "snk_bucketed_join"    -> snkBucketedJoin,
     "snk_partitioned_prune" -> snkPartitionedPrune,
     "snk_sorted_prune"     -> snkSortedPrune,
+    "snk_zorder_prune"     -> snkZorderPrune,
     "snk_orc_roundtrip"    -> snkOrcRoundtrip,
   )
 
@@ -224,6 +281,12 @@ object SourceQueries {
       """SELECT user_id, count(*) AS n_events,
         |  SUM(floor(value * 100.0 + 0.5)) / 100.0 AS total_value
         |FROM events WHERE user_id BETWEEN 10 AND 19
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "snk_zorder_prune" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  SUM(floor(value * 100.0 + 0.5)) / 100.0 AS total_value
+        |FROM events WHERE user_id BETWEEN 10 AND 39
+        |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "snk_orc_roundtrip" ->
       ("""SELECT product, SUM(total_quantity) AS total_quantity,

@@ -74,6 +74,55 @@ class SourceSinkSpec extends AnyFunSuite {
       s"user_id filter not pushed:\n$scan")
   }
 
+  test("z-order sink: every file's footer carries a band in BOTH " +
+    "dimensions and the two-sided probe skips files on each axis — the " +
+    "multi-dim pruning a linear sort can't give") {
+    val df = sources.SourceQueries.snkZorderPrune(spark, sf)
+    df.collect() // runs the write
+    val out = s"target/tmp/zorder_events_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length > 1, s"need multiple z-range files: ${files.length}")
+    def band(f: String, colName: String): (Long, Long) = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        val stats = reader.getFooter.getBlocks.asScala.map { block =>
+          val c = block.getColumns.asScala
+            .find(_.getPath.toDotString == colName).get
+          val s = c.getStatistics
+          (s.genericGetMin.asInstanceOf[Number].longValue,
+            s.genericGetMax.asInstanceOf[Number].longValue)
+        }
+        (stats.map(_._1).min, stats.map(_._2).max)
+      } finally reader.close()
+    }
+    val userBands = files.map(band(_, "user_id"))
+    val tsBands = files.map(band(_, "ts")) // micros since epoch (UTC session)
+    def micros(iso: String): Long =
+      java.time.Instant.parse(iso).toEpochMilli * 1000L
+    val (tsLo, tsHi) = (micros("2024-01-08T00:00:00Z"),
+      micros("2024-01-15T00:00:00Z"))
+    // the z-curve's leading bits split BOTH grid axes, so each axis's
+    // probe band must miss at least one file on footer stats alone —
+    // under a user_id-only linear sort the time probe touches every file
+    val touchedU = userBands.count { case (lo, hi) => hi >= 10 && lo <= 39 }
+    val touchedT = tsBands.count { case (lo, hi) => hi >= tsLo && lo < tsHi }
+    assert(touchedU < files.length,
+      s"user axis never prunes: ${userBands.mkString(", ")}")
+    assert(touchedT < files.length,
+      s"time axis never prunes: ${tsBands.mkString(", ")}")
+    // both filters reach the scan
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("user_id") &&
+      scan.contains("ts"), s"probe filters not pushed:\n$scan")
+    assert(df.count() > 0)
+  }
+
   test("ORC round trip is row-exact, not just aggregate-equal") {
     val base = operators.CoreQueries.dailyBase(spark, sf)
       .orderBy(col("sale_date"), col("product")).collect()
