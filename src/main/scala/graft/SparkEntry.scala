@@ -31,6 +31,7 @@ object SparkEntry {
       operators.MultimodalQueries.queries ++
       streaming.EventStreams.queries ++
       ml.Forecast.queries ++
+      ml.Scoring.queries ++
       plans.PairCount.queries ++
       plans.SkewJoin.queries
 

@@ -277,11 +277,7 @@ object Forecast {
     * over real feature rows. */
   val mlForecast: Q = (spark, dir) => {
     import spark.implicits._
-    // session-unique path: a fixed name would race with a concurrent
-    // driver/bench process overwriting the same store mid-read
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_model_store_${spark.sparkContext.applicationId}").getPath
-    ModelStore.save(trainPerProductModels(spark, dir), path)
+    val path = persistedStore(spark, dir)
     ModelStore.load(spark, path)
       .map { pm =>
         (pm.product, pm.family, pm.config, pm.val_mape, pm.n_test,
@@ -292,6 +288,25 @@ object Forecast {
         "test_mape", "rmse", "pred_at_origin")
       .orderBy(col("product"))
   }
+
+  private val storeCache =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Train the per-product grid and persist the winners ONCE per
+    * (JVM, sf dir); later callers in the same session — the scoring
+    * query, repeated local iterations — reload from parquet instead of
+    * refitting an identical grid (seeded local learners are
+    * bit-deterministic, asserted in StreamMlSpec). The path is
+    * session-unique: a fixed name would race with a concurrent
+    * driver/bench process overwriting the same store mid-read. */
+  def persistedStore(spark: SparkSession, dir: String): String =
+    storeCache.getOrElseUpdate(dir, {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_model_store_${spark.sparkContext.applicationId}_" +
+          dir.replaceAll("[^a-zA-Z0-9]", "_")).getPath
+      ModelStore.save(trainPerProductModels(spark, dir), path)
+      path
+    })
 
   /** Model persistence round trip (§2.A joblib.dump/load parity) for
     * either tree family. */

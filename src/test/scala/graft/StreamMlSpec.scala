@@ -463,6 +463,51 @@ class StreamMlSpec extends AnyFunSuite {
     assert(streamed == expected, s"stream ≢ batch: $streamed")
   }
 
+  test("streaming scoring ≡ batch scoring against the persisted catalog, " +
+    "both bit-identical to direct in-memory predictions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val models = ml.Forecast.trainPerProductModels(spark, sf).collect().toSeq
+    assert(models.nonEmpty)
+    val path = "target/tmp/score_models"
+    ml.ModelStore.save(spark.createDataset(models), path)
+    val feats = ml.Scoring.featureRows(spark, sf).collect().toSeq
+    assert(feats.nonEmpty)
+
+    // batch form through the store
+    val batch = ml.Scoring
+      .scoreAgainstStore(spark, path, spark.createDataset(feats))
+      .collect().toSeq
+    // every catalog product × feature row scored, none invented
+    val scoreable = models.map(_.product).toSet
+    assert(batch.size == feats.count(f => scoreable.contains(f.product)))
+    // bit-identical to walking the in-memory winner directly
+    val direct = models.map(m => m.product -> m.model).toMap
+    val featByKey = feats.map(f => (f.product, f.sale_date) -> f).toMap
+    batch.foreach { s =>
+      val f = featByKey((s.product, s.sale_date))
+      assert(s.prediction == direct(s.product).predict(f.x.toArray),
+        s"store-scored ${s.product}@${s.sale_date} diverges from in-memory")
+    }
+
+    // streaming form: same function, MemoryStream source, two batches
+    val src = MemoryStream[ml.Scoring.FeatureRow]
+    val q = ml.Scoring.scoreAgainstStore(spark, path, src.toDS())
+      .writeStream.format("memory").queryName("score_sink")
+      .outputMode("append").start()
+    try {
+      val (a, b) = feats.splitAt(feats.size / 2)
+      src.addData(a); q.processAllAvailable()
+      src.addData(b); q.processAllAvailable()
+      val streamed = spark.table("score_sink")
+        .as[ml.Scoring.ScoredRow].collect().toSeq
+      assert(streamed.sortBy(r => (r.product, r.sale_date.toString)) ==
+        batch.sortBy(r => (r.product, r.sale_date.toString)),
+        "stream-static scoring must equal the batch join row-for-row")
+    } finally q.stop()
+  }
+
   test("forecast: grid-searched model trains, persists, reloads, predicts " +
     "identically (sf0.001)") {
     val (model, scored) = ml.Forecast.trainBest(spark, sf)
