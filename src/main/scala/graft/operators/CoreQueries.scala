@@ -185,8 +185,34 @@ object CoreQueries {
       .orderBy(col("delay_week_floor"))
   }
 
+  /** §2.G ext. `dt_gap_fill`: calendar densification — the step every
+    * forecasting pipeline needs BEFORE lag features are honest (a
+    * product with no sales on a day has quantity 0 for that day, not a
+    * skipped row; the reference inherits pandas' observed-dates-only
+    * frame and its lags silently span gaps). Per product: span from its
+    * own min/max day, `sequence()` builds the day array IN the row (one
+    * array per product, no driver work), `explode` makes the calendar,
+    * and a left join back to the daily aggregate zero-fills the holes.
+    * Scale: the calendar side is |products| × span-days rows of 12-byte
+    * keys — the OUTPUT size itself; the join shuffles on (product, day)
+    * like every daily aggregate downstream of it. Revenue-less: the
+    * zero-filled frame is the demand series, quantity only. */
+  val dtGapFill: Q = (spark, dir) => {
+    val daily = dailyBase(spark, dir)
+      .select(col("sale_date"), col("product"), col("total_quantity"))
+    val cal = daily.groupBy(col("product"))
+      .agg(min(col("sale_date")).as("d0"), max(col("sale_date")).as("d1"))
+      .select(col("product"),
+        explode(sequence(col("d0"), col("d1"))).as("sale_date"))
+    cal.join(daily, Seq("product", "sale_date"), "left")
+      .select(col("product"), col("sale_date"),
+        coalesce(col("total_quantity"), lit(0L)).as("total_quantity"))
+      .orderBy(col("product"), col("sale_date"))
+  }
+
   def queries: Map[String, Q] = Map(
     "agg_daily_product" -> aggDailyProduct,
+    "dt_gap_fill"       -> dtGapFill,
     "prj_project"       -> prjProject,
     "flt_notnull"       -> fltNotNull,
     "prj_cond_coerce"   -> prjCondCoerce,
@@ -204,6 +230,20 @@ object CoreQueries {
 
   def oracles: Map[String, String] = Map(
     "agg_daily_product" -> aggDailyProductSql,
+    "dt_gap_fill" ->
+      ("""WITH daily AS (SELECT sale_date, product, total_quantity
+        |FROM (""".stripMargin + aggDailyProductSql + """) t),
+        |span AS (SELECT product, min(sale_date) AS d0, max(sale_date) AS d1
+        |  FROM daily GROUP BY 1),
+        |cal AS (SELECT product,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS sale_date
+        |  FROM span)
+        |SELECT c.product, c.sale_date,
+        |  coalesce(d.total_quantity, 0) AS total_quantity
+        |FROM cal c LEFT JOIN daily d
+        |  ON c.product = d.product AND c.sale_date = d.sale_date
+        |ORDER BY 1, 2""".stripMargin),
     "prj_project" ->
       "SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders",
     "flt_notnull" ->
