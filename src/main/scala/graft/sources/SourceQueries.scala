@@ -173,10 +173,38 @@ object SourceQueries {
       .orderBy(col("user_id"))
   }
 
+  /** §2.A ext. schema drift: a corpus written over years accumulates
+    * batches with DIFFERENT schemas — new columns appear, old files
+    * lack them, and at 100 TB you cannot rewrite history to backfill.
+    * Two batches of orders land in ONE dataset directory: the v1 batch
+    * (even orderkeys) predates `o_orderpriority`, the v2 batch carries
+    * it. `mergeSchema=true` unions the file schemas at read time and
+    * null-fills the missing column in old files — the aggregate counts
+    * per order-year how much of the corpus actually has the new field
+    * (the fill-rate scan every schema migration starts with). Oracled
+    * by replaying the drift rule (even keys → NULL priority) over the
+    * original table. Scale note: mergeSchema reads ALL file footers at
+    * planning time — fine per-partition-dir; for a full 100 TB listing
+    * pin the merged schema explicitly instead. */
+  val srcSchemaMerge: Q = (spark, dir) => {
+    val out = s"target/tmp/schema_merge_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    o.where(col("o_orderkey") % 2 === 0).drop("o_orderpriority")
+      .write.mode("overwrite").parquet(out)
+    o.where(col("o_orderkey") % 2 =!= 0)
+      .write.mode("append").parquet(out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_orderpriority")).as("n_with_priority"))
+      .orderBy(col("order_year"))
+  }
+
   /** Bit-interleave two 16-bit grid coordinates into a 32-bit Morton
     * (z-order) value. Pure `shiftright`/`bitwiseAND`/`shiftleft` tree —
     * 32 codegen'd integer ops per row, no UDF. */
-  private[sources] def mortonInterleave(x: Column, y: Column): Column =
+  private[graft] def mortonInterleave(x: Column, y: Column): Column =
     (0 until 16).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i)
         .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1))
@@ -252,6 +280,7 @@ object SourceQueries {
     "snk_partitioned_prune" -> snkPartitionedPrune,
     "snk_sorted_prune"     -> snkSortedPrune,
     "snk_zorder_prune"     -> snkZorderPrune,
+    "src_schema_merge"     -> srcSchemaMerge,
     "snk_orc_roundtrip"    -> snkOrcRoundtrip,
   )
 
@@ -282,6 +311,11 @@ object SourceQueries {
         |  SUM(floor(value * 100.0 + 0.5)) / 100.0 AS total_value
         |FROM events WHERE user_id BETWEEN 10 AND 19
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_schema_merge" ->
+      """SELECT year(o_orderdate) AS order_year, count(*) AS n_rows,
+        |  count(CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        |             ELSE o_orderpriority END) AS n_with_priority
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "snk_zorder_prune" ->
       """SELECT user_id, count(*) AS n_events,
         |  SUM(floor(value * 100.0 + 0.5)) / 100.0 AS total_value

@@ -137,6 +137,23 @@ object PropertySpec extends Properties("graft") {
       got == expect.toLong && got >= 0L && got < 10000L
     }
 
+  property("mortonInterleave is a bijection on 16-bit pairs (deinterleave " +
+    "recovers both coordinates) and its top two bits are the quadrant " +
+    "bits — the property the z-order sink's two-axis pruning rests on") =
+    forAll(Gen.chooseNum(0, 65535), Gen.chooseNum(0, 65535)) { (x, y) =>
+      val z = List((x, y)).toDF("x", "y")
+        .select(sources.SourceQueries.mortonInterleave($"x", $"y").as("z"))
+        .head.getInt(0)
+      val backX = (0 until 16).map(i => ((z >> (2 * i)) & 1) << i).sum
+      val backY = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1) << i).sum
+      // bijection: both coordinates recover exactly; locality: the
+      // z-value's top bits are y's and x's high bits, so any contiguous
+      // z-range (one output file) confines BOTH axes to a half-plane
+      backX == x && backY == y &&
+        ((z >>> 31) & 1) == ((y >> 15) & 1) &&
+        ((z >>> 30) & 1) == ((x >> 15) & 1)
+    }
+
   property("hash10k is uniform over sequential ids: 1M ids fill all 10k " +
     "basis points, each within ~6 sigma of the mean") = {
     val counts = spark.range(1000000L)
