@@ -322,6 +322,28 @@ object JoinWindowQueries {
       .orderBy(col("product"), col("sale_date"))
   }
 
+  /** Extension (§2.H): EXACT cumulative distinct users by hour — the
+    * corpus-growth curve. The naive form (count(DISTINCT) over an
+    * expanding window) re-scans every prior bucket per output row:
+    * quadratic, and the window state is the full user set. The
+    * first-seen reduction makes it linear and bounded: each user
+    * contributes exactly their min(hour) (one hash aggregate on
+    * user_id), buckets are counted (second tiny aggregate), and the
+    * running sum windows over |hours| rows — the single-partition
+    * window is BY CONSTRUCTION tiny (calendar-sized), the same shape
+    * as agg_seasonality's final pass, not a data-sized sort. */
+  val winCumDistinct: Q = (spark, dir) => {
+    val firstSeen = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("hour", col("ts"))).as("hour"))
+    val w = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    firstSeen.groupBy(col("hour"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("hour"))
+  }
+
   /** Extension (§2.H, pandas `pct_change` parity): day-over-day revenue
     * change per product — lag + one division, rounded to 6 decimals so
     * both engines agree bit-for-bit. First row per product is null (no
@@ -409,6 +431,7 @@ object JoinWindowQueries {
     "win_pct_change"        -> winPctChange,
     "win_rolling_avg"       -> winRollingAvg,
     "win_running_total"     -> winRunningTotal,
+    "win_cum_distinct"      -> winCumDistinct,
   )
 
   private val R = Tables.revenueSumSql
@@ -566,6 +589,14 @@ object JoinWindowQueries {
          |        * 1000000.0 + 0.5) / 1000000.0 AS pct_change
          |FROM ($dailySql) t
          |ORDER BY product, sale_date""".stripMargin,
+    "win_cum_distinct" ->
+      """WITH fs AS (SELECT user_id, min(date_trunc('hour', ts)) AS hour
+        |  FROM events GROUP BY 1),
+        |pd AS (SELECT hour, count(*) AS new_users FROM fs GROUP BY 1)
+        |SELECT hour, new_users,
+        |  SUM(new_users) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING)
+        |    AS cum_users
+        |FROM pd ORDER BY hour""".stripMargin,
     "win_running_total" ->
       s"""SELECT sale_date, product, total_revenue,
          |  SUM(floor(total_revenue * 100.0 + 0.5)) OVER w / 100.0 AS running_revenue
