@@ -87,6 +87,30 @@ class JoinWindowSpec extends AnyFunSuite {
     assert(df.select("event_id").distinct().count() == df.count())
   }
 
+  test("cumulative distinct users: ONE window over the calendar-sized " +
+    "aggregate (the first-seen reduction), never a data-sized sort") {
+    val df = operators.JoinWindowQueries.winCumDistinct(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("Window \\[").length - 1 == 1,
+      s"expected exactly one Window node:\n$plan")
+    // monotone + exact: last cum equals the true distinct count
+    val rows = df.collect()
+    assert(rows.map(_.getLong(2)).sliding(2).forall {
+      case Array(a, b) => a <= b; case _ => true })
+    assert(rows.last.getLong(2) ==
+      Tables.events(spark, sf).select("user_id").distinct().count())
+  }
+
+  test("phash media dedup: candidates come from an equi-join (no " +
+    "cartesian/nested-loop fallback) and every emitted pair is within " +
+    "the hamming radius") {
+    val df = operators.MultimodalQueries.mmDedupPhash(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"phash blocking fell back to a non-equi join:\n$plan")
+    assert(df.collect().forall(_.getInt(2) <= 3))
+  }
+
   test("co-bucketed fact join is shuffle-free (no exchange under the join)") {
     // broadcast would hide the bucket layout at test SF — force SMJ,
     // which is what a 100 TB fact-fact join uses
