@@ -256,6 +256,39 @@ object SourceQueries {
       .orderBy(col("user_id"))
   }
 
+  /** §2.A maintenance sink: small-file compaction. Streaming ingestion
+    * and over-parallel writes leave datasets as thousands of KB-scale
+    * slivers; at 100 TB the per-file open/footer overhead and the
+    * metadata-layer pressure (listings, manifests) grow linearly with
+    * file count and come to dominate scan time. The maintenance pass:
+    * read the fragmented dataset, size its bytes, rewrite into
+    * ceil(bytes / target) files. Here events are deliberately
+    * shattered into 64 slivers and compacted against an 8 MiB target;
+    * SourceSinkSpec asserts the before/after file counts and that the
+    * compacted count matches the size arithmetic. Oracled over the
+    * original table — compaction must be invisible to results. The
+    * directory sizing is a metadata operation (file lengths, not
+    * data), the same FileSystem listing a cloud compactor issues. */
+  val snkCompact: Q = (spark, dir) => {
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val frag = s"target/tmp/frag_events_$suffix"
+    val compact = s"target/tmp/compact_events_$suffix"
+    Tables.events(spark, dir)
+      .repartition(64) // the over-parallel ingest writer
+      .write.mode("overwrite").parquet(frag)
+    val bytes = new java.io.File(frag).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val nOut = math.max(1, math.ceil(bytes / (8.0 * 1024 * 1024)).toInt)
+    spark.read.parquet(frag)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(compact)
+    spark.read.parquet(compact)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(Tables.cents(col("value"))) / lit(100.0)).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** §2.A `snk_orc_roundtrip`: the ORC sibling of the CSV round trip —
     * columnar sink, typed read-back (no schema re-declaration needed:
     * ORC carries types), re-aggregate. Doubles survive bit-exactly
@@ -281,6 +314,7 @@ object SourceQueries {
     "snk_sorted_prune"     -> snkSortedPrune,
     "snk_zorder_prune"     -> snkZorderPrune,
     "src_schema_merge"     -> srcSchemaMerge,
+    "snk_compact"          -> snkCompact,
     "snk_orc_roundtrip"    -> snkOrcRoundtrip,
   )
 
@@ -311,6 +345,10 @@ object SourceQueries {
         |  SUM(floor(value * 100.0 + 0.5)) / 100.0 AS total_value
         |FROM events WHERE user_id BETWEEN 10 AND 19
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "snk_compact" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  SUM(floor(value * 100.0 + 0.5)) / 100.0 AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_schema_merge" ->
       """SELECT year(o_orderdate) AS order_year, count(*) AS n_rows,
         |  count(CASE WHEN o_orderkey % 2 = 0 THEN NULL

@@ -123,6 +123,29 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("compaction: 64 ingest slivers rewrite into the size-targeted " +
+    "file count, and the data is unchanged") {
+    val df = sources.SourceQueries.snkCompact(spark, sf)
+    df.collect() // runs both writes
+    val suffix = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val frag = parquetFiles(s"target/tmp/frag_events_$suffix")
+    val comp = parquetFiles(s"target/tmp/compact_events_$suffix")
+    assert(frag.length == 64, s"expected 64 slivers, got ${frag.length}")
+    val expected = math.max(1,
+      math.ceil(frag.map(_.length).sum / (8.0 * 1024 * 1024)).toInt)
+    assert(comp.length == expected,
+      s"compacted to ${comp.length} files, size target says $expected")
+    assert(comp.length < frag.length)
+    // compaction is invisible to the data
+    val a = spark.read.parquet(s"target/tmp/frag_events_$suffix")
+      .orderBy(col("event_id")).collect()
+    val b = spark.read.parquet(s"target/tmp/compact_events_$suffix")
+      .orderBy(col("event_id")).collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("ORC round trip is row-exact, not just aggregate-equal") {
     val base = operators.CoreQueries.dailyBase(spark, sf)
       .orderBy(col("sale_date"), col("product")).collect()
