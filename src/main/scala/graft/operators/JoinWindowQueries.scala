@@ -344,6 +344,27 @@ object JoinWindowQueries {
       .orderBy(col("hour"))
   }
 
+  /** Extension (§2.H): trailing 7-row EXACT median of daily demand per
+    * product — the robust-smoothing sibling of win_rolling_avg (a
+    * rolling mean follows spikes; the median is the outlier-robust
+    * trend every demand monitor wants). Spark's exact `percentile`
+    * aggregate runs as a frame-spec window function; on integer-valued
+    * quantities the 0.5-quantile interpolation lands on k or k.5 —
+    * both exactly representable, so the oracle (DuckDB
+    * `median` = percentile_cont(0.5), same linear-interpolation
+    * definition) matches bit-for-bit. Frame state is 7 rows per
+    * partition — constant memory at any corpus size. */
+  val winMedianRolling: Q = (spark, dir) => {
+    CoreQueries.dailyBase(spark, dir)
+      .withColumn("median_7d", expr(
+        """percentile(total_quantity, 0.5) OVER (
+          |  PARTITION BY product ORDER BY sale_date
+          |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin))
+      .select(col("sale_date"), col("product"), col("total_quantity"),
+        col("median_7d"))
+      .orderBy(col("product"), col("sale_date"))
+  }
+
   /** Extension (§2.H, pandas `pct_change` parity): day-over-day revenue
     * change per product — lag + one division, rounded to 6 decimals so
     * both engines agree bit-for-bit. First row per product is null (no
@@ -432,6 +453,7 @@ object JoinWindowQueries {
     "win_rolling_avg"       -> winRollingAvg,
     "win_running_total"     -> winRunningTotal,
     "win_cum_distinct"      -> winCumDistinct,
+    "win_median_rolling"    -> winMedianRolling,
   )
 
   private val R = Tables.revenueSumSql
@@ -588,6 +610,13 @@ object JoinWindowQueries {
          |            OVER (PARTITION BY product ORDER BY sale_date))
          |        * 1000000.0 + 0.5) / 1000000.0 AS pct_change
          |FROM ($dailySql) t
+         |ORDER BY product, sale_date""".stripMargin,
+    "win_median_rolling" ->
+      s"""SELECT sale_date, product, total_quantity,
+         |  median(total_quantity) OVER w AS median_7d
+         |FROM ($dailySql) t
+         |WINDOW w AS (PARTITION BY product ORDER BY sale_date
+         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          |ORDER BY product, sale_date""".stripMargin,
     "win_cum_distinct" ->
       """WITH fs AS (SELECT user_id, min(date_trunc('hour', ts)) AS hour
