@@ -311,8 +311,31 @@ object AggQueries {
         col("total_revenue"), col("n_orders"))
       .orderBy(col("segment"), col("priority"))
 
+  /** §2.D ext. `agg_grouping_sets`: the GENERAL multi-aggregate form —
+    * two independent one-dimension aggregates (by segment, by
+    * priority) in ONE pass over the join, a shape neither ROLLUP nor
+    * CUBE expresses (cube would add the pair and grand-total sets).
+    * One scan feeds both groupings via Spark's Expand; at 100 TB that
+    * halves the fact-table reads vs running the two aggregates
+    * separately. Sentinel labels as in agg_cube. */
+  val aggGroupingSets: Q = (spark, dir) =>
+    Tables.salesHeader(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment")), Seq(col("o_orderpriority"))),
+        col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        (sum(Tables.cents(col("o_totalprice"))) / lit(100.0))
+          .as("total_revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total_revenue"), col("n_orders"))
+      .orderBy(col("segment"), col("priority"))
+
   def queries: Map[String, Q] = Map(
     "agg_cube"           -> aggCube,
+    "agg_grouping_sets"  -> aggGroupingSets,
     "agg_percentiles"    -> aggPercentiles,
     "agg_approx_percentiles" -> aggApproxPercentiles,
     "agg_count_star"     -> aggCountStar,
@@ -352,6 +375,14 @@ object AggQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "agg_grouping_sets" ->
+      """SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  SUM(floor(o_totalprice * 100.0 + 0.5)) / 100.0 AS total_revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
+        |ORDER BY 1, 2""".stripMargin,
     "agg_cube" ->
       """SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
         |  COALESCE(o_orderpriority, 'ALL') AS priority,
