@@ -203,7 +203,12 @@ object SourceQueries {
 
   /** Bit-interleave two 16-bit grid coordinates into a 32-bit Morton
     * (z-order) value. Pure `shiftright`/`bitwiseAND`/`shiftleft` tree —
-    * 32 codegen'd integer ops per row, no UDF. */
+    * 32 codegen'd integer ops per row, no UDF. Note y's top bit lands
+    * in the Int SIGN bit, so signed ordering visits the y-upper
+    * half-curve first — a constant swap of two contiguous curve
+    * halves that leaves every range-partition's per-axis band exactly
+    * as compact (PropertySpec proves the bijection + quadrant bits;
+    * SourceSinkSpec proves both axes prune). */
   private[graft] def mortonInterleave(x: Column, y: Column): Column =
     (0 until 16).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i)
