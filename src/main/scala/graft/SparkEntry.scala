@@ -33,6 +33,7 @@ object SparkEntry {
       ml.Forecast.queries ++
       ml.Scoring.queries ++
       plans.PairCount.queries ++
+      plans.TopK.queries ++
       plans.SkewJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,5 +53,6 @@ object SparkEntry {
       streaming.EventStreams.oracles ++
       ml.Forecast.oracles ++
       plans.SkewJoin.oracles ++
-      Map("join_pair_onepass" -> operators.JoinWindowQueries.oracles("join_pair_selfjoin"))
+      Map("join_pair_onepass" -> operators.JoinWindowQueries.oracles("join_pair_selfjoin"),
+        "topk_heap_per_group" -> operators.JoinWindowQueries.oracles("topk_head_per_group"))
 }

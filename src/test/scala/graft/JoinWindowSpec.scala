@@ -111,6 +111,20 @@ class JoinWindowSpec extends AnyFunSuite {
     assert(df.collect().forall(_.getInt(2) <= 3))
   }
 
+  test("heap top-k ≡ window top-k row-for-row, with NO Window node — " +
+    "partial aggregation bounds the shuffle to k entries per group per " +
+    "partition") {
+    val heap = plans.TopK.topkHeapPerGroup(spark, sf)
+    val window = operators.JoinWindowQueries.topkHeadPerGroup(spark, sf)
+    val plan = heap.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window ["),
+      s"heap form must not rank via a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected a typed aggregate:\n$plan")
+    assert(heap.collect().toSeq == window.collect().toSeq,
+      "the two physical strategies must be result-identical")
+  }
+
   test("co-bucketed fact join is shuffle-free (no exchange under the join)") {
     // broadcast would hide the bucket layout at test SF — force SMJ,
     // which is what a 100 TB fact-fact join uses
