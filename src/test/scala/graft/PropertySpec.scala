@@ -154,6 +154,23 @@ object PropertySpec extends Properties("graft") {
         ((z >>> 30) & 1) == ((x >> 15) & 1)
     }
 
+  property("TopKAgg is split-invariant: any partitioning of the input, " +
+    "reduced partially and merged, equals sort-then-take — the exact " +
+    "condition map-side partial aggregation relies on") =
+    forAll(Gen.listOf(for {
+      ck <- Gen.chooseNum(1L, 30L) // narrow key range forces revenue ties
+      rc <- Gen.chooseNum(0L, 50L)
+    } yield (ck, rc)), Gen.chooseNum(1, 5)) { (xs, nParts) =>
+      import plans.TopK
+      val truth = xs.sortWith((a, b) =>
+          a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+        .take(TopK.K)
+      val parts = xs.grouped(math.max(1, (xs.size + nParts - 1) / nParts)).toList
+      val merged = parts.map(_.foldLeft(TopK.TopKAgg.zero)(TopK.TopKAgg.reduce))
+        .foldLeft(TopK.TopKAgg.zero)(TopK.TopKAgg.merge)
+      TopK.TopKAgg.finish(merged) == truth
+    }
+
   property("hash10k is uniform over sequential ids: 1M ids fill all 10k " +
     "basis points, each within ~6 sigma of the mean") = {
     val counts = spark.range(1000000L)
