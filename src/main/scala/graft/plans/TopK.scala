@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   * than its floor are dropped in O(1). Shuffle volume becomes
   * O(partitions × groups × k) independent of row count — the same
   * partial-vs-full trade [[PairCount]] documents for pairs, applied to
-  * ranking. Registered with the SAME oracle as topk_head_per_group:
+  * ranking. Measured at sf0.1 (15k customers): window 0.89 s vs heap
+  * 1.23 s — the full sort is tiny there while the typed aggregate pays
+  * kryo buffer round-trips; the crossover favors the heap as group
+  * membership grows past what fits a partition's sort buffer (the
+  * window form's shuffle is ALL members, the heap's stays k per
+  * partition). Registered with the SAME oracle as topk_head_per_group:
   * the two plans must be result-identical. */
 object TopK {
 
