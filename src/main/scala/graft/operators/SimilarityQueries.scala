@@ -527,8 +527,14 @@ object SimilarityQueries {
     * (element-wise mean of vectors via posexplode + group). Exactness:
     * per-dimension sums of doubles are shuffled — kept deterministic by
     * scaling each component to integer micro-units before summing (the
-    * long sum is exact and add-order-independent; one final division).
-    */
+    * integral sum is exact and add-order-independent), and the
+    * micro-units stay integral THROUGH the cross-dimension total: the
+    * earlier form summed 64 already-divided doubles, whose
+    * order-dependent ulps landed a round6 argument exactly on a .5
+    * boundary at sf0.001 (1e-6 oracle flicker, caught by a
+    * different-SF gate run); the integral total makes the two final
+    * divisions the only float ops, bit-identical in both engines at
+    * any SF. */
   val simLabelCentroids: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir)
       .select(col("label"), col("vec_id"),
@@ -536,11 +542,15 @@ object SimilarityQueries {
           .as(Seq("dim", "x")))
     // order-independent exact sum: scale to integer micro-units
     e.groupBy(col("label"), col("dim"))
-      .agg((sum(floor(col("x") * 1000000.0 + 0.5)) / 1000000.0 / count(lit(1)))
-        .as("centroid_x"))
+      .agg(sum(floor(col("x") * 1000000.0 + 0.5)).as("s_micro"),
+        count(lit(1)).as("n_vecs"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_dims"),
-        Tables.round6(sum(col("centroid_x"))).as("centroid_sum"))
+        sum(col("s_micro")).as("total_micro"),
+        max(col("n_vecs")).as("n_vecs")) // identical across dims
+      .select(col("label"), col("n_dims"),
+        Tables.round6(col("total_micro") / lit(1000000.0) / col("n_vecs"))
+          .as("centroid_sum"))
       .orderBy(col("label"))
   }
 
@@ -849,10 +859,12 @@ object SimilarityQueries {
         |  FROM embeddings),
         |c AS (
         |  SELECT label, dim,
-        |    SUM(floor(x * 1000000.0 + 0.5)) / 1000000.0 / count(*) AS centroid_x
+        |    SUM(floor(x * 1000000.0 + 0.5)) AS s_micro,
+        |    count(*) AS n_vecs
         |  FROM x GROUP BY 1, 2)
         |SELECT label, count(*) AS n_dims,
-        |  floor((SUM(centroid_x)) * 1000000.0 + 0.5) / 1000000.0 AS centroid_sum
+        |  floor((SUM(s_micro) / 1000000.0 / MAX(n_vecs)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS centroid_sum
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
