@@ -473,7 +473,39 @@ object EventStreams {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
 
+  /** `evt_anomaly`: per-type 3σ outlier counts — the numeric-outlier
+    * filter a training pipeline runs before trusting a value column.
+    * Determinism across engines AND partitionings: the per-type
+    * moments are EXACT integer-cents sums (S = Σc, Q = Σc², both well
+    * inside long range at any tested SF), and the 3σ test is algebra
+    * on those integers — (n·x − S)²·(n−1) > 9·n·(nQ − S²) — evaluated
+    * as doubles from exactly-converted integers with an identical
+    * expression tree in both engines (no pow(), no stddev aggregate:
+    * Spark's Welford-style stddev_samp and DuckDB's would disagree in
+    * ulps, and ordering drift would flip boundary rows). The stats
+    * join is 1-row-per-type; the planner broadcasts it. */
+  val evtAnomaly: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), Tables.cents(col("value")).cast("long").as("c"))
+    val st = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+    ev.join(st, Seq("event_type"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("dev", col("nd") * col("c") - col("s").cast("double"))
+      .withColumn("is_anom",
+        col("dev") * col("dev") * (col("nd") - lit(1.0)) >
+          lit(9.0) * col("nd") *
+            (col("nd") * col("q").cast("double") -
+              col("s").cast("double") * col("s").cast("double")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anomalies"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "evt_anomaly"         -> evtAnomaly,
     "evt_funnel"          -> evtFunnel,
     "evt_retention"       -> evtRetention,
     "evt_stream_stream_join" -> evtStreamStreamJoin,
@@ -486,6 +518,25 @@ object EventStreams {
   )
 
   def oracles: Map[String, String] = Map(
+    "evt_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, SUM(c) AS s, SUM(c * c) AS q
+        |  FROM c GROUP BY 1),
+        |j AS (
+        |  SELECT event_type,
+        |    CAST(n AS DOUBLE) * c - CAST(s AS DOUBLE) AS dev,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(q AS DOUBLE) AS qd, CAST(s AS DOUBLE) AS sd
+        |  FROM c JOIN st USING (event_type))
+        |SELECT event_type, count(*) AS n_events,
+        |  SUM(CASE WHEN dev * dev * (nd - 1.0) >
+        |        9.0 * nd * (nd * qd - sd * sd)
+        |      THEN 1 ELSE 0 END) AS n_anomalies
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_stream_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us, p.value
