@@ -333,7 +333,43 @@ object AggQueries {
         col("total_revenue"), col("n_orders"))
       .orderBy(col("segment"), col("priority"))
 
+  /** `prof_numeric_summary`: one-scan column profiling — per numeric
+    * lineitem column: row count, null count, exact distinct count, and
+    * exact-cents min/max. The schema-audit every ingest pipeline runs
+    * before trusting a new drop; the long (column, stats) shape is what
+    * profilers emit.
+    *
+    * Scale: ONE scan. All sixteen statistics ride a single aggregate;
+    * the multi-column DISTINCTs compile to Catalyst's Expand (4 rows
+    * per input row carrying only the 4 profiled columns — a constant
+    * multiplier on a pruned projection, not a per-column rescan of the
+    * table). The 1-row result is then unpivoted driver-free with
+    * `inline(array(struct(...)))`. The naive per-column loop scans the
+    * table k times; at 100 TB that's k × the I/O for identical output. */
+  val profNumericSummary: Q = (spark, dir) => {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(spark, dir)
+      .select(cols.map(col): _*)
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"${c}_rows"),
+        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(Tables.cents(col(c)).cast("long")).as(s"${c}_min_cents"),
+        max(Tables.cents(col(c)).cast("long")).as(s"${c}_max_cents"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col(s"${c}_rows").as("n_rows"),
+        col(s"${c}_nulls").as("n_null"),
+        col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min_cents").as("min_cents"),
+        col(s"${c}_max_cents").as("max_cents"))
+    }
+    one.select(inline(array(rows: _*))).orderBy(col("column"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "prof_numeric_summary" -> profNumericSummary,
     "agg_cube"           -> aggCube,
     "agg_grouping_sets"  -> aggGroupingSets,
     "agg_percentiles"    -> aggPercentiles,
@@ -375,6 +411,15 @@ object AggQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "prof_numeric_summary" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min(floor($c * 100.0 + 0.5)) AS BIGINT) AS min_cents,
+           |  CAST(max(floor($c * 100.0 + 0.5)) AS BIGINT) AS max_cents
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
     "agg_grouping_sets" ->
       """SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
         |  COALESCE(o_orderpriority, 'ALL') AS priority,

@@ -432,7 +432,60 @@ object JoinWindowQueries {
       .orderBy(col("product"), col("sale_date"))
   }
 
+  /** `dim_scd2_history`: build a type-2 slowly-changing dimension from
+    * a change log — for every customer, the ordered sequence of their
+    * orders' priorities collapsed into validity intervals: one row per
+    * RUN of equal values, `valid_from` = first order of the run,
+    * `valid_to` = start of the next run (NULL while current). This is
+    * the standard gaps-and-islands build every warehouse runs to
+    * version a dimension from an event stream.
+    *
+    * Determinism: the change log is uniquely ordered per customer by
+    * (o_orderdate, o_orderkey) — orderkey is globally unique, so equal
+    * dates can't reorder between engines — and the emitted `version`
+    * (the 1-based run ordinal) makes the output ordering TOTAL: two
+    * same-customer runs can share a valid_from (two changes on one
+    * date), so ordering by valid_from alone would tie.
+    *
+    * Scale: the whole build is ONE shuffle on o_custkey — the
+    * change-flag lag(), the island id (a running sum of flags), the
+    * per-island collapse, and the valid_to lead() all ride the same
+    * hash partitioning, and Spark plans a single Exchange feeding four
+    * Window/aggregate operators. No self-joins: the lag/lead
+    * formulation replaces the O(n²) "find next change per row" join. */
+  val dimScd2History: Q = (spark, dir) =>
+    scd2On(Tables.orders(spark, dir))
+
+  /** [[dimScd2History]] over an explicit change-log frame — the spec
+    * plants an A,A,B,A sequence (the value RECURRING after a change
+    * must open a NEW interval, the trap a groupBy-value formulation
+    * fails) and checks the valid_from/valid_to chaining. */
+  private[graft] def scd2On(orders: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val islands = orders
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority"))
+      .withColumn("chg",
+        when(lag(col("o_orderpriority"), 1).over(byCust).isNull ||
+          lag(col("o_orderpriority"), 1).over(byCust) =!=
+            col("o_orderpriority"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("chg")).over(byCust))
+      .groupBy(col("o_custkey"), col("island"))
+      .agg(first(col("o_orderpriority")).as("priority"),
+        min(col("o_orderdate")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    val byCustIsland = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("island"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byCustIsland))
+      .select(col("o_custkey"), col("island").as("version"), col("priority"),
+        col("valid_from"), col("valid_to"), col("n_orders"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "dim_scd2_history"      -> dimScd2History,
     "win_rank_kinds"        -> winRankKinds,
     "win_first_last"        -> winFirstLast,
     "join_left_enrich"      -> joinLeftEnrich,
@@ -460,6 +513,28 @@ object JoinWindowQueries {
   private val dailySql = CoreQueries.aggDailyProductSql
 
   def oracles: Map[String, String] = Map(
+    "dim_scd2_history" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |           OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |isl AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS island
+        |  FROM seq),
+        |g AS (
+        |  SELECT o_custkey, island, min(o_orderpriority) AS priority,
+        |    min(o_orderdate) AS valid_from, count(*) AS n_orders
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT o_custkey, island AS version, priority, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
+        |    AS valid_to,
+        |  n_orders
+        |FROM g ORDER BY o_custkey, version""".stripMargin,
     "win_first_last" ->
       (s"""WITH base AS (""" + CoreQueries.aggDailyProductSql + s"""),
          |f AS (

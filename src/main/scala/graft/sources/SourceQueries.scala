@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.{Q, Tables}
 import graft.operators.CoreQueries
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -311,7 +311,56 @@ object SourceQueries {
       .orderBy(col("product"))
   }
 
+  /** `snk_merge_upsert`: MERGE INTO semantics for a batch of changes —
+    * the daily-ingest upsert every lakehouse table needs. A base
+    * snapshot (orders with key % 5 ≠ 0) absorbs an updates batch
+    * (key % 3 = 0: repriced +$1.11 exact-cents, status → 'U'); matched
+    * keys are REPLACED, unmatched keys INSERT (keys ≡ 0 mod 15 exist
+    * only in the batch, so both MERGE arms execute). The merged table
+    * round-trips through parquet before the verification aggregate, so
+    * the sink itself — not just the join — is under test.
+    *
+    * Scale: MERGE is a key-shuffled LEFT ANTI join (base minus touched
+    * keys) plus a union — both sides hash-partition on o_orderkey,
+    * exactly the shape copy-on-write table formats execute after file
+    * pruning; nothing is broadcast (both sides are data-sized) and no
+    * driver round-trip exists. The repricing is integer-cents
+    * arithmetic (`(cents + 111) / 100.0`), one IEEE division, so the
+    * written doubles bit-match the oracle's replay. */
+  val snkMergeUpsert: Q = (spark, dir) => {
+    val out = s"target/tmp/merge_upsert_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+    val base = o.where(col("o_orderkey") % 5 =!= 0)
+    val updates = o.where(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice",
+        (Tables.cents(col("o_totalprice")).cast("long") + lit(111L)) /
+          lit(100.0))
+      .withColumn("o_orderstatus", lit("U"))
+    val merged = mergeUpsert(base, updates)
+    merged.write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(Tables.cents(col("o_totalprice"))) / lit(100.0))
+          .as("total_price"),
+        max(col("o_orderkey")).as("max_orderkey"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** MERGE core of [[snkMergeUpsert]]: matched keys take the update
+    * row, unmatched update keys insert, untouched base rows pass
+    * through — both sides key-shuffled, nothing broadcast. The spec
+    * plants a 3-key frame exercising all three arms. */
+  private[graft] def mergeUpsert(base: DataFrame,
+      updates: DataFrame): DataFrame =
+    base
+      .join(updates.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .unionByName(updates)
+
   def queries: Map[String, Q] = Map(
+    "snk_merge_upsert"     -> snkMergeUpsert,
     "src_extjson_load"     -> srcExtjsonLoad,
     "snk_csv_roundtrip"    -> snkCsvRoundtrip,
     "snk_bucketed_join"    -> snkBucketedJoin,
@@ -324,6 +373,24 @@ object SourceQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "snk_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey,
+        |    (CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) + 111)
+        |      / 100.0 AS o_totalprice,
+        |    'U' AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders
+        |  WHERE o_orderkey % 5 <> 0
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)),
+        |m AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM upd)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  SUM(floor(o_totalprice * 100.0 + 0.5)) / 100.0 AS total_price,
+        |  max(o_orderkey) AS max_orderkey
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_extjson_load" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 7 = 0 THEN NULL

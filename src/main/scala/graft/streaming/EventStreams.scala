@@ -504,8 +504,96 @@ object EventStreams {
       .orderBy(col("event_type"))
   }
 
+  /** `evt_peak_concurrency`: peak simultaneous activity per event type
+    * — the classic sweep-line over intervals (each event opens a
+    * 30-minute activity window; the answer is the max of the running
+    * open-interval count). Capacity planning / admission control needs
+    * this; no built-in expresses it directly.
+    *
+    * Determinism across engines: all arithmetic lives in the integer
+    * MICROSECOND domain (`unix_micros` ≙ DuckDB `epoch_us`, both
+    * truncating), so the nanosecond parquet column can never split a
+    * grouping key between engines. Deltas are pre-aggregated per
+    * distinct boundary instant, which makes the running sum
+    * order-independent (the window ORDER BY key is unique within each
+    * type).
+    *
+    * Scale: 2·n boundary rows (never materialized wider than
+    * (type, t, ±1)), ONE shuffle keyed on event_type shared by the
+    * boundary aggregation, the running-sum window, and the final max —
+    * Spark keeps the partitioning across all three. The naive
+    * formulation (self-join "count intervals covering each start") is
+    * O(n²) per type and unshippable at 100 TB. */
+  val evtPeakConcurrency: Q = (spark, dir) =>
+    peakConcurrencyOn(Tables.events(spark, dir))
+
+  /** [[evtPeakConcurrency]] over an explicit (event_type, ts) frame —
+    * the spec plants touching intervals (half-open [t, t+30min):
+    * an interval ending exactly when another starts never overlaps). */
+  private[graft] def peakConcurrencyOn(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("event_type"), unix_micros(col("ts")).as("t_us"))
+    val deltas = ev
+      .select(col("event_type"), col("t_us").as("t"),
+        lit(1L).as("d"), lit(1L).as("s"))
+      .unionAll(ev.select(col("event_type"),
+        (col("t_us") + lit(1800000000L)).as("t"),
+        lit(-1L).as("d"), lit(0L).as("s")))
+      .groupBy(col("event_type"), col("t"))
+      .agg(sum(col("d")).as("d"), sum(col("s")).as("s"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    deltas
+      .withColumn("open", sum(col("d")).over(byType))
+      .groupBy(col("event_type"))
+      .agg(max(col("open")).as("peak_concurrency"),
+        sum(col("s")).as("n_intervals"))
+      .orderBy(col("event_type"))
+  }
+
+  /** `evt_top_paths`: the most common 3-step behavior sequences — for
+    * every user, each consecutive (event, next, next-next) triple in
+    * strict time order, counted globally; top 10 with a full
+    * deterministic tie-break (count desc, then the path string). The
+    * standard journey-mining query behind "what do users do before
+    * purchasing".
+    *
+    * Determinism: within a user, events are uniquely ordered by
+    * (microsecond ts, event_id) — the same composite key the
+    * sessionizer uses — and the oracle's `lead()` replays the identical
+    * ordering via `epoch_us`.
+    *
+    * Scale: ONE shuffle on user_id feeds both lead() windows (same
+    * partitioning, same sort), the trigram count is a hash aggregate
+    * with map-side partials on a key space bounded by |event_type|³,
+    * and the top-10 is a TakeOrdered — no global sort of the counts. */
+  val evtTopPaths: Q = (spark, dir) =>
+    topPathsOn(Tables.events(spark, dir))
+
+  /** [[evtTopPaths]] over an explicit (user_id, event_id, ts,
+    * event_type) frame — the spec plants equal-timestamp events (the
+    * event_id tie-break decides the path) and a count tie (the path
+    * string decides the rank). */
+  private[graft] def topPathsOn(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+      .where(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
   def queries: Map[String, Q] = Map(
     "evt_anomaly"         -> evtAnomaly,
+    "evt_peak_concurrency" -> evtPeakConcurrency,
+    "evt_top_paths"       -> evtTopPaths,
     "evt_funnel"          -> evtFunnel,
     "evt_retention"       -> evtRetention,
     "evt_stream_stream_join" -> evtStreamStreamJoin,
@@ -518,6 +606,33 @@ object EventStreams {
   )
 
   def oracles: Map[String, String] = Map(
+    "evt_peak_concurrency" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) AS t, 1 AS d, 1 AS s FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts) + 1800000000 AS t, -1 AS d, 0 AS s
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, t, SUM(d) AS d, SUM(s) AS s
+        |  FROM b GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, s,
+        |    SUM(d) OVER (PARTITION BY event_type ORDER BY t) AS open
+        |  FROM g)
+        |SELECT event_type, max(open) AS peak_concurrency,
+        |  CAST(SUM(s) AS BIGINT) AS n_intervals
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_top_paths" ->
+      """WITH o AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |  count(*) AS n
+        |FROM o WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "evt_anomaly" ->
       """WITH c AS (
         |  SELECT event_type,

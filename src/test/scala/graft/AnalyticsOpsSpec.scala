@@ -143,4 +143,55 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("2024-01-01", 0) -> 2L, ("2024-01-01", 3) -> 2L,
       ("2024-01-06", 0) -> 1L, ("2024-01-06", 1) -> 1L))
   }
+
+  test("peak concurrency: intervals are half-open — an interval ending " +
+    "exactly when another starts never overlaps; a planted 3-stack peaks " +
+    "at 3") {
+    val events = Seq(
+      // three overlapping 30-min windows → all open at 00:20
+      ("A", ts("2024-01-01 00:00:00")),
+      ("A", ts("2024-01-01 00:10:00")),
+      ("A", ts("2024-01-01 00:20:00")),
+      // touching boundary: [00:00, 00:30) then [00:30, 01:00) → never 2
+      ("B", ts("2024-01-01 00:00:00")),
+      ("B", ts("2024-01-01 00:30:00")),
+    ).toDF("event_type", "ts")
+    val got = streaming.EventStreams.peakConcurrencyOn(events)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toList
+    assert(got == List(("A", 3L, 3L), ("B", 1L, 2L)))
+  }
+
+  test("top paths: equal timestamps order by event_id, count ties break " +
+    "on the path string") {
+    val events = Seq(
+      // user 1: first two events share a timestamp — event_id decides
+      (1L, 1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, 2L, ts("2024-01-01 00:00:00"), "click"),
+      (1L, 3L, ts("2024-01-01 00:01:00"), "purchase"),
+      // user 2: a different path with the same count → string tie-break
+      (2L, 4L, ts("2024-01-01 00:00:00"), "click"),
+      (2L, 5L, ts("2024-01-01 00:01:00"), "view"),
+      (2L, 6L, ts("2024-01-01 00:02:00"), "purchase"),
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = streaming.EventStreams.topPathsOn(events)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == List(
+      ("click>view>purchase", 1L), ("view>click>purchase", 1L)))
+  }
+
+  test("profiler: all sixteen statistics ride ONE pruned lineitem scan " +
+    "(Expand for the multi-column distincts, never per-column rescans)") {
+    val df = operators.AggQueries.profNumericSummary(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("Scan parquet").length - 1 == 1, plan)
+    assert(plan.contains("Expand"), plan)
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_quantity") && !read.contains("l_orderkey"),
+      s"scan not pruned to the profiled columns: $read")
+    val rows = df.collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(1)).distinct.length == 1) // same n_rows
+    assert(rows.forall(_.getLong(2) == 0L))             // no nulls in sf
+  }
 }

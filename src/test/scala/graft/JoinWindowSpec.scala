@@ -188,4 +188,32 @@ class JoinWindowSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("scd2: a value recurring after a change opens a NEW interval " +
+    "(never merged back), valid_to chains to the next run's valid_from, " +
+    "same-date changes order by orderkey") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val log = Seq(
+      // cust 1: A,A,B,A — the trailing A must be a THIRD interval
+      (1L, ts("2024-01-01"), 10L, "A"),
+      (1L, ts("2024-01-02"), 11L, "A"),
+      (1L, ts("2024-01-03"), 12L, "B"),
+      (1L, ts("2024-01-04"), 13L, "A"),
+      // cust 2: two changes on the SAME date — orderkey decides
+      (2L, ts("2024-01-01"), 20L, "B"),
+      (2L, ts("2024-01-01"), 21L, "A"),
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+    val got = operators.JoinWindowQueries.scd2On(log)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getLong(5)))
+      .toList
+    assert(got == List(
+      (1L, 1L, "A", ts("2024-01-01"), Some(ts("2024-01-03")), 2L),
+      (1L, 2L, "B", ts("2024-01-03"), Some(ts("2024-01-04")), 1L),
+      (1L, 3L, "A", ts("2024-01-04"), None, 1L),
+      (2L, 1L, "B", ts("2024-01-01"), Some(ts("2024-01-01")), 1L),
+      (2L, 2L, "A", ts("2024-01-01"), None, 1L)))
+  }
 }

@@ -157,4 +157,21 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(back.toSeq == base.toSeq,
       "ORC must round-trip doubles and dates bit-exactly")
   }
+
+  test("merge upsert: matched key takes the update row, unmatched " +
+    "update key inserts, untouched base rows pass through unchanged") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "O", 10.0),
+      (2L, "F", 20.0),
+    ).toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val updates = Seq(
+      (2L, "U", 99.0),   // matched → replaces the base row
+      (3L, "U", 5.0),    // unmatched → inserts
+    ).toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val got = sources.SourceQueries.mergeUpsert(base, updates)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set((1L, "O", 10.0), (2L, "U", 99.0), (3L, "U", 5.0)))
+  }
 }
