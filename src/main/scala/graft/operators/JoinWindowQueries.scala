@@ -484,8 +484,46 @@ object JoinWindowQueries {
       .orderBy(col("o_custkey"), col("version"))
   }
 
+  /** `win_range_interval`: trailing 7-CALENDAR-DAY revenue per product
+    * — a RANGE frame over the day number, not a ROWS frame over
+    * observations. The distinction the rolling-average family can't
+    * express: a product with sparse sales has calendar gaps, and a
+    * ROWS BETWEEN 6 PRECEDING frame would reach across a gap into
+    * stale weeks; RANGE bounds the frame by the ORDER-BY VALUE, so
+    * after a 9-day gap the window holds only the current day. Every
+    * time-decayed feature ("demand last 7 days") needs this form.
+    *
+    * Determinism: the frame is integer day numbers (datediff from a
+    * fixed epoch — identical integer in DuckDB's date subtraction),
+    * the windowed sum is exact cents, and (product, sale_date) is
+    * unique so the output ordering is total.
+    *
+    * Scale: one shuffle on product for the window; the input is the
+    * already-reduced daily aggregate (calendar-bounded per product),
+    * not the raw fact table. */
+  val winRangeInterval: Q = (spark, dir) =>
+    rangeIntervalOn(CoreQueries.dailyBase(spark, dir))
+
+  /** [[winRangeInterval]] over an explicit daily frame — the spec
+    * plants a 9-day gap (the ROWS-frame trap: a rows window would
+    * carry pre-gap revenue into the post-gap frame; RANGE must not). */
+  private[graft] def rangeIntervalOn(daily: DataFrame): DataFrame = {
+    val d = daily.select(col("sale_date"), col("product"),
+      datediff(col("sale_date"), lit(java.sql.Date.valueOf("1992-01-01")))
+        .as("day_num"),
+      Tables.cents(col("total_revenue")).cast("long").as("rev_cents"))
+    val w = Window.partitionBy(col("product")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    d.withColumn("rev_7d", sum(col("rev_cents")).over(w) / lit(100.0))
+      .withColumn("n_days_7d", count(lit(1)).over(w))
+      .select(col("product"), col("sale_date"), col("rev_7d"),
+        col("n_days_7d"))
+      .orderBy(col("product"), col("sale_date"))
+  }
+
   def queries: Map[String, Q] = Map(
     "dim_scd2_history"      -> dimScd2History,
+    "win_range_interval"    -> winRangeInterval,
     "win_rank_kinds"        -> winRankKinds,
     "win_first_last"        -> winFirstLast,
     "join_left_enrich"      -> joinLeftEnrich,
@@ -513,6 +551,20 @@ object JoinWindowQueries {
   private val dailySql = CoreQueries.aggDailyProductSql
 
   def oracles: Map[String, String] = Map(
+    "win_range_interval" ->
+      (s"""WITH base AS (""" + CoreQueries.aggDailyProductSql + s"""),
+         |d AS (
+         |  SELECT sale_date, product,
+         |    CAST(sale_date - DATE '1992-01-01' AS INT) AS day_num,
+         |    CAST(floor(total_revenue * 100.0 + 0.5) AS BIGINT) AS rev_cents
+         |  FROM base)
+         |SELECT product, sale_date,
+         |  SUM(rev_cents) OVER w / 100.0 AS rev_7d,
+         |  count(*) OVER w AS n_days_7d
+         |FROM d
+         |WINDOW w AS (PARTITION BY product ORDER BY day_num
+         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY product, sale_date""".stripMargin),
     "dim_scd2_history" ->
       """WITH seq AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,

@@ -359,8 +359,54 @@ object SourceQueries {
       .join(updates.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
       .unionByName(updates)
 
+  /** `snk_incr_agg`: incremental aggregate maintenance — the
+    * materialized-view pattern behind every always-fresh dashboard at
+    * scale. A (month, status) revenue aggregate is built from the
+    * historical base (orders before 1995), persisted to parquet as the
+    * view STATE, then a delta batch (1995+) is aggregated ALONE and
+    * merged into the reloaded state by re-aggregating the partials.
+    * The DuckDB oracle computes the aggregate over ALL orders in one
+    * pass — the hash match proves merge(agg(base), agg(delta)) ≡
+    * agg(base ∪ delta), the re-aggregability contract (count and sum
+    * are decomposable; the exact-cents representation keeps the money
+    * sum associative where a double sum would not be).
+    *
+    * Scale: the delta pass scans ONLY the new batch; the merge
+    * shuffles state-sized frames (|months| × |statuses| rows, calendar
+    * -bounded — never data-sized). This is why the view stores exact
+    * integer cents and counts, not averages: partials must be
+    * mergeable. */
+  val snkIncrAgg: Q = (spark, dir) => {
+    val out = s"target/tmp/incr_agg_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val o = Tables.orders(spark, dir).select(
+      date_trunc("month", col("o_orderdate")).as("mo"),
+      col("o_orderstatus").as("st"),
+      Tables.cents(col("o_totalprice")).cast("long").as("c"),
+      col("o_orderdate"))
+    val cutoff = lit("1995-01-01").cast("date")
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(col("mo"), col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("cents"))
+    partial(o.where(col("o_orderdate") < cutoff))
+      .write.mode("overwrite").parquet(out)
+    mergePartials(spark.read.parquet(out),
+      partial(o.where(col("o_orderdate") >= cutoff)))
+  }
+
+  /** Merge step of [[snkIncrAgg]]: re-aggregate two partial-state
+    * frames (mo, st, n, cents). The spec plants overlapping and
+    * disjoint keys. */
+  private[graft] def mergePartials(state: DataFrame,
+      delta: DataFrame): DataFrame =
+    state.unionByName(delta)
+      .groupBy(col("mo"), col("st"))
+      .agg(sum(col("n")).as("n_orders"),
+        (sum(col("cents")) / lit(100.0)).as("total_price"))
+      .orderBy(col("mo"), col("st"))
+
   def queries: Map[String, Q] = Map(
     "snk_merge_upsert"     -> snkMergeUpsert,
+    "snk_incr_agg"         -> snkIncrAgg,
     "src_extjson_load"     -> srcExtjsonLoad,
     "snk_csv_roundtrip"    -> snkCsvRoundtrip,
     "snk_bucketed_join"    -> snkBucketedJoin,
@@ -373,6 +419,13 @@ object SourceQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "snk_incr_agg" ->
+      """SELECT date_trunc('month', o_orderdate) AS mo,
+        |  o_orderstatus AS st,
+        |  count(*) AS n_orders,
+        |  SUM(floor(o_totalprice * 100.0 + 0.5)) / 100.0 AS total_price
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "snk_merge_upsert" ->
       """WITH upd AS (
         |  SELECT o_orderkey,

@@ -216,4 +216,23 @@ class JoinWindowSpec extends AnyFunSuite {
       (2L, 1L, "B", ts("2024-01-01"), Some(ts("2024-01-01")), 1L),
       (2L, 2L, "A", ts("2024-01-01"), None, 1L)))
   }
+
+  test("range interval frame: after a 9-day gap the 7-day window holds " +
+    "only the current day — a ROWS frame would leak pre-gap revenue") {
+    import spark.implicits._
+    val daily = Seq(
+      ("P", "1992-01-01", 1.00),
+      ("P", "1992-01-02", 2.00),
+      ("P", "1992-01-11", 4.00),  // 9-day gap: frame must reset
+    ).toDF("product", "d", "total_revenue")
+      .select(col("product"), col("d").cast("date").as("sale_date"),
+        col("total_revenue"))
+    val got = operators.JoinWindowQueries.rangeIntervalOn(daily)
+      .collect().map(r => (r.getDate(1).toString, r.getDouble(2),
+        r.getLong(3))).toList
+    assert(got == List(
+      ("1992-01-01", 1.00, 1L),
+      ("1992-01-02", 3.00, 2L),
+      ("1992-01-11", 4.00, 1L)))
+  }
 }

@@ -174,4 +174,24 @@ class SourceSinkSpec extends AnyFunSuite {
       .toSet
     assert(got == Set((1L, "O", 10.0), (2L, "U", 99.0), (3L, "U", 5.0)))
   }
+
+  test("incremental aggregate merge: overlapping keys re-aggregate, " +
+    "disjoint keys pass through — merge(partials) ≡ one-pass aggregate") {
+    import spark.implicits._
+    val state = Seq(
+      ("1994-01", "O", 2L, 1000L),   // overlaps with delta
+      ("1994-02", "F", 1L, 250L),    // state-only
+    ).toDF("mo", "st", "n", "cents")
+    val delta = Seq(
+      ("1994-01", "O", 3L, 500L),    // merges into 1994-01/O
+      ("1995-03", "P", 1L, 99L),     // brand-new key
+    ).toDF("mo", "st", "n", "cents")
+    val got = sources.SourceQueries.mergePartials(state, delta)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toList
+    assert(got == List(
+      ("1994-01", "O", 5L, 15.0),
+      ("1994-02", "F", 1L, 2.5),
+      ("1995-03", "P", 1L, 0.99)))
+  }
 }
