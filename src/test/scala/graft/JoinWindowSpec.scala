@@ -217,6 +217,19 @@ class JoinWindowSpec extends AnyFunSuite {
       (2L, 2L, "A", ts("2024-01-01"), None, 1L)))
   }
 
+  test("scd2 plan: lag, island sum, run collapse, and valid_to lead all " +
+    "ride ONE custkey hash partitioning") {
+    val df = operators.JoinWindowQueries.dimScd2History(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // one hash exchange for the whole build; the trailing range
+    // exchange is the final presentation orderBy, not a rebuild
+    val nHash = "hashpartitioning".r.findAllIn(plan).size
+    assert(nHash == 1,
+      s"expected exactly 1 hash exchange (o_custkey), got $nHash:\n$plan")
+  }
+
   test("range interval frame: after a 9-day gap the 7-day window holds " +
     "only the current day — a ROWS frame would leak pre-gap revenue") {
     import spark.implicits._
