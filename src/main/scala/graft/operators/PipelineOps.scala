@@ -279,7 +279,52 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** `smp_split_leakfree`: leakage-free train/val/test assignment —
+    * the split is a pure function of the CONTENT digest (md5 → 60-bit
+    * integer → decile: 7/2/1), so byte-identical documents can never
+    * straddle splits no matter how many times they recur in the
+    * corpus. Splitting on doc_id (or `rand()`) puts one copy of a
+    * duplicated document in train and another in test — the eval
+    * contamination the decontamination pass exists to prevent. Emits
+    * per-split doc/group counts plus the (provably zero) count of
+    * digest groups spanning more than one split.
+    *
+    * Determinism: the digest decile replays in DuckDB
+    * (`CAST('0x'||substr(md5,1,15) AS BIGINT)` ≙ `conv(…,16,10)`,
+    * both truncating the same 15 hex chars — the dedup family's
+    * established replay rule).
+    *
+    * Scale: the assignment is a scan-stage expression (no shuffle,
+    * no state — a new document routes without consulting the corpus);
+    * only digest-level counts shuffle, and the 1-row leak audit
+    * broadcasts. */
+  val smpSplitLeakfree: Q = (spark, dir) => {
+    val d = splitAssign(Tables.documents(spark, dir))
+    val leaks = d.groupBy(col("h"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .where(col("ns") > 1)
+      .agg(count(lit(1)).as("n_leaked_groups"))
+    d.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_groups"))
+      .crossJoin(broadcast(leaks))
+      .orderBy(col("split"))
+  }
+
+  /** Per-doc digest-decile split of [[smpSplitLeakfree]] — the spec
+    * plants byte-identical texts under different doc_ids and asserts
+    * they co-assign. */
+  private[graft] def splitAssign(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("bucket",
+        conv(substring(col("h"), 1, 15), 16, 10).cast("long") % 10)
+      .withColumn("split",
+        when(col("bucket") < 7, "train")
+          .when(col("bucket") < 9, "val")
+          .otherwise("test"))
+
   def queries: Map[String, Q] = Map(
+    "smp_split_leakfree"  -> smpSplitLeakfree,
     "smp_stratified"      -> smpStratified,
     "smp_temperature"     -> smpTemperature,
     "smp_fixed_k"         -> smpFixedK,
@@ -293,6 +338,22 @@ object PipelineOps {
   private val T = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   def oracles: Map[String, String] = Map(
+    "smp_split_leakfree" ->
+      """WITH s AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |    CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+        |              % 10 < 7 THEN 'train'
+        |         WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+        |              % 10 < 9 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |l AS (
+        |  SELECT count(*) AS n_leaked_groups FROM (
+        |    SELECT h FROM s GROUP BY h
+        |    HAVING count(DISTINCT split) > 1))
+        |SELECT split, count(*) AS n_docs, count(DISTINCT h) AS n_groups,
+        |  (SELECT n_leaked_groups FROM l) AS n_leaked_groups
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "smp_stratified" -> {
       val rateCase = StratRates
         .map { case (l, r) => s"WHEN '$l' THEN $r" }

@@ -165,4 +165,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byCorpus("web") > byCorpus("curated"),
       "80% of 10 web sources must outweigh 30% of 10 curated")
   }
+
+  test("leak-free split: byte-identical texts co-assign regardless of " +
+    "doc_id, and the corpus-level leak audit is zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the same exact document"),
+      (999L, "the same exact document"),   // duplicate, distant id
+      (2L, "a different document"),
+      (3L, "yet another one entirely"),
+    ).toDF("doc_id", "text")
+    val assigned = operators.PipelineOps.splitAssign(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    assert(assigned(1L) == assigned(999L),
+      "duplicates must land in the same split")
+    val out = operators.PipelineOps.smpSplitLeakfree(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n_leaked_groups") == 0L))
+    // every split must actually receive documents at this sf
+    assert(out.map(_.getAs[String]("split")).toSet ==
+      Set("train", "val", "test"))
+  }
 }
