@@ -160,6 +160,74 @@ object TextQueries {
       .orderBy(col("n").desc, col("bigram"))
       .limit(100)
 
+  /** `txt_heavy_hitters`: every bigram above 0.1% of the corpus bigram
+    * stream, with EXACT counts — two-pass distributed heavy hitters.
+    * Pass 1 runs a Misra-Gries summary (capacity 2000) independently
+    * inside each partition: any item with global frequency above
+    * S/1000 must exceed n_p/2001 in at least one partition (pigeonhole)
+    * and therefore SURVIVES that partition's summary — so the candidate
+    * union is a deterministic superset of the true heavy set,
+    * independent of partitioning and arrival order. Pass 2 counts the
+    * candidates exactly and keeps those above the threshold, so the
+    * final output equals the naive full group-by — which is exactly
+    * what the oracle runs.
+    *
+    * Scale: this is THE pattern for frequency discovery on a 100 TB
+    * stream — pass 1 is shuffle-free (bounded per-partition state, no
+    * exchange), and pass 2 shuffles only rows matching a
+    * bounded-by-construction candidate set (≤ capacity × partitions,
+    * broadcast), never the full bigram stream. The naive group-by
+    * shuffles every bigram occurrence; at vocabulary scale that is the
+    * job's dominant cost. Two scans of `documents` are inherent to the
+    * sketch-then-verify contract (same as the LSH dedup family). */
+  val txtHeavyHitters: Q = (spark, dir) =>
+    heavyHittersOn(
+      Tables.documents(spark, dir)
+        .select(tokens(col("text")).as("w"))
+        .select(explode(ngrams(col("w"), 2)).as("bigram")),
+      cap = 2000, minFrac = 0.001)
+
+  /** [[txtHeavyHitters]] over an explicit one-column frame with
+    * injectable capacity/threshold — the spec forces decrement churn
+    * (500 singletons through a 10-slot summary) and asserts partition
+    * invariance and exact survivor counts. */
+  private[graft] def heavyHittersOn(bigrams: org.apache.spark.sql.DataFrame,
+      cap: Int, minFrac: Double): org.apache.spark.sql.DataFrame = {
+    val spark = bigrams.sparkSession
+    import spark.implicits._
+    // the survivor guarantee only covers items above n/(cap+1): a
+    // threshold below that admits true-heavy items the sketch may drop
+    require(minFrac > 1.0 / (cap + 1),
+      s"minFrac=$minFrac below the capacity-$cap guarantee ${1.0 / (cap + 1)}")
+    val cands = bigrams.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { b =>
+        m.get(b) match {
+          case Some(c) => m.update(b, c + 1)
+          case None =>
+            if (m.size < cap) m.update(b, 1L)
+            else {
+              // decrement-all round: each consumes cap+1 stream units,
+              // so rounds ≤ n_p/(cap+1) — the survivor guarantee
+              val dead = Array.newBuilder[String]
+              m.foreach { case (k, c) =>
+                if (c == 1L) dead += k else m.update(k, c - 1L)
+              }
+              dead.result().foreach(m.remove)
+            }
+        }
+      }
+      m.keysIterator
+    }.toDF("bigram").distinct()
+    val total = bigrams.agg(count(lit(1)).as("s"))
+    bigrams.join(broadcast(cands), Seq("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .where(col("n") > col("s") * lit(minFrac))
+      .select(col("bigram"), col("n"))
+      .orderBy(col("n").desc, col("bigram"))
+  }
+
   /** PII-shaped redaction: mask account-identifier digit runs (≥3) and
     * email-shaped spans, reporting the redaction count and the scrubbed
     * value — the scrub-before-sharing step of a data pipeline. Runs
@@ -223,6 +291,7 @@ object TextQueries {
     "txt_fingerprint" -> txtFingerprint,
     "txt_tfidf"       -> txtTfidf,
     "txt_bigram_freq" -> txtBigramFreq,
+    "txt_heavy_hitters" -> txtHeavyHitters,
     "txt_repetition"  -> txtRepetition,
     "txt_pii_redact"  -> txtPiiRedact,
   )
@@ -303,6 +372,15 @@ object TextQueries {
         |    '[0-9]{3,}', '<id>', 'g') AS redacted_name,
         |  c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "txt_heavy_hitters" ->
+      s"""WITH tok AS (SELECT $T AS w FROM documents),
+         |bg AS (
+         |  SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+         |  FROM tok),
+         |c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY 1),
+         |tot AS (SELECT count(*) AS s FROM bg)
+         |SELECT bigram, n FROM c, tot WHERE n > s * 0.001
+         |ORDER BY n DESC, bigram""".stripMargin,
     "txt_bigram_freq" ->
       s"""WITH tok AS (SELECT $T AS w FROM documents),
          |bg AS (

@@ -180,6 +180,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("click>view>purchase", 1L), ("view>click>purchase", 1L)))
   }
 
+  test("heavy hitters: survivors carry EXACT counts through decrement " +
+    "churn (500 singletons vs a 10-slot summary), and the result is " +
+    "partition-invariant") {
+    import spark.implicits._
+    // 200×hot + 100×warm + 500 singletons (n=800). cap=10 → the
+    // guarantee covers items above n/11 ≈ 72.7; threshold 10% = 80.
+    // Both planted keys clear BOTH bars; every rare is 0.125%.
+    val stream = (Seq.fill(200)("hot") ++ Seq.fill(100)("warm") ++
+      (1 to 500).map(i => s"rare_$i"))
+    def run(nPart: Int) = operators.TextQueries.heavyHittersOn(
+      stream.toDF("bigram").repartition(nPart), cap = 10, minFrac = 0.1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    val single = run(1)
+    assert(single == List(("hot", 200L), ("warm", 100L)),
+      s"exact counts must survive the sketch pass: $single")
+    assert(run(7) == single, "result must not depend on partitioning")
+  }
+
   test("profiler: all sixteen statistics ride ONE pruned lineitem scan " +
     "(Expand for the multi-column distincts, never per-column rescans)") {
     val df = operators.AggQueries.profNumericSummary(spark, sf)
