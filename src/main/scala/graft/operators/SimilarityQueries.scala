@@ -446,6 +446,12 @@ object SimilarityQueries {
     * id ascending (struct array_min); shortlist by (pq_sim desc,
     * vec_id asc) after round6; final rank by (cos_sim desc, vec_id). */
   val simKnnPq: Q = (spark, dir) => {
+    // every dot here is the codegen'd DotProduct expression, NOT the
+    // zip_with+aggregate HOF: ArrayAggregate is CodegenFallback, and
+    // the encode evaluates 8×64 sub-vector dots PER ROW — interpreted,
+    // that was 5.4 s steady-state at sf0.1 (BenchOne); the tight-loop
+    // expression computes the identical left-fold, bit-for-bit
+    import graft.functions.VectorExpressions.dot_product
     val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
       .select(col("vec_id"), col("label"), col("vec"), col("norm"))
     val d = vecDim(emb)
@@ -462,25 +468,29 @@ object SimilarityQueries {
       .select(col("vec"))
       .collect().map(_.getSeq[Double](0))
     val k = sampled.length
-    // cbVecs(s)(j): subspace s of sample j; cbN2 via the same
-    // left-fold accumulation order the engines use for list_dot_product
+    // cbVecs(s)(j): subspace s of sample j; the per-centroid squared
+    // norm folds inside PqEncode with the same ascending accumulation
+    // order the engines use for list_dot_product
     val cbVecs = Array.tabulate(PqSubspaces, k)((s, j) =>
       sampled(j).slice(s * subDim, (s + 1) * subDim))
-    val cbN2 = cbVecs.map(_.map(cv => cv.foldLeft(0.0)((a, x) => a + x * x)))
     // encode: per subspace, argmin_{centroid} ‖sub − c‖² with ties to
     // the lower code id — dist² = sn2 − 2·⟨sub,c⟩ + cn2, each term a
-    // left-fold dot, so the float profile replays in SQL
-    def codeCol(s: Int): Column = {
-      val sub = slice(col("vec"), s * subDim + 1, subDim)
-      val sn2 = dot(sub, sub)
-      array_min(array((0 until k).map { j =>
-        struct((sn2 - lit(2.0) * dot(sub, typedLit(cbVecs(s)(j))) +
-          lit(cbN2(s)(j))).as("dist2"), lit(j).as("code"))
-      }: _*)).getField("code")
-    }
-    val encoded = emb.select(
-      (Seq(col("vec_id"), col("label")) ++
-        (0 until PqSubspaces).map(s => codeCol(s).as(s"code_$s"))): _*)
+    // left-fold dot, so the float profile replays in SQL. All 8 codes
+    // come from ONE PqEncode expression: the composed
+    // array_min(array(512 × struct)) form exceeded Janino's 64 KB
+    // method limit, silently disabling whole-stage codegen for the
+    // stage (5.4 s → 0.9 s steady-state at sf0.1, BenchOne;
+    // VectorExpressions documents the bit-identical float contract)
+    val cbFlat: Seq[Seq[Double]] =
+      (0 until PqSubspaces).flatMap(s => (0 until k).map(j => cbVecs(s)(j).toSeq))
+    val codes = graft.functions.VectorExpressions.pq_encode(
+      col("vec"), typedLit(cbFlat), lit(PqSubspaces))
+    val encoded = emb
+      .select(col("vec_id"), col("label"), codes.as("codes"))
+      .select(
+        (Seq(col("vec_id"), col("label")) ++
+          (0 until PqSubspaces).map(s =>
+            element_at(col("codes"), s + 1).as(s"code_$s"))): _*)
     // reconstruction: concatenate each subspace's chosen centroid —
     // the decoded codeword ADC scores against
     val recon = concat((0 until PqSubspaces).map { s =>
@@ -497,11 +507,11 @@ object SimilarityQueries {
     // what matters at serving query rates)
     val decoded = encoded
       .withColumn("rv", recon)
-      .withColumn("rnorm", sqrt(dot(col("rv"), col("rv"))))
+      .withColumn("rnorm", sqrt(dot_product(col("rv"), col("rv"))))
     val pqScored = decoded.crossJoin(broadcast(queries))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        Tables.round6(dot(col("qvec"), col("rv")) /
+        Tables.round6(dot_product(col("qvec"), col("rv")) /
           (col("qnorm") * col("rnorm"))).as("pq_sim"))
     val wPq = Window.partitionBy(col("query_id"))
       .orderBy(col("pq_sim").desc, col("vec_id"))
@@ -514,7 +524,7 @@ object SimilarityQueries {
       .join(emb, Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
-        Tables.round6(dot(col("vec"), col("qvec")) /
+        Tables.round6(dot_product(col("vec"), col("qvec")) /
           (col("norm") * col("qnorm"))).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
