@@ -23,10 +23,18 @@ object SimilarityQueries {
   val K = 10
   private val NQueries = 5
 
-  /** Sequential left-fold dot product in double — same accumulation
-    * order as the oracle's list_dot_product. */
-  private def dot(a: Column, b: Column): Column =
+  /** Sequential left-fold dot product via the HOF composition — kept
+    * ONLY as [[simKnnBrute]]'s deliberate baseline formulation (the
+    * documented HOF-vs-native comparison pair with sim_knn_native).
+    * ArrayAggregate is CodegenFallback (interpreted, one lambda frame
+    * per element); every other call site uses the codegen'd
+    * [[graft.functions.DotProduct]], which computes the identical
+    * ascending left-fold bit-for-bit. */
+  private def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot_product(a, b)
 
   private def withNorm(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("vec", col(vecCol).cast("array<double>"))
@@ -46,8 +54,8 @@ object SimilarityQueries {
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id"), col("label"),
-        Tables.round6(dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
-          .as("cos_sim"))
+        Tables.round6(dotHof(col("vec"), col("qvec")) /
+          (col("norm") * col("qnorm"))).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -184,4 +184,54 @@ object PropertySpec extends Properties("graft") {
         val c = r.getLong(1); c >= 40L && c <= 160L
       })
   }
+
+  // deterministic pseudo-vectors for the PqEncode replication: integer
+  // hash → [-1, 1) doubles, no Random (seed-stability rule)
+  private def pv(seed: Long, dim: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      val h = (seed * 2654435761L + i * 40503L) % 65536L
+      (h.toDouble / 32768.0) - 1.0
+    }
+
+  property("pq_encode matches a driver-side argmin replication " +
+    "(left-fold norms/dots, dist2 op order, ties to the lower code)") = {
+    val dim = 16; val subs = 4; val subDim = dim / subs; val k = 8
+    val vecs = (0L until 40L).map(s => s -> pv(s, dim))
+    val codebook: Seq[Seq[Double]] =
+      (0 until subs).flatMap(s => (0 until k).map(j =>
+        pv(100 + j, dim).slice(s * subDim, (s + 1) * subDim)))
+    val expected = vecs.map { case (id, v) =>
+      id -> (0 until subs).map { s =>
+        val sub = v.slice(s * subDim, (s + 1) * subDim)
+        val sn2 = sub.foldLeft(0.0)((a, x) => a + x * x)
+        val d2s = (0 until k).map { j =>
+          val c = codebook(s * k + j)
+          val dot = sub.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+          sn2 - 2.0 * dot + c.foldLeft(0.0)((a, x) => a + x * x)
+        }
+        d2s.zipWithIndex.minBy { case (d, j) => (d, j) }._2
+      }.toList
+    }.toMap
+    val got = vecs.toDF("vec_id", "vec")
+      .select($"vec_id", graft.functions.VectorExpressions.pq_encode(
+        $"vec", typedLit(codebook), lit(subs)).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    got == expected
+  }
+
+  property("pq_encode exact-tie goes to the lower code id") = {
+    // two identical centroids per subspace at positions 1 and 3 → any
+    // vector equidistant to both must encode to 1, never 3
+    val dim = 4; val subs = 2; val subDim = 2
+    val c = Seq(9.0, 9.0)
+    val far = Seq(-9.0, -9.0)
+    val codebook: Seq[Seq[Double]] =
+      Seq(far, c, far, c, far, c, far, c) // per subspace: far,c,far,c
+    val got = Seq((1L, Seq(9.0, 9.0, 9.0, 9.0)))
+      .toDF("vec_id", "vec")
+      .select(graft.functions.VectorExpressions.pq_encode(
+        $"vec", typedLit(codebook), lit(subs)).as("codes"))
+      .head.getSeq[Int](0).toList
+    org.scalacheck.Prop.propBoolean(got == List(1, 1))
+  }
 }
