@@ -276,5 +276,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       (exprs: Seq[Expression]) => PqEncode(exprs.head, exprs(1), exprs(2))))
+    // deployment guardrail (opt-in by choosing these extensions): strip
+    // forced broadcast hints on frames whose stats exceed the bound —
+    // see graft.plans.BroadcastGuard
+    e.injectOptimizerRule(_ => graft.plans.BroadcastGuard)
   }
 }
