@@ -368,8 +368,35 @@ object AggQueries {
     one.select(inline(array(rows: _*))).orderBy(col("column"))
   }
 
+  /** `prof_categorical_summary`: the string-column half of the
+    * profiler — per categorical lineitem column: exact distinct count,
+    * the modal value (ties to the lexicographically lowest, the §J.7
+    * mode rule) and its count. ONE scan: `stack` unpivots both columns
+    * in the same Expand pass the numeric profiler uses, the
+    * (column, value) counts are a single hash aggregate, and the
+    * per-column winner + distinct count ride one window partitioning.
+    * A per-column loop would re-scan the table k times for identical
+    * output. */
+  val profCategoricalSummary: Q = (spark, dir) => {
+    val counts = Tables.lineitem(spark, dir)
+      .select(expr("stack(2, 'l_returnflag', l_returnflag, " +
+        "'l_linestatus', l_linestatus) AS (column, value)"))
+      .groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("n"))
+    val byCol = Window.partitionBy(col("column"))
+    counts
+      .withColumn("rn", row_number().over(
+        byCol.orderBy(col("n").desc, col("value"))))
+      .withColumn("n_distinct", count(lit(1)).over(byCol))
+      .where(col("rn") === 1)
+      .select(col("column"), col("n_distinct"),
+        col("value").as("mode_value"), col("n").as("mode_count"))
+      .orderBy(col("column"))
+  }
+
   def queries: Map[String, Q] = Map(
     "prof_numeric_summary" -> profNumericSummary,
+    "prof_categorical_summary" -> profCategoricalSummary,
     "agg_cube"           -> aggCube,
     "agg_grouping_sets"  -> aggGroupingSets,
     "agg_percentiles"    -> aggPercentiles,
@@ -411,6 +438,15 @@ object AggQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "prof_categorical_summary" ->
+      Seq("l_returnflag", "l_linestatus").map { c =>
+        s"""SELECT '$c' AS "column",
+           |  (SELECT count(DISTINCT $c) FROM lineitem) AS n_distinct,
+           |  $c AS mode_value, count(*) AS mode_count
+           |FROM lineitem GROUP BY $c
+           |ORDER BY count(*) DESC, $c LIMIT 1""".stripMargin
+      }.map(q => s"SELECT * FROM ($q)")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
     "prof_numeric_summary" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

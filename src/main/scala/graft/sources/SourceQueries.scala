@@ -404,9 +404,49 @@ object SourceQueries {
         (sum(col("cents")) / lit(100.0)).as("total_price"))
       .orderBy(col("mo"), col("st"))
 
+  /** `src_jsonl_load`: JSON-Lines corpus ingestion — the interchange
+    * format LLM text pipelines actually ship (one JSON object per
+    * line, schema declared, malformed lines quarantined instead of
+    * failing the batch). The fixture writes `documents` metadata as
+    * JSONL with every seventh line corrupted mid-stream, then reads it
+    * back PERMISSIVE with an explicit schema and a corrupt-record
+    * column, and reports per-language doc counts + char volume with
+    * the quarantined lines as their own `_corrupt` bucket — the
+    * ingest-report shape (how much survived, how much quarantined).
+    *
+    * Scale: the JSONL read is a line-split scan — schema declared (no
+    * inference pass over 100 TB), one parse per line, corruption
+    * isolated per record. The aggregate is one hash shuffle on the
+    * language key. */
+  val srcJsonlLoad: Q = (spark, dir) => {
+    val out = s"target/tmp/jsonl_docs_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.documents(spark, dir)
+      .select(
+        when(col("doc_id") % 7 === 0, lit("{not valid json"))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"),
+            col("source"), col("n_chars")))).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .groupBy(coalesce(col("lang"), lit("_corrupt")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        count(col("_corrupt_record")).as("n_quarantined"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, Q] = Map(
     "snk_merge_upsert"     -> snkMergeUpsert,
     "snk_incr_agg"         -> snkIncrAgg,
+    "src_jsonl_load"       -> srcJsonlLoad,
     "src_extjson_load"     -> srcExtjsonLoad,
     "snk_csv_roundtrip"    -> snkCsvRoundtrip,
     "snk_bucketed_join"    -> snkBucketedJoin,
@@ -419,6 +459,15 @@ object SourceQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "src_jsonl_load" ->
+      """SELECT CASE WHEN doc_id % 7 = 0 THEN '_corrupt' ELSE lang END
+        |    AS lang,
+        |  count(*) AS n_docs,
+        |  SUM(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END)
+        |    AS total_chars,
+        |  count(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS n_quarantined
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "snk_incr_agg" ->
       """SELECT date_trunc('month', o_orderdate) AS mo,
         |  o_orderstatus AS st,

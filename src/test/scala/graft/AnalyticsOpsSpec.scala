@@ -212,4 +212,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).distinct.length == 1) // same n_rows
     assert(rows.forall(_.getLong(2) == 0L))             // no nulls in sf
   }
+
+  test("categorical profiler: ONE stacked scan, and the modal values " +
+    "match an independent per-column recomputation") {
+    val df = operators.AggQueries.profCategoricalSummary(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("Scan parquet").length - 1 == 1, plan)
+    val got = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    val li = Tables.lineitem(spark, sf)
+    for (c <- Seq("l_returnflag", "l_linestatus")) {
+      val counts = li.groupBy(col(c)).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val mode = counts.minBy { case (v, n) => (-n, v) }
+      assert(got(c) == (counts.length.toLong, mode._1, mode._2),
+        s"$c: got ${got(c)}, expected ($mode)")
+    }
+  }
 }

@@ -194,4 +194,20 @@ class SourceSinkSpec extends AnyFunSuite {
       ("1994-02", "F", 1L, 2.5),
       ("1995-03", "P", 1L, 0.99)))
   }
+
+  test("jsonl ingest: corrupt lines quarantine into their own bucket " +
+    "with null metrics, and every clean doc survives with its chars") {
+    val rows = sources.SourceQueries.srcJsonlLoad(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    val nCorrupt = docs.where(col("doc_id") % 7 === 0).count()
+    val corrupt = rows.find(_.getString(0) == "_corrupt").get
+    assert(corrupt.getLong(1) == nCorrupt)
+    assert(corrupt.isNullAt(2), "quarantined lines must not sum chars")
+    assert(corrupt.getLong(3) == nCorrupt,
+      "_corrupt_record must be set for exactly the corrupted lines")
+    val clean = rows.filter(_.getString(0) != "_corrupt")
+    assert(clean.map(_.getLong(1)).sum == docs.count() - nCorrupt)
+    assert(clean.forall(_.getLong(3) == 0L),
+      "no clean language bucket may contain quarantined lines")
+  }
 }
