@@ -518,10 +518,15 @@ object EventStreams {
     * order-independent (the window ORDER BY key is unique within each
     * type).
     *
-    * Scale: 2·n boundary rows (never materialized wider than
-    * (type, t, ±1)), ONE shuffle keyed on event_type shared by the
-    * boundary aggregation, the running-sum window, and the final max —
-    * Spark keeps the partitioning across all three. The naive
+    * Scale: 2·n boundary rows, never materialized wider than
+    * (type, t, ±1). The boundary aggregation shuffles on (type, t)
+    * WITH map-side partial aggregation — raw boundaries collapse to
+    * per-instant deltas before the wire; the running-sum window then
+    * re-clusters those compact rows on type alone (a second,
+    * state-sized exchange — deliberately NOT avoided by
+    * pre-partitioning on type, which would both kill the map-side
+    * combine and cap the first stage's parallelism at |types|), and
+    * the final max rides the window partitioning. The naive
     * formulation (self-join "count intervals covering each start") is
     * O(n²) per type and unshippable at 100 TB. */
   val evtPeakConcurrency: Q = (spark, dir) =>
