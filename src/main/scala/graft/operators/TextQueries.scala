@@ -179,7 +179,19 @@ object TextQueries {
     * broadcast), never the full bigram stream. The naive group-by
     * shuffles every bigram occurrence; at vocabulary scale that is the
     * job's dominant cost. Two scans of `documents` are inherent to the
-    * sketch-then-verify contract (same as the LSH dedup family). */
+    * sketch-then-verify contract (same as the LSH dedup family).
+    *
+    * Honest bound: the broadcast candidate set is capacity ×
+    * partitions WORST-case (adversarially distinct partitions); on a
+    * Zipfian corpus the distinct() collapses it to near the true heavy
+    * tail. At extreme partition counts (100 TB ≈ 200k input splits,
+    * worst case ~200M candidates) insert a hierarchical merge — MG
+    * summaries are themselves mergeable, so treeReduce the
+    * per-partition summaries (the guarantee survives: merged error
+    * adds) before the exact pass, or shuffle-semi-join the candidates
+    * instead of broadcasting. The per-partition guarantee only needs
+    * capacity ≥ 1/minFrac; the 2× slack here halves the sketch error
+    * at test scale. */
   val txtHeavyHitters: Q = (spark, dir) =>
     heavyHittersOn(
       Tables.documents(spark, dir)
