@@ -256,6 +256,9 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_encode",
       exprs => PqEncode(exprs.head, exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain_long",
+      exprs => BloomMightContainLong(exprs.head, exprs(1)), "scala_udf")
   }
 }
 
@@ -276,6 +279,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       (exprs: Seq[Expression]) => PqEncode(exprs.head, exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("bloom_might_contain_long"),
+      new ExpressionInfo(classOf[BloomMightContainLong].getName,
+        "bloom_might_contain_long"),
+      (exprs: Seq[Expression]) => BloomMightContainLong(exprs.head, exprs(1))))
     // deployment guardrail (opt-in by choosing these extensions): strip
     // forced broadcast hints on frames whose stats exceed the bound —
     // see graft.plans.BroadcastGuard

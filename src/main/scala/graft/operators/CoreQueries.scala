@@ -106,6 +106,41 @@ object CoreQueries {
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
         col("p_retailprice"))
 
+  /** `flt_bloom_prefilter` (scale ext.): semi-join reduction via a
+    * broadcast bloom sketch — lineitems whose part is in the small-size
+    * subset (~18% selectivity here), aggregated per return flag. The
+    * SEMANTICS are the plain shuffle semi-join (that is the oracle);
+    * the bloom probe ([[graft.functions.BloomMightContainLong]], a
+    * codegen'd scan-stage predicate) prefilters the fact side to
+    * survivors — true matches plus ~1% false positives — BEFORE any
+    * exchange, so the semi-join shuffles ~18% of the fact rows instead
+    * of all of them. False positives are removed by the exact join, so
+    * result and oracle are unchanged by the sketch.
+    *
+    * Scale: what ships to executors is the SKETCH (~1.2 bytes/key at
+    * 1% fpp), not keeper rows — an order of magnitude more keeper-set
+    * headroom than a forced row broadcast, and the exact join after it
+    * stays planner-chosen either way (the repo's broadcast doctrine).
+    * The keeper count is a distributed count with an O(1) driver
+    * result; `stat.bloomFilter` builds executor-side and merges by
+    * bitwise OR, so the bits are partition-invariant and the query is
+    * replayable. Past ~1e9 keepers the sketch itself is GB-sized —
+    * drop the prefilter and let the plain semi-join run. */
+  val fltBloomPrefilter: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    val keepers = Tables.part(spark, dir)
+      .filter(col("p_size") < 10)
+      .select(col("p_partkey"))
+    val bf = keepers.stat.bloomFilter("p_partkey", keepers.count(), 0.01)
+    graft.functions.VectorExpressions.register(spark)
+    li.where(graft.functions.SketchExpressions.bloom_might_contain_long(
+        col("l_partkey"),
+        lit(graft.functions.SketchExpressions.serialize(bf))))
+      .join(keepers, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
   /** §2.B `prj_safe_div` (dashboard.py:138-142): divide-by-zero-guarded
     * derived column (avg price = revenue/quantity if quantity>0 else 0). */
   val prjSafeDiv: Q = (spark, dir) =>
@@ -219,6 +254,7 @@ object CoreQueries {
     "dt_parse_nullsafe" -> dtParseNullsafe,
     "flt_isin_range"    -> fltIsinRange,
     "flt_eq"            -> fltEq,
+    "flt_bloom_prefilter" -> fltBloomPrefilter,
     "prj_safe_div"      -> prjSafeDiv,
     "dt_parts"          -> dtParts,
     "dt_format_day"     -> dtFormatDay,
@@ -268,6 +304,12 @@ object CoreQueries {
     "flt_eq" ->
       """SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
         |WHERE p_brand = 'Brand#13'""".stripMargin,
+    "flt_bloom_prefilter" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+        |GROUP BY l_returnflag""".stripMargin,
     "prj_safe_div" ->
       ("""SELECT *, CASE WHEN total_quantity > 0
         |               THEN total_revenue / total_quantity

@@ -93,6 +93,41 @@ class CoreQueriesSpec extends AnyFunSuite {
       s"expected 3-column pruned scan:\n$projected")
   }
 
+  test("bloom prefilter: result equals the plain semi-join, the probe is a " +
+    "scan-stage predicate, survivors = matches + bounded false positives") {
+    import org.apache.spark.sql.functions._
+    // (1) end-to-end equality with the un-prefiltered semi-join
+    val res = operators.CoreQueries.fltBloomPrefilter(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val keepers = Tables.part(spark, sf)
+      .filter(col("p_size") < 10).select(col("p_partkey"))
+    val exact = li.join(keepers, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+    assert(res.collect().toSet === exact.collect().toSet)
+
+    // (2) the probe survives to the executed plan as a native predicate
+    // (not lost to a subquery rewrite) — it is what cuts the exchange input
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain_long"),
+      s"bloom probe missing from executed plan:\n$plan")
+
+    // (3) prefilter semantics on a planted frame: no false negatives,
+    // false positives bounded far below the non-member count. 2 keepers,
+    // 998 non-members at 1% fpp -> expect ~10 FPs; assert < 100.
+    val ids = spark.range(0, 1000).toDF("id")
+    val bf = ids.where(col("id") < 2).stat.bloomFilter("id", 2, 0.01)
+    val bits = lit(graft.functions.SketchExpressions.serialize(bf))
+    graft.functions.VectorExpressions.register(spark)
+    val survivors = ids.where(
+      graft.functions.SketchExpressions.bloom_might_contain_long(col("id"), bits))
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.contains(0L) && survivors.contains(1L),
+      "bloom filters never drop true members")
+    assert(survivors.size < 100,
+      s"false-positive blowup: ${survivors.size} survivors of 1000 for 2 keys")
+  }
+
   test("flagship plan: broadcast join + partial aggregation, no extra shuffle") {
     val plan = operators.CoreQueries.aggDailyProduct(spark, sf)
       .queryExecution.executedPlan.toString
