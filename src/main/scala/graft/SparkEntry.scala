@@ -34,6 +34,7 @@ object SparkEntry {
       ml.Scoring.queries ++
       plans.PairCount.queries ++
       plans.TopK.queries ++
+      plans.ThetaSets.queries ++
       plans.SkewJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

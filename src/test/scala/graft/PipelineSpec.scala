@@ -206,6 +206,41 @@ class PipelineSpec extends AnyFunSuite {
       s"merged=${rows("__all_merged")} direct=$direct")
   }
 
+  test("theta set algebra: exact below the sketch threshold (the test-SF " +
+    "regime), 4%-bounded in estimation mode on a planted 75k-id frame") {
+    import spark.implicits._
+    // (1) exact regime: daily actives sit far below the 4096-entry
+    // nominal, so every estimate must EQUAL the exact set operation
+    val rows = plans.ThetaSets.aggThetaSetops(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+    val a = ev.where(col("day") === "2024-01-01")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val b = ev.where(col("day") === "2024-01-02")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(rows("a_only") == a.size.toLong, s"a: ${rows("a_only")} vs ${a.size}")
+    assert(rows("b_only") == b.size.toLong, s"b: ${rows("b_only")} vs ${b.size}")
+    assert(rows("union") == (a ++ b).size.toLong)
+    assert(rows("intersect") == a.intersect(b).size.toLong)
+    assert(rows("a_not_b") == a.diff(b).size.toLong)
+
+    // (2) estimation regime: 50k vs 50k ids overlapping by 25k — far
+    // past the nominal, so the sketches sample; every answer must stay
+    // within 4% relative error (k=4096 → rse ≈ 1.6%, 4% ≈ 2.5σ)
+    val big = spark.range(0, 50000).select(lit("x").as("k"), col("id"))
+      .unionAll(spark.range(25000, 75000).select(lit("y").as("k"), col("id")))
+      .as[(String, Long)]
+    val est = plans.ThetaSets.setopsOn(big, "x", "y").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Map("a_only" -> 50000L, "b_only" -> 50000L,
+      "union" -> 75000L, "intersect" -> 25000L, "a_not_b" -> 25000L)
+    exact.foreach { case (op, ex) =>
+      val rel = math.abs(est(op) - ex).toDouble / ex
+      assert(rel < 0.04, s"$op: est=${est(op)} exact=$ex rel=$rel")
+    }
+  }
+
   test("txt_tfidf: the token->df join is planner-chosen (the only " +
     "broadcast hint is the 1-row corpus count)") {
     // The (token, df) dim has one row per distinct token — web-corpus
