@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -199,6 +199,43 @@ object TextQueries {
         .select(explode(ngrams(col("w"), 2)).as("bigram")),
       cap = 2000, minFrac = 0.001)
 
+  /** `txt_freq_cms` (scale ext.): Count-Min frequency sketch — the
+    * one-pass MERGEABLE complement to [[txtHeavyHitters]]. Misra-Gries
+    * guarantees exact counts for its survivors but answers nothing
+    * about items it dropped; a CMS answers a point-frequency query for
+    * ANY token after the fact, never underestimates, and overestimates
+    * by at most eps·N (here eps=1e-4, so the counter array is ~1 MB
+    * regardless of corpus size — at 100 TB the sketch is still ~1 MB).
+    * Spark's `stat.countMinSketch` builds it as a treeAggregate:
+    * per-partition counter arrays, element-wise merge — the same
+    * partial/merge algebra as the HLL/theta family, so per-shard (or
+    * per-day) sketches compose by addition without rescanning
+    * (AnalyticsOpsSpec asserts split-build-merge ≡ whole-build
+    * exactly, plus the no-underestimate and eps·N bounds).
+    *
+    * Output: the exact top-20 tokens with exact and sketch counts side
+    * by side. The exact side is the [[txtBigramFreq]]-style count the
+    * driver could oracle; the sketch side is engine internals →
+    * rows-only, like the other sketch queries. Fixed seed ⇒ the
+    * sketch bits and every estimate are replayable. */
+  val txtFreqCms: Q = (spark, dir) =>
+    cmsProbeOn(Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token")))
+
+  private[graft] def cmsProbeOn(toks: DataFrame): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val cms = toks.stat.countMinSketch("token", eps = 1e-4,
+      confidence = 0.99, seed = 42)
+    toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token")).limit(20)
+      .collect() // bounded: 20 rows + a ~1 MB sketch on the driver
+      .map(r => (r.getString(0), r.getLong(1),
+        cms.estimateCount(r.getString(0))))
+      .toSeq.toDF("token", "n_exact", "n_cms_est")
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
   /** [[txtHeavyHitters]] over an explicit one-column frame with
     * injectable capacity/threshold — the spec forces decrement churn
     * (500 singletons through a 10-slot summary) and asserts partition
@@ -304,6 +341,7 @@ object TextQueries {
     "txt_tfidf"       -> txtTfidf,
     "txt_bigram_freq" -> txtBigramFreq,
     "txt_heavy_hitters" -> txtHeavyHitters,
+    "txt_freq_cms"    -> txtFreqCms,
     "txt_repetition"  -> txtRepetition,
     "txt_pii_redact"  -> txtPiiRedact,
   )

@@ -198,6 +198,37 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(run(7) == single, "result must not depend on partitioning")
   }
 
+  test("count-min frequency sketch: never underestimates, overestimates " +
+    "by at most eps*N, and split-build-merge equals whole-build exactly") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val toks = Tables.documents(spark, sf)
+      .select(explode(tokens(col("text"))).as("token"))
+    val n = toks.count()
+    val rows = operators.TextQueries.cmsProbeOn(toks).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    val epsN = math.ceil(1e-4 * n).toLong
+    rows.foreach { case (tok, exact, est) =>
+      assert(est >= exact, s"$tok: CMS underestimated ($est < $exact)")
+      assert(est - exact <= epsN,
+        s"$tok: overestimate ${est - exact} above eps*N=$epsN")
+    }
+    // merge algebra: counter arrays add element-wise, so two half-corpus
+    // sketches merged must answer every probe IDENTICALLY to one
+    // whole-corpus build (same seed -> same hash rows)
+    val half1 = toks.where(crc32(col("token")) % 2 === 0)
+      .stat.countMinSketch("token", 1e-4, 0.99, 42)
+    val half2 = toks.where(crc32(col("token")) % 2 === 1)
+      .stat.countMinSketch("token", 1e-4, 0.99, 42)
+    val whole = toks.stat.countMinSketch("token", 1e-4, 0.99, 42)
+    half1.mergeInPlace(half2)
+    rows.foreach { case (tok, _, _) =>
+      assert(half1.estimateCount(tok) == whole.estimateCount(tok),
+        s"$tok: merged sketch diverges from whole-corpus build")
+    }
+  }
+
   test("profiler: all sixteen statistics ride ONE pruned lineitem scan " +
     "(Expand for the multi-column distincts, never per-column rescans)") {
     val df = operators.AggQueries.profNumericSummary(spark, sf)
