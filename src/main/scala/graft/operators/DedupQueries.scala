@@ -405,6 +405,57 @@ object DedupQueries {
       .orderBy(col("stage"))
   }
 
+  /** `dedup_entity_block` (scale ext.): record-linkage near-duplicate
+    * detection on a STRUCTURED entity table (customer) — the classic
+    * blocking + pairwise-compare shape used for entity resolution in
+    * data-cleaning pipelines (cf. the document-side near-dup family
+    * above; this is its structured-record sibling).
+    *
+    * Blocking key = the name minus its last two characters. Every pair
+    * within edit distance 1 that touches only the suffix shares the
+    * block, and block size is bounded by the SUFFIX ALPHABET (≤10² for
+    * digit suffixes), NOT by corpus size — so candidate pairs grow
+    * linearly with the corpus while the per-block quadratic term stays
+    * constant. The candidate generation is an equi-join on the block
+    * key (one hash shuffle of (block, key, name) — never a cross join),
+    * and the exact `levenshtein` compare runs only on candidates.
+    * Multi-pass blocking (a second key for prefix-typo pairs) would
+    * union a second equi-join with the same bound.
+    *
+    * Determinism: edit distance is integral, pairs are ordered
+    * `custkey_a < custkey_b` — no float or tie hazards.
+    *
+    * Two local-measurement notes that are also the cluster story:
+    * the probe side is hash-repartitioned on the block key (a dim
+    * table arrives as ONE input split locally, which would serialize
+    * the quadratic compare behind a broadcast join — the block-key
+    * shuffle is ~bytes-cheap and is exactly how a shuffle join would
+    * distribute the compare at 100 TB), and the compare uses the
+    * BANDED threshold form `levenshtein(a, b, k)` — O(len·k) per pair
+    * with early exit, vs O(len²) for the unbounded form (returns -1
+    * past the threshold, so the match filter is `dist != -1`).
+    * Measured 2.6 s → 0.5 s steady-state at sf0.1 together. */
+  val dedupEntityBlock: Q = (spark, dir) => {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("blk", expr("substring(c_name, 1, length(c_name) - 2)"))
+    // explicit width: AQE would coalesce a 15k-row exchange to one
+    // partition (it sizes on exchange BYTES, but the quadratic compare
+    // cost materializes after the exchange) — pin the configured
+    // shuffle width so the per-block compares actually spread out
+    val left  = c.select(col("blk"), col("c_custkey").as("custkey_a"),
+      col("c_name").as("name_a"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("blk"))
+    val right = c.select(col("blk"), col("c_custkey").as("custkey_b"),
+      col("c_name").as("name_b"))
+    left.join(right, Seq("blk"))
+      .where(col("custkey_a") < col("custkey_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1))
+      .where(col("dist") =!= -1)
+      .select(col("custkey_a"), col("custkey_b"), col("dist"))
+      .orderBy(col("custkey_a"), col("custkey_b"))
+  }
+
   def queries: Map[String, Q] = Map(
     "dedup_exact"         -> dedupExact,
     "dedup_incremental"   -> dedupIncremental,
@@ -412,6 +463,7 @@ object DedupQueries {
     "dedup_minhash_lsh"   -> dedupMinhashLsh,
     "dedup_simhash"       -> dedupSimhash,
     "dedup_components"    -> dedupComponents,
+    "dedup_entity_block"  -> dedupEntityBlock,
     "pipe_corpus_clean"   -> pipeCorpusClean,
   )
 
@@ -438,6 +490,17 @@ object DedupQueries {
        |e AS (SELECT doc_id, unnest(s) AS h FROM sh)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "dedup_entity_block" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name,
+        |         substring(c_name, 1, length(c_name) - 2) AS blk
+        |  FROM customer)
+        |SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+        |       levenshtein(a.c_name, b.c_name) AS dist
+        |FROM c a JOIN c b USING (blk)
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY custkey_a, custkey_b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""$Md5ShinglePrefixSql,
          |hf AS (SELECT unnest(range(0, $NumHashes)) AS i),

@@ -309,6 +309,35 @@ object JoinWindowQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Extension (§2.H): longest consecutive-shipping-day streak per
+    * part — the gaps-and-islands run-length shape (same family as
+    * dim_scd2_history's run collapse, here over a calendar instead of
+    * an attribute sequence). `active day − row_number` is constant
+    * within a consecutive run, so runs fall out of ONE hash aggregate
+    * on the (part, group-anchor) key after ONE window over the
+    * per-part distinct days.
+    *
+    * Scale: partitioned by `l_partkey` — data-sized key count, so
+    * partitions stay balanced as the corpus grows (a 7-value product
+    * key here would serialize the sort at 1000 executors). Per-part
+    * window state is the part's distinct-day list — calendar-bounded,
+    * not row-bounded: the distinct() collapses the fact table before
+    * anything is sorted. */
+  val winStreaks: Q = (spark, dir) => {
+    val days = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_shipdate").cast("date").as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("d"))
+    val runs = days
+      .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("l_partkey"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy(col("l_partkey"))
+      .agg(max(col("len")).as("max_streak"),
+        sum(col("len")).as("n_active_days"))
+      .orderBy(col("l_partkey"))
+  }
+
   /** Extension: cumulative running total per product — frame-spec
     * window over exact cents, so the running sum is deterministic at
     * any partitioning. */
@@ -545,6 +574,7 @@ object JoinWindowQueries {
     "win_running_total"     -> winRunningTotal,
     "win_cum_distinct"      -> winCumDistinct,
     "win_median_rolling"    -> winMedianRolling,
+    "win_streaks"           -> winStreaks,
   )
 
   private val R = Tables.revenueSumSql
@@ -767,5 +797,21 @@ object JoinWindowQueries {
          |WINDOW w AS (PARTITION BY product ORDER BY sale_date
          |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          |ORDER BY product, sale_date""".stripMargin,
+    "win_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT l_partkey, CAST(l_shipdate AS DATE) AS d
+        |  FROM lineitem),
+        |runs AS (
+        |  SELECT l_partkey,
+        |    d - CAST(row_number() OVER (PARTITION BY l_partkey ORDER BY d)
+        |             AS INTEGER) AS anchor
+        |  FROM days),
+        |lens AS (
+        |  SELECT l_partkey, anchor, count(*) AS len
+        |  FROM runs GROUP BY 1, 2)
+        |SELECT l_partkey, max(len) AS max_streak,
+        |       CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM lens GROUP BY l_partkey
+        |ORDER BY l_partkey""".stripMargin,
   )
 }

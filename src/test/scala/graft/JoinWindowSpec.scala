@@ -30,6 +30,36 @@ class JoinWindowSpec extends AnyFunSuite {
     assert(pairs.values.sum == 3 + 1 + 0) // C(3,2)+C(2,2)+C(1,2)... = 3+1+0
   }
 
+  test("streaks: gaps-and-islands run lengths on a planted calendar") {
+    import spark.implicits._
+    // part 1: days 1,2,3 then 5,6 -> runs of 3 and 2; part 2: one day
+    val days = Seq(
+      (1L, "1994-01-01"), (1L, "1994-01-02"), (1L, "1994-01-03"),
+      (1L, "1994-01-05"), (1L, "1994-01-06"),
+      (1L, "1994-01-02"), // duplicate shipment same day — must not split runs
+      (2L, "1994-03-10")
+    ).toDF("l_partkey", "l_shipdate")
+      .select(col("l_partkey"), col("l_shipdate").cast("timestamp").as("l_shipdate"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_partkey")).orderBy(col("d"))
+    val runs = days
+      .select(col("l_partkey"), col("l_shipdate").cast("date").as("d")).distinct()
+      .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("l_partkey"), col("anchor")).agg(count(lit(1)).as("len"))
+      .groupBy(col("l_partkey"))
+      .agg(max(col("len")).as("max_streak"), sum(col("len")).as("n_active_days"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(runs(1L) == (3L, 5L), s"part 1: $runs")
+    assert(runs(2L) == (1L, 1L), s"part 2: $runs")
+    // and the registered query returns one row per active part on testdata
+    val q = operators.JoinWindowQueries.winStreaks(spark, sf)
+    val nParts = Tables.lineitem(spark, sf)
+      .select("l_partkey").distinct().count()
+    assert(q.count() == nParts)
+    assert(q.where(col("max_streak") > col("n_active_days")).isEmpty,
+      "a streak can never exceed the active-day count")
+  }
+
   test("pair query total equals Σ C(basket,2) on testdata") {
     val total = operators.JoinWindowQueries.joinPairSelfjoin(spark, sf)
       .agg(sum("n")).head.getLong(0)

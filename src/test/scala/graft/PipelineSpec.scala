@@ -66,6 +66,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(d.agg(sum("n_copies")).head.getLong(0) == total)
   }
 
+  test("entity-block record linkage: blocked result equals the blocking-free " +
+    "quadratic compare, and the plan has no cartesian/nested-loop join") {
+    import org.apache.spark.sql.functions._
+    val res = operators.DedupQueries.dedupEntityBlock(spark, sf)
+    // blocking-free baseline: ALL ordered pairs, then the same distance
+    // rule AND the same block rule (a blocked scheme may only ever DROP
+    // cross-block true matches — assert it drops nothing else)
+    val c = Tables.customer(spark, sf).select(col("c_custkey"), col("c_name"))
+    val naive = c.as("a").crossJoin(c.as("b"))
+      .where(col("a.c_custkey") < col("b.c_custkey") &&
+        expr("substring(a.c_name, 1, length(a.c_name) - 2)") ===
+          expr("substring(b.c_name, 1, length(b.c_name) - 2)") &&
+        levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+      .select(col("a.c_custkey"), col("b.c_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = res.select("custkey_a", "custkey_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == naive, s"blocked=${blocked.size} naive=${naive.size}")
+    assert(res.collect().forall(_.getInt(2) == 1),
+      "unique names: every matched pair must be at distance exactly 1")
+    // candidates must come from the equi-join on the block key
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"entity blocking must plan as an equi-join:\n$plan")
+  }
+
   test("LSH ANN recall@10 vs brute force is high on sf0.001") {
     val brute = operators.SimilarityQueries.simKnnBrute(spark, sf)
       .select("query_id", "vec_id").collect()
