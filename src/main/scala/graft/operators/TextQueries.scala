@@ -144,6 +144,53 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** `txt_unigram_ppl`: corpus-self-trained unigram language-model
+    * cross-entropy and perplexity per document — the KenLM-style
+    * fluency filter of a pretraining pipeline (docs whose tokens are
+    * corpus-typical score low; rare-token gibberish scores high).
+    * avg_nll = (1/n)·Σ ln(N/count(tok)); ppl = exp(avg_nll). No
+    * smoothing needed: the model is trained on the scored corpus
+    * itself, so every token has count ≥ 1.
+    *
+    * Determinism: the per-token surprisal ln(N/cnt) is quantized to
+    * integer MICRO-NATS before the per-doc sum — a long sum is exact
+    * and order-independent, where a double sum would drift with
+    * partitioning. `ln`/`exp` may differ by 1 ulp between libms — far
+    * below the micro-nat grain (the same accepted bound as
+    * [[txtTfidf]]'s idf).
+    *
+    * Scale: identical shape to [[txtTfidf]] — two hash aggregates and
+    * a join on `token` whose (token, cnt) side is vocabulary-sized
+    * (10^8–10^9 rows on a web corpus, NOT broadcastable → planner-
+    * chosen; AQE broadcasts at test SF). The only forced broadcast is
+    * the 1-row corpus total. Token strings shuffle once; the doc-side
+    * re-aggregation carries only (doc_id, long). */
+  val txtUnigramPpl: Q = (spark, dir) =>
+    unigramPplOn(Tables.documents(spark, dir))
+
+  /** [[txtUnigramPpl]] over an explicit (doc_id, text) frame — the
+    * spec plants a corpus with hand-computable token counts and checks
+    * the quantized cross-entropy against an independent replication. */
+  private[graft] def unigramPplOn(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val cnt = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    val avgNll =
+      col("sum_micro").cast("double") / (col("n_tokens") * lit(1000000.0))
+    tok.join(cnt, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        floor(log(col("n_total").cast("double") / col("cnt"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("s_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_tokens"),
+        Tables.round6(avgNll).as("avg_nll"),
+        Tables.round6(exp(Tables.round6(avgNll))).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus bigram frequency table: top-100 word bigrams with a
     * deterministic (count desc, bigram asc) tie-break — the corpus-
     * statistics shape (n-gram LM tables, vocab induction). At 100 TB
@@ -343,6 +390,7 @@ object TextQueries {
     "txt_heavy_hitters" -> txtHeavyHitters,
     "txt_freq_cms"    -> txtFreqCms,
     "txt_repetition"  -> txtRepetition,
+    "txt_unigram_ppl" -> txtUnigramPpl,
     "txt_pii_redact"  -> txtPiiRedact,
   )
 
@@ -438,6 +486,24 @@ object TextQueries {
          |  FROM tok)
          |SELECT bigram, count(*) AS n FROM bg
          |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    "txt_unigram_ppl" -> {
+      val avgNll = "CAST(sum_micro AS DOUBLE) / (n_tokens * 1000000.0)"
+      s"""WITH tok AS (SELECT doc_id, unnest($T) AS token FROM documents),
+         |cnt AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM tok),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(floor(ln(CAST(n_total AS DOUBLE) / cnt) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS s_micro
+         |  FROM tok JOIN cnt USING (token) CROSS JOIN tot),
+         |d AS (
+         |  SELECT doc_id, count(*) AS n_tokens, SUM(s_micro) AS sum_micro
+         |  FROM s GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  ${Tables.round6Sql(avgNll)} AS avg_nll,
+         |  ${Tables.round6Sql(s"exp(${Tables.round6Sql(avgNll)})")} AS ppl
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     "txt_repetition" ->
       s"""WITH tok AS (SELECT doc_id, $T AS w FROM documents),
          |bg AS (

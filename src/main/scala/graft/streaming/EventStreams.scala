@@ -595,8 +595,61 @@ object EventStreams {
       .limit(10)
   }
 
+  /** `evt_ohlc_resample`: time-series downsampling of the event stream
+    * to per-(type, hour) OHLC bars — open/high/low/close, event count,
+    * and mean value. The standard resample step before feeding a
+    * metric stream to a forecaster or charting layer (the reference's
+    * dashboard re-bins its daily series the same way,
+    * `dashboard.py:54-106`; this is the event-grain analog).
+    *
+    * Determinism: open/close are `min_by`/`max_by` over the UNIQUE
+    * composite key (microsecond ts, event_id) — no ties to break, and
+    * the oracle replays the identical ordering via `epoch_us` +
+    * row_number. high/low are order-independent min/max on raw
+    * doubles; the mean is an exact integer-cents sum divided once
+    * (never a double `avg`, whose add order varies by partitioning).
+    *
+    * Scale: ONE hash aggregate with map-side partial aggregation —
+    * min_by/max_by carry (value, key) pairs through the partial/merge
+    * algebra, so each map task emits one row per (type, hour) it saw
+    * and the shuffle is bar-sized, not event-sized. The (type, hour)
+    * key space grows with retention, not traffic — at 100 TB the
+    * output is still tiny; no window pass, no second shuffle. */
+  val evtOhlcResample: Q = (spark, dir) =>
+    ohlcOn(Tables.events(spark, dir))
+
+  /** [[evtOhlcResample]] over an explicit (event_type, ts, event_id,
+    * value) frame — the spec plants same-hour out-of-order rows and an
+    * equal-timestamp open (the event_id tie-break decides the bar). */
+  private[graft] def ohlcOn(events: DataFrame): DataFrame = {
+    // The (t_us, event_id) composite order packed into ONE Decimal(38,0):
+    // t_us·10^18 + event_id (exact integer arithmetic; identical order
+    // while event_id < 10^18). A struct ordering would force min_by's
+    // agg buffer to a non-mutable type and the whole aggregate down to
+    // SortAggregate — per-partition sorts of the full event stream; the
+    // decimal buffer is UnsafeRow-mutable, so the plan stays a single
+    // HashAggregate pair (plan-asserted in AnalyticsOpsSpec).
+    val ord = unix_micros(col("ts")).cast(DecimalType(38, 0)) *
+      lit(BigDecimal("1000000000000000000")) + col("event_id")
+    events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        col("ts"), col("event_id"), col("value"),
+        Tables.cents(col("value")).cast("long").as("c"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n_events"),
+        (sum(col("c")).cast("double") /
+          (count(lit(1)) * lit(100.0))).as("avg_value"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   def queries: Map[String, Q] = Map(
     "evt_anomaly"         -> evtAnomaly,
+    "evt_ohlc_resample"   -> evtOhlcResample,
     "evt_peak_concurrency" -> evtPeakConcurrency,
     "evt_top_paths"       -> evtTopPaths,
     "evt_funnel"          -> evtFunnel,
@@ -611,6 +664,26 @@ object EventStreams {
   )
 
   def oracles: Map[String, String] = Map(
+    "evt_ohlc_resample" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    epoch_us(ts) AS t_us, event_id, value,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, hour
+        |                       ORDER BY t_us, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, hour
+        |                       ORDER BY t_us DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT event_type, hour,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  count(*) AS n_events,
+        |  CAST(SUM(c) AS DOUBLE) / (count(*) * 100.0) AS avg_value
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "evt_peak_concurrency" ->
       """WITH b AS (
         |  SELECT event_type, epoch_us(ts) AS t, 1 AS d, 1 AS s FROM events

@@ -260,4 +260,73 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         s"$c: got ${got(c)}, expected ($mode)")
     }
   }
+
+  test("OHLC resample: out-of-order same-hour rows bar correctly, an " +
+    "equal-timestamp open resolves by event_id, and the mean is the " +
+    "exact cents sum") {
+    val events = Seq(
+      // hour 00, type A — arrival order deliberately scrambled
+      ("A", ts("2024-01-01 00:40:00"), 3L, 9.0),   // close
+      ("A", ts("2024-01-01 00:00:00"), 2L, 5.0),   // same-ts as id 1
+      ("A", ts("2024-01-01 00:00:00"), 1L, 7.0),   // open (lower id)
+      ("A", ts("2024-01-01 00:20:00"), 4L, 1.5),   // low
+      // hour 01, type A — single event: open=high=low=close
+      ("A", ts("2024-01-01 01:05:00"), 5L, 2.25),
+      // hour 00, type B
+      ("B", ts("2024-01-01 00:30:00"), 6L, 4.0),
+    ).toDF("event_type", "ts", "event_id", "value")
+    val got = streaming.EventStreams.ohlcOn(events)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getLong(6), r.getDouble(7))).toList
+    assert(got == List(
+      ("A", "2024-01-01 00:00:00.0", 7.0, 9.0, 1.5, 9.0, 4L, 5.625),
+      ("A", "2024-01-01 01:00:00.0", 2.25, 2.25, 2.25, 2.25, 1L, 2.25),
+      ("B", "2024-01-01 00:00:00.0", 4.0, 4.0, 4.0, 4.0, 1L, 4.0)))
+  }
+
+  test("OHLC resample plans as a HashAggregate pair — the decimal-packed " +
+    "min_by/max_by ordering must not fall back to SortAggregate") {
+    val plan = streaming.EventStreams.evtOhlcResample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(800))
+    assert(!plan.contains("SortAggregate"),
+      "struct/string orderings demote min_by to SortAggregate — " +
+        "per-partition sorts of the full event stream:\n" + plan.take(800))
+  }
+
+  test("unigram perplexity: quantized micro-nat cross-entropy matches " +
+    "an independent replication on a hand-countable corpus, and is " +
+    "partition-invariant") {
+    // Corpus: 8 tokens total. counts: the=3, cat=2, sat=1, mat=1, dog=1
+    val docs = Seq(
+      1L -> "the cat sat",
+      2L -> "the cat",
+      3L -> "the dog mat",
+    ).toDF("doc_id", "text")
+    def surprisalMicro(cnt: Long) =
+      math.floor(math.log(8.0 / cnt) * 1e6 + 0.5).toLong
+    val c = Map("the" -> 3L, "cat" -> 2L, "sat" -> 1L, "mat" -> 1L,
+      "dog" -> 1L)
+    def expect(toks: Seq[String]) = {
+      val avg = toks.map(t => surprisalMicro(c(t))).sum.toDouble /
+        (toks.length * 1e6)
+      val nll = math.floor(avg * 1e6 + 0.5) / 1e6
+      (nll, math.floor(math.exp(nll) * 1e6 + 0.5) / 1e6)
+    }
+    def run(nPart: Int) = operators.TextQueries.unigramPplOn(
+      docs.repartition(nPart))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toList
+    val single = run(1)
+    val exp = Map(
+      1L -> expect(Seq("the", "cat", "sat")),
+      2L -> expect(Seq("the", "cat")),
+      3L -> expect(Seq("the", "dog", "mat")))
+    assert(single == List(
+      (1L, 3L, exp(1L)._1, exp(1L)._2),
+      (2L, 2L, exp(2L)._1, exp(2L)._2),
+      (3L, 3L, exp(3L)._1, exp(3L)._2)))
+    assert(run(5) == single, "result must not depend on partitioning")
+  }
 }
