@@ -155,6 +155,56 @@ object AggQueries {
 
   /** §2.D `agg_stats_cv` (EDA.ipynb:2897 (cell 32)): demand-volatility
     * ranking — per-product stddev/mean/cv of daily quantity. */
+  /** `agg_higher_moments` (dist.-shape profiling ext.): per-type mean,
+    * stddev, skewness, and excess kurtosis of the event value — the
+    * distribution-shape panel of a data-quality profiler. Spark's
+    * built-in `skewness`/`kurtosis` accumulate doubles and are
+    * add-order-dependent (and DuckDB's disagree in ulps), so the
+    * moments come from EXACT integer-cents power sums instead — the
+    * [[graft.streaming.EventStreams.evtAnomaly]] doctrine extended to
+    * 3rd/4th order: Σc³/Σc⁴ overflow a long (c⁴ ~ 1e20 per row), so
+    * they accumulate as Decimal(38,0) — exact, associative, and still
+    * an UnsafeRow-mutable HashAggregate buffer. Central moments and
+    * the unitless shape ratios are then doubles from exactly-agreed
+    * integers, identical expression trees in both engines (no pow();
+    * skew/kurtosis are scale-invariant, so the cent scaling cancels).
+    *
+    * Scale: one HashAggregate pair, five-number output per type.
+    * Decimal(38) headroom: Σc⁴ ≤ 10^38 holds through ~10^18 rows at
+    * c ≤ 10^5 cents — past any single table. */
+  val aggHigherMoments: Q = (spark, dir) =>
+    momentsOn(Tables.events(spark, dir))
+
+  /** [[aggHigherMoments]] over an explicit (event_type, value) frame —
+    * the spec plants a hand-computable distribution and asserts
+    * partition invariance of the exact-sum path. */
+  private[graft] def momentsOn(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cd = col("c").cast(dec)
+    val nd = col("n").cast("double")
+    val mc = col("s1").cast("double") / nd
+    val q2 = col("s2").cast("double") / nd
+    val q3 = col("s3").cast("double") / nd
+    val q4 = col("s4").cast("double") / nd
+    val m2 = q2 - mc * mc
+    events
+      .select(col("event_type"), Tables.cents(col("value")).cast("long").as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(cd * cd).as("s2"), sum(cd * cd * cd).as("s3"),
+        sum(cd * cd * cd * cd).as("s4"))
+      .select(col("event_type"), col("n"),
+        Tables.round6(mc / lit(100.0)).as("mean_value"),
+        Tables.round6(sqrt(m2) / lit(100.0)).as("stddev_value"),
+        Tables.round6((q3 - lit(3.0) * mc * q2 + lit(2.0) * mc * mc * mc)
+          / (m2 * sqrt(m2))).as("skewness"),
+        Tables.round6((q4 - lit(4.0) * mc * q3 + lit(6.0) * mc * mc * q2
+          - lit(3.0) * mc * mc * mc * mc) / (m2 * m2) - lit(3.0))
+          .as("kurtosis_excess"))
+      .orderBy(col("event_type"))
+  }
+
   val aggStatsCv: Q = (spark, dir) =>
     CoreQueries.dailyBase(spark, dir)
       .groupBy(col("product"))
@@ -414,6 +464,7 @@ object AggQueries {
     "agg_named_multi"    -> aggNamedMulti,
     "agg_mean_group"     -> aggMeanGroup,
     "agg_stats_cv"       -> aggStatsCv,
+    "agg_higher_moments" -> aggHigherMoments,
     "agg_corr_group"     -> aggCorrGroup,
     "agg_mode"           -> aggMode,
     "agg_bucket_hist"    -> aggBucketHist,
@@ -520,6 +571,37 @@ object AggQueries {
          |  $R / count(*) AS avg_revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_higher_moments" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    SUM(CAST(c AS HUGEINT)) AS s1,
+        |    SUM(CAST(c AS HUGEINT) * c) AS s2,
+        |    SUM(CAST(c AS HUGEINT) * c * c) AS s3,
+        |    SUM(CAST(c AS HUGEINT) * c * c * c) AS s4
+        |  FROM c GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mc,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS q2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS q3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS q4
+        |  FROM st)
+        |SELECT event_type, n,
+        |  floor(mc / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+        |  floor(sqrt(q2 - mc * mc) / 100.0 * 1000000.0 + 0.5) / 1000000.0
+        |    AS stddev_value,
+        |  floor((q3 - 3.0 * mc * q2 + 2.0 * mc * mc * mc)
+        |        / ((q2 - mc * mc) * sqrt(q2 - mc * mc))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS skewness,
+        |  floor(((q4 - 4.0 * mc * q3 + 6.0 * mc * mc * q2
+        |          - 3.0 * mc * mc * mc * mc)
+        |         / ((q2 - mc * mc) * (q2 - mc * mc)) - 3.0)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS kurtosis_excess
+        |FROM m ORDER BY 1""".stripMargin,
     "agg_stats_cv" ->
       ("""SELECT product,
         |  floor(stddev_samp(total_quantity) * 1000000.0 + 0.5) / 1000000.0 AS std_quantity,

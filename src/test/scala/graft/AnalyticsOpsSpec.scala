@@ -295,6 +295,34 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         "per-partition sorts of the full event stream:\n" + plan.take(800))
   }
 
+  test("higher moments: exact-cents power sums reproduce a hand-derived " +
+    "skew/kurtosis, partition-invariantly, on a HashAggregate plan") {
+    // type X: {1, 1, 1, 5} dollars → cents {100,100,100,500}:
+    // mc=200, m2=30000, m3=(3·(−100)³+300³)/4=6e6, m4=(3·100⁴+300⁴)/4=2.1e9
+    // skew = m3/(m2·√m2) = 6e6/(3e4·√3e4) ≈ 1.154701
+    // kurt_excess = m4/m2² − 3 = 2.1e9/9e8 − 3 = −2/3
+    val events = Seq(("X", 1.0), ("X", 1.0), ("X", 1.0), ("X", 5.0),
+      ("Y", 2.0), ("Y", 4.0)).toDF("event_type", "value")
+    def run(nPart: Int) = operators.AggQueries.momentsOn(
+      events.repartition(nPart))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toList
+    val single = run(1)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val skewX = 6.0e6 / (3.0e4 * math.sqrt(3.0e4))
+    assert(single == List(
+      ("X", 4L, 2.0, r6(math.sqrt(3.0e4) / 100.0), r6(skewX),
+        r6(2.1e9 / 9.0e8 - 3.0)),
+      // Y: symmetric two-point {200,400}: mc=300, m2=10000 → skew 0,
+      // kurt m4/m2²−3 = 1e8/1e8−3 = −2
+      ("Y", 2L, 3.0, 1.0, 0.0, -2.0)), single.toString)
+    assert(run(5) == single, "exact sums must be partition-invariant")
+    val plan = operators.AggQueries.momentsOn(events)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      "Decimal(38,0) buffers must stay hash-aggregable:\n" + plan.take(600))
+  }
+
   test("unigram perplexity: quantized micro-nat cross-entropy matches " +
     "an independent replication on a hand-countable corpus, and is " +
     "partition-invariant") {
