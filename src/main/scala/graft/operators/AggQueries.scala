@@ -444,6 +444,173 @@ object AggQueries {
       .orderBy(col("column"))
   }
 
+  /** `agg_trend_ols` (trend-line ext. of the dashboard's daily series,
+    * dashboard.py:54-106): per-product demand trend — closed-form OLS
+    * of daily quantity against the day index, the slope/intercept a
+    * dashboard draws over its time series (and the 1-feature version
+    * of the forecaster's linear baseline).
+    *
+    * Determinism: x is the day offset from a FIXED epoch (1992-01-01,
+    * before every ship date in the corpus) and y the integer daily
+    * quantity, so n, Σx, Σy, Σxy, Σx² are all exact longs; slope and
+    * intercept are then two IEEE divisions over exactly-agreed
+    * integers — the oracle replays the identical expression tree
+    * (never `regr_slope`, whose double accumulation is add-order-
+    * dependent and engine-specific).
+    *
+    * Scale: rides [[CoreQueries.dailyBase]] (one fact shuffle), then a
+    * second hash aggregate on a 7-key space; the five power sums are
+    * mergeable longs, so map-side partials stay exact at any
+    * partitioning. Long headroom: Σxy ≤ days·x_max·y_max ≈ 10^4·10^4·
+    * y — holds to ~10^10 daily units. */
+  val aggTrendOls: Q = (spark, dir) =>
+    trendOlsOn(CoreQueries.dailyBase(spark, dir))
+
+  /** [[aggTrendOls]] over an explicit (product, sale_date,
+    * total_quantity) frame — the spec plants an exact line (slope/
+    * intercept recover perfectly) and asserts partition invariance of
+    * the integer power sums. */
+  private[graft] def trendOlsOn(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = num / den
+    daily
+      .select(col("product"),
+        datediff(col("sale_date"), to_date(lit("1992-01-01")))
+          .cast("long").as("x"),
+        col("total_quantity").cast("long").as("y"))
+      .groupBy(col("product"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      // OLS needs ≥2 distinct x; also keeps ANSI divide-by-zero off the
+      // degenerate single-day denominator at tiny SFs
+      .where(col("n") >= lit(2L))
+      .select(col("product"), col("n").as("n_days"),
+        Tables.round6(slope).as("slope"),
+        Tables.round6((col("sy").cast("double")
+          - slope * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"))
+      .orderBy(col("product"))
+  }
+
+  /** `agg_welch_ttest` (experimentation ext.): Welch's unequal-variance
+    * t-test of per-line quantity, early era (ship < 1998) vs late, per
+    * product — the A/B significance panel every metrics pipeline
+    * computes ("did demand shift?"). Emits the t statistic and the
+    * Welch–Satterthwaite degrees of freedom.
+    *
+    * Determinism: both arms' n, Σy, Σy² are exact longs from ONE
+    * conditional aggregate; means/variances/t/df are then a fixed
+    * IEEE expression tree over exactly-agreed integers (sqrt is
+    * correctly-rounded by IEEE 754, so both engines agree bit-for-bit
+    * before the final round6).
+    *
+    * Scale: one scan, one hash aggregate on the product key — the
+    * CASE-gated power sums put both eras in the same partial, so no
+    * second scan, no join of two filtered aggregates. */
+  val aggWelchTtest: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    welchOn(li.join(p, li("l_partkey") === p("p_partkey"))
+      .select(col("p_name").as("product"),
+        (to_date(col("l_shipdate")) < to_date(lit("1998-01-01")))
+          .as("early"),
+        col("l_quantity").cast("long").as("y")))
+  }
+
+  /** [[aggWelchTtest]] over an explicit (product, early, y) frame —
+    * the spec plants identical arms (t = 0), a hand-derived shift, and
+    * asserts partition invariance of the exact arm sums. */
+  private[graft] def welchOn(obs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val early = col("early")
+    def armSums(cond: org.apache.spark.sql.Column, tag: String) = Seq(
+      sum(when(cond, lit(1L)).otherwise(lit(0L))).as(s"n$tag"),
+      sum(when(cond, col("y")).otherwise(lit(0L))).as(s"s$tag"),
+      sum(when(cond, col("y") * col("y")).otherwise(lit(0L))).as(s"ss$tag"))
+    def m(tag: String) =
+      col(s"s$tag").cast("double") / col(s"n$tag").cast("double")
+    def v(tag: String) =
+      (col(s"ss$tag").cast("double") -
+        col(s"s$tag").cast("double") * col(s"s$tag").cast("double") /
+          col(s"n$tag").cast("double")) /
+        (col(s"n$tag").cast("double") - lit(1.0))
+    val se1 = v("1") / col("n1").cast("double")
+    val se2 = v("2") / col("n2").cast("double")
+    val se  = se1 + se2
+    val sums = armSums(early, "1") ++ armSums(!early, "2")
+    obs
+      .groupBy(col("product"))
+      .agg(sums.head, sums.tail: _*)
+      // a t-test needs ≥2 samples per arm; also keeps ANSI mode's
+      // divide-by-zero off the n−1 / empty-arm denominators at tiny SFs
+      .where(col("n1") >= lit(2L) && col("n2") >= lit(2L))
+      .select(col("product"),
+        col("n1").as("n_early"), col("n2").as("n_late"),
+        m("1").as("mean_early"), m("2").as("mean_late"),
+        Tables.round6((m("1") - m("2")) / sqrt(se)).as("t_stat"),
+        Tables.round6(se * se
+          / (se1 * se1 / (col("n1").cast("double") - lit(1.0))
+            + se2 * se2 / (col("n2").cast("double") - lit(1.0))))
+          .as("welch_df"))
+      .orderBy(col("product"))
+  }
+
+  /** `prof_drift_psi` (drift-monitoring ext.): Population Stability
+    * Index of the order-value distribution, early era (order < 1998)
+    * vs late — THE standard "did my feature distribution move"
+    * monitor a training pipeline runs between data drops. Fixed
+    * $60k-wide value buckets (top-coded at bucket 9), Laplace-smoothed
+    * shares, per-bucket PSI contribution (p−q)·ln(p/q).
+    *
+    * Determinism: buckets come from exact integer cents (floor over a
+    * sub-2^53 double quotient), counts are exact, and the smoothed
+    * shares are a fixed IEEE tree; only ln() is libm — round6 absorbs
+    * its cross-engine ulp like the corr/stddev family.
+    *
+    * Scale: ONE scan, one hash aggregate on a ≤10-key space (both
+    * eras via CASE-gated counts in the same partial); the era totals
+    * are a windowed sum over that bucket-grain aggregate, never a
+    * second fact scan and never a driver collect. */
+  val profDriftPsi: Q = (spark, dir) =>
+    driftPsiOn(Tables.orders(spark, dir)
+      .select(col("o_totalprice").as("value"),
+        (to_date(col("o_orderdate")) < to_date(lit("1998-01-01")))
+          .as("early")))
+
+  /** [[profDriftPsi]] over an explicit (value, early) frame — the spec
+    * plants an identical pair of eras (every psi_term collapses to the
+    * smoothing floor) and a single-bucket mass shift with a
+    * hand-derived PSI contribution. */
+  private[graft] def driftPsiOn(obs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val counts = obs
+      .select(
+        least(floor(Tables.cents(col("value")).cast("long")
+          / lit(6000000.0)), lit(9.0)).cast("int").as("bucket"),
+        col("early"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("early"), lit(1L)).otherwise(lit(0L))).as("n_early"),
+        sum(when(!col("early"), lit(1L)).otherwise(lit(0L))).as("n_late"))
+    // era totals = Σ bucket counts: a windowed sum over the ≤10-row
+    // aggregate, so the fact table is scanned exactly ONCE (a second
+    // totals aggregate would re-read it; the single-partition window
+    // is over bucket-grain rows, never data-sized)
+    val all = Window.partitionBy()
+    val pS = (col("n_early").cast("double") + lit(1.0)) /
+      (col("tot_early").cast("double") + lit(10.0))
+    val qS = (col("n_late").cast("double") + lit(1.0)) /
+      (col("tot_late").cast("double") + lit(10.0))
+    counts
+      .withColumn("tot_early", sum(col("n_early")).over(all))
+      .withColumn("tot_late", sum(col("n_late")).over(all))
+      .select(col("bucket"), col("n_early"), col("n_late"),
+        Tables.round6((pS - qS) * log(pS / qS)).as("psi_term"))
+      .orderBy(col("bucket"))
+  }
+
   def queries: Map[String, Q] = Map(
     "prof_numeric_summary" -> profNumericSummary,
     "prof_categorical_summary" -> profCategoricalSummary,
@@ -471,6 +638,9 @@ object AggQueries {
     "agg_seasonality"    -> aggSeasonality,
     "agg_rollup"         -> aggRollup,
     "agg_avg"            -> aggAvg,
+    "agg_trend_ols"      -> aggTrendOls,
+    "agg_welch_ttest"    -> aggWelchTtest,
+    "prof_drift_psi"     -> profDriftPsi,
   )
 
   private val R = Tables.revenueSumSql // exact money-sum fragment
@@ -641,5 +811,89 @@ object AggQueries {
       """SELECT CAST(ts AS DATE) AS event_date, hour(ts) AS hour, event_type,
         |  SUM(floor(value * 100.0 + 0.5)) / 100.0 / count(*) AS avg_value
         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "agg_trend_ols" ->
+      ("""WITH s AS (
+         |  SELECT product, count(*) AS n,
+         |    SUM(datediff('day', DATE '1992-01-01', sale_date)) AS sx,
+         |    SUM(CAST(total_quantity AS BIGINT)) AS sy,
+         |    SUM(datediff('day', DATE '1992-01-01', sale_date)
+         |        * CAST(total_quantity AS BIGINT)) AS sxy,
+         |    SUM(datediff('day', DATE '1992-01-01', sale_date)
+         |        * datediff('day', DATE '1992-01-01', sale_date)) AS sxx
+         |  FROM (""".stripMargin + CoreQueries.aggDailyProductSql +
+        """) d GROUP BY 1 HAVING count(*) >= 2)
+          |SELECT product, n AS n_days,
+          |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+          |        / CAST(n * sxx - sx * sx AS DOUBLE)
+          |        * 1000000.0 + 0.5) / 1000000.0 AS slope,
+          |  floor((CAST(sy AS DOUBLE)
+          |         - CAST(n * sxy - sx * sy AS DOUBLE)
+          |           / CAST(n * sxx - sx * sx AS DOUBLE)
+          |           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+          |        * 1000000.0 + 0.5) / 1000000.0 AS intercept
+          |FROM s ORDER BY product""".stripMargin),
+    "agg_welch_ttest" ->
+      """WITH s AS (
+        |  SELECT p_name AS product,
+        |    SUM(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |             THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |             THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS s1,
+        |    SUM(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |             THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |             ELSE 0 END) AS ss1,
+        |    SUM(CASE WHEN NOT (CAST(l_shipdate AS DATE) < DATE '1998-01-01')
+        |             THEN 1 ELSE 0 END) AS n2,
+        |    SUM(CASE WHEN NOT (CAST(l_shipdate AS DATE) < DATE '1998-01-01')
+        |             THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS s2,
+        |    SUM(CASE WHEN NOT (CAST(l_shipdate AS DATE) < DATE '1998-01-01')
+        |             THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |             ELSE 0 END) AS ss2
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
+        |  HAVING n1 >= 2 AND n2 >= 2),
+        |m AS (
+        |  SELECT product,
+        |    CAST(n1 AS BIGINT) AS n1b, CAST(n2 AS BIGINT) AS n2b,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    (CAST(ss1 AS DOUBLE)
+        |     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE) AS se1,
+        |    (CAST(ss2 AS DOUBLE)
+        |     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE) AS se2
+        |  FROM s)
+        |SELECT product, n1b AS n_early, n2b AS n_late,
+        |  m1 AS mean_early, m2 AS mean_late,
+        |  floor((m1 - m2) / sqrt(se1 + se2) * 1000000.0 + 0.5) / 1000000.0
+        |    AS t_stat,
+        |  floor((se1 + se2) * (se1 + se2)
+        |        / (se1 * se1 / (CAST(n1b AS DOUBLE) - 1.0)
+        |           + se2 * se2 / (CAST(n2b AS DOUBLE) - 1.0))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS welch_df
+        |FROM m ORDER BY product""".stripMargin,
+    "prof_drift_psi" ->
+      """WITH c AS (
+        |  SELECT CAST(least(floor(floor(o_totalprice * 100.0 + 0.5)
+        |                          / 6000000.0), 9.0) AS INT) AS bucket,
+        |    SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |             THEN 1 ELSE 0 END) AS n_early,
+        |    SUM(CASE WHEN NOT (CAST(o_orderdate AS DATE) < DATE '1998-01-01')
+        |             THEN 1 ELSE 0 END) AS n_late
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |                  THEN 1 ELSE 0 END) AS tot_early,
+        |         SUM(CASE WHEN NOT (CAST(o_orderdate AS DATE) < DATE '1998-01-01')
+        |                  THEN 1 ELSE 0 END) AS tot_late
+        |  FROM orders)
+        |SELECT bucket,
+        |  CAST(n_early AS BIGINT) AS n_early, CAST(n_late AS BIGINT) AS n_late,
+        |  floor(((CAST(n_early AS DOUBLE) + 1.0) / (CAST(tot_early AS DOUBLE) + 10.0)
+        |         - (CAST(n_late AS DOUBLE) + 1.0) / (CAST(tot_late AS DOUBLE) + 10.0))
+        |        * ln(((CAST(n_early AS DOUBLE) + 1.0) / (CAST(tot_early AS DOUBLE) + 10.0))
+        |             / ((CAST(n_late AS DOUBLE) + 1.0) / (CAST(tot_late AS DOUBLE) + 10.0)))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS psi_term
+        |FROM c, t ORDER BY bucket""".stripMargin,
   )
 }

@@ -553,6 +553,7 @@ object JoinWindowQueries {
   def queries: Map[String, Q] = Map(
     "dim_scd2_history"      -> dimScd2History,
     "win_range_interval"    -> winRangeInterval,
+    "win_rfm_segments"      -> winRfmSegments,
     "win_rank_kinds"        -> winRankKinds,
     "win_first_last"        -> winFirstLast,
     "join_left_enrich"      -> joinLeftEnrich,
@@ -577,10 +578,123 @@ object JoinWindowQueries {
     "win_streaks"           -> winStreaks,
   )
 
+  /** `win_rfm_segments` (segmentation ext.): the classic RFM customer
+    * segmentation — per customer: Recency (days since last order,
+    * against the corpus max date), Frequency (order count), Monetary
+    * (exact-cents lifetime value), each scored into ascending-value
+    * quartiles (1 = lowest-value quartile of the metric), plus the
+    * packed 3-digit segment code.
+    *
+    * Quartiles are VALUE-GRAIN CDF quartiles (score = ⌈4·cdf(v)⌉, ties
+    * share a score), not row-grain ntile: an unpartitioned ntile over
+    * customers is a data-sized single-partition sort — the exact shape
+    * this module's scale notes forbid. Instead each metric's CDF is
+    * computed on its BOUNDED value-grain frame (recency ≤ calendar
+    * days; frequency ≤ max orders/customer; monetary top-coded $1k
+    * bins) and equi-joined back, planner-chosen.
+    *
+    * Determinism: all counts/sums are exact longs; cdf = cum/tot is
+    * one IEEE division of exact ints; ⌈·⌉ on that is reproducible, and
+    * ties collapse by construction. The three quartile maps re-derive
+    * from the SAME customer aggregate, whose exchange Catalyst reuses
+    * (one orders scan + one custkey shuffle at any SF).
+    *
+    * Scale: one custkey hash aggregate; three bounded value-grain
+    * windows (never customer-sized); three bounded-dim equi-joins. */
+  val winRfmSegments: Q = (spark, dir) =>
+    rfmOn(Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        Tables.cents(col("o_totalprice")).cast("long").as("cents")))
+
+  /** [[winRfmSegments]] over an explicit (custkey, order_date, cents)
+    * frame — the spec plants a 4-customer corpus with hand-derived
+    * quartiles and a shared-value tie. */
+  private[graft] def rfmOn(orders: DataFrame): DataFrame = {
+    val maxd = orders.agg(max(col("order_date")).as("max_date"))
+    val cust = orders
+      .groupBy(col("custkey"))
+      .agg(max(col("order_date")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+      .crossJoin(broadcast(maxd))
+      .select(col("custkey"),
+        datediff(col("max_date"), col("last_order")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("monetary_cents"),
+        least(floor(col("monetary_cents") / lit(100000.0)), lit(9999.0))
+          .cast("long").as("monetary_k"))
+    def quartileMap(metric: String, score: String): DataFrame = {
+      val cum = Window.orderBy(col(metric))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+      cust.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(cum))
+        .withColumn("tot", sum(col("cnt")).over(all))
+        .select(col(metric),
+          ceil(lit(4.0) * col("cum").cast("double") /
+            col("tot").cast("double")).cast("int").as(score))
+    }
+    cust
+      .join(quartileMap("recency_days", "r_score"), "recency_days")
+      .join(quartileMap("frequency", "f_score"), "frequency")
+      .join(quartileMap("monetary_k", "m_score"), "monetary_k")
+      .select(col("custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"),
+        col("m_score"),
+        (col("r_score") * lit(100) + col("f_score") * lit(10) +
+          col("m_score")).as("segment_code"))
+      .orderBy(col("custkey"))
+  }
+
   private val R = Tables.revenueSumSql
   private val dailySql = CoreQueries.aggDailyProductSql
 
   def oracles: Map[String, String] = Map(
+    "win_rfm_segments" ->
+      """WITH cust AS (
+        |  SELECT o_custkey AS custkey,
+        |    datediff('day', max(CAST(o_orderdate AS DATE)),
+        |      (SELECT max(CAST(o_orderdate AS DATE)) FROM orders))
+        |      AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |c2 AS (
+        |  SELECT *, CAST(least(floor(monetary_cents / 100000.0), 9999.0)
+        |                 AS BIGINT) AS monetary_k
+        |  FROM cust),
+        |rm AS (
+        |  SELECT recency_days, CAST(ceil(4.0 * CAST(cum AS DOUBLE)
+        |    / CAST(tot AS DOUBLE)) AS INT) AS r_score
+        |  FROM (SELECT recency_days,
+        |          SUM(cnt) OVER (ORDER BY recency_days) AS cum,
+        |          SUM(cnt) OVER () AS tot
+        |        FROM (SELECT recency_days, count(*) AS cnt
+        |              FROM c2 GROUP BY 1) g)),
+        |fm AS (
+        |  SELECT frequency, CAST(ceil(4.0 * CAST(cum AS DOUBLE)
+        |    / CAST(tot AS DOUBLE)) AS INT) AS f_score
+        |  FROM (SELECT frequency,
+        |          SUM(cnt) OVER (ORDER BY frequency) AS cum,
+        |          SUM(cnt) OVER () AS tot
+        |        FROM (SELECT frequency, count(*) AS cnt
+        |              FROM c2 GROUP BY 1) g)),
+        |mm AS (
+        |  SELECT monetary_k, CAST(ceil(4.0 * CAST(cum AS DOUBLE)
+        |    / CAST(tot AS DOUBLE)) AS INT) AS m_score
+        |  FROM (SELECT monetary_k,
+        |          SUM(cnt) OVER (ORDER BY monetary_k) AS cum,
+        |          SUM(cnt) OVER () AS tot
+        |        FROM (SELECT monetary_k, count(*) AS cnt
+        |              FROM c2 GROUP BY 1) g))
+        |SELECT custkey, recency_days, frequency, monetary_cents,
+        |  r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS segment_code
+        |FROM c2 JOIN rm USING (recency_days) JOIN fm USING (frequency)
+        |  JOIN mm USING (monetary_k)
+        |ORDER BY custkey""".stripMargin,
     "win_range_interval" ->
       (s"""WITH base AS (""" + CoreQueries.aggDailyProductSql + s"""),
          |d AS (

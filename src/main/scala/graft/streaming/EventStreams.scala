@@ -595,6 +595,44 @@ object EventStreams {
       .limit(10)
   }
 
+  /** `evt_markov_transitions`: the first-order behavior model —
+    * P(next event type | current type) over user-consecutive event
+    * pairs, the transition matrix behind "what usually follows a
+    * view". The row-normalized form of [[evtTopPaths]]' raw sequence
+    * counts, and the feature a sequence model trains against.
+    *
+    * Determinism: within a user, events are uniquely ordered by
+    * (microsecond ts, event_id) — the [[topPathsOn]] composite key —
+    * and the probability is ONE division of two exact longs (pair
+    * count / from-state total), so no rounding is needed.
+    *
+    * Scale: ONE shuffle on user_id for the lead() window, then a hash
+    * aggregate onto a key space bounded by |event_type|² and a
+    * row-total window over that bounded matrix — never the event
+    * stream. */
+  val evtMarkovTransitions: Q = (spark, dir) =>
+    markovOn(Tables.events(spark, dir))
+
+  /** [[evtMarkovTransitions]] over an explicit (user_id, event_id, ts,
+    * event_type) frame — the spec plants a hand-countable chain with
+    * an equal-timestamp tie and asserts rows sum to 1 per from-state. */
+  private[graft] def markovOn(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .where(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob", col("n").cast("double") /
+        sum(col("n")).over(byFrom).cast("double"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** `evt_ohlc_resample`: time-series downsampling of the event stream
     * to per-(type, hour) OHLC bars — open/high/low/close, event count,
     * and mean value. The standard resample step before feeding a
@@ -649,6 +687,7 @@ object EventStreams {
 
   def queries: Map[String, Q] = Map(
     "evt_anomaly"         -> evtAnomaly,
+    "evt_markov_transitions" -> evtMarkovTransitions,
     "evt_ohlc_resample"   -> evtOhlcResample,
     "evt_peak_concurrency" -> evtPeakConcurrency,
     "evt_top_paths"       -> evtTopPaths,
@@ -700,6 +739,19 @@ object EventStreams {
         |SELECT event_type, max(open) AS peak_concurrency,
         |  CAST(SUM(s) AS BIGINT) AS n_intervals
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_markov_transitions" ->
+      """WITH o AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM o
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+        |FROM c ORDER BY 1, 2""".stripMargin,
     "evt_top_paths" ->
       """WITH o AS (
         |  SELECT event_type,

@@ -357,4 +357,169 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       (3L, 3L, exp(3L)._1, exp(3L)._2)))
     assert(run(5) == single, "result must not depend on partitioning")
   }
+
+  private def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("OLS trend recovers an exactly planted line and is " +
+    "partition-invariant") {
+    // product P: y = 2x + 3 on day offsets x ∈ {0,1,2,3} from the
+    // 1992-01-01 epoch → slope 2, intercept 3, both exact.
+    // product Q: symmetric V {5,1,5} on x ∈ {0,1,2} → slope 0, mean 11/3.
+    val daily = Seq(
+      ("P", "1992-01-01", 3.0), ("P", "1992-01-02", 5.0),
+      ("P", "1992-01-03", 7.0), ("P", "1992-01-04", 9.0),
+      ("Q", "1992-01-01", 5.0), ("Q", "1992-01-02", 1.0),
+      ("Q", "1992-01-03", 5.0),
+      ("R", "1992-01-01", 42.0), // single day → dropped (den = 0)
+    ).toDF("product", "sale_date", "total_quantity")
+      .withColumn("sale_date", to_date(col("sale_date")))
+    def run(nPart: Int) = operators.AggQueries.trendOlsOn(
+      daily.repartition(nPart))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toList
+    val single = run(1)
+    assert(single == List(
+      ("P", 4L, 2.0, 3.0),
+      ("Q", 3L, 0.0, r6(11.0 / 3.0))), single.toString)
+    assert(run(4) == single, "integer power sums must be partition-invariant")
+  }
+
+  test("Welch t-test: identical arms give t = 0; a hand-derived shift " +
+    "reproduces the closed form; sub-minimum arms are dropped") {
+    // product A: arms identical {1,2,3} vs {1,2,3} → t = 0, df = 4
+    //   (equal se ⇒ df = 2·se²/(se²/2) ... computed from the closed form)
+    // product B: {10,10,10,10} vs {1,2,3} → var1 = 0, so t and df come
+    //   only from arm 2: se = v2/3, t = (10−2)/√se, df = 2 (n2−1).
+    // product C: one early row only → filtered out.
+    val rows =
+      Seq(("A", true, 1L), ("A", true, 2L), ("A", true, 3L),
+        ("A", false, 1L), ("A", false, 2L), ("A", false, 3L),
+        ("B", true, 10L), ("B", true, 10L), ("B", true, 10L),
+        ("B", true, 10L),
+        ("B", false, 1L), ("B", false, 2L), ("B", false, 3L),
+        ("C", true, 7L), ("C", false, 8L), ("C", false, 9L))
+    val obs = rows.toDF("product", "early", "y")
+    def run(nPart: Int) = operators.AggQueries.welchOn(
+      obs.repartition(nPart))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+        .toList
+    val single = run(1)
+    // mirror the engine's double tree exactly: v = 1 each arm, n = 3
+    val se1A = 1.0 / 3.0
+    val seA = se1A + se1A
+    val dfA = seA * seA / (se1A * se1A / 2.0 + se1A * se1A / 2.0)
+    val seB = 1.0 / 3.0         // v1 = 0; v2 = 1, n2 = 3
+    assert(single == List(
+      ("A", 3L, 3L, 2.0, 2.0, 0.0, r6(dfA)),
+      ("B", 4L, 3L, 10.0, 2.0, r6(8.0 / math.sqrt(seB)),
+        r6(seB * seB / ((seB * seB) / 2.0)))), single.toString)
+    assert(run(5) == single, "exact arm sums must be partition-invariant")
+  }
+
+  test("drift PSI: equal eras sit at the smoothing floor; a planted " +
+    "single-bucket shift reproduces the hand formula, one scan") {
+    // Bucket width $60k, top-coded at 9. Era sizes 4 vs 4.
+    // early: buckets {0,0,1,2}; late: {0,1,1,2} — bucket 0 loses one.
+    def v(b: Int) = b * 60000.0 + 1000.0
+    val obs = Seq(
+      (v(0), true), (v(0), true), (v(1), true), (v(2), true),
+      (v(0), false), (v(1), false), (v(1), false), (v(2), false),
+    ).toDF("value", "early")
+    def share(n: Long) = (n + 1.0) / (4.0 + 10.0)
+    def term(ne: Long, nl: Long) =
+      r6((share(ne) - share(nl)) * math.log(share(ne) / share(nl)))
+    def run(nPart: Int) = operators.AggQueries.driftPsiOn(
+      obs.repartition(nPart))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList
+    val single = run(1)
+    assert(single == List(
+      (0, 2L, 1L, term(2, 1)),
+      (1, 1L, 2L, term(1, 2)),
+      (2, 1L, 1L, 0.0)), single.toString)
+    assert(run(4) == single)
+    // ONE scan: the era totals must come from the bucket aggregate's
+    // window, not a second read of the input
+    val plan = operators.AggQueries.driftPsiOn(obs)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"),
+      "totals must ride the bucket window, not a self-join:\n" +
+        plan.take(600))
+  }
+
+  test("Markov transitions: a hand-countable chain with an equal-" +
+    "timestamp tie normalizes to row-stochastic probabilities") {
+    // user 1: view→click→view→purchase; user 2: view@t0, click@t0
+    // (event_id breaks the tie: 10 < 11 → view→click), click→view.
+    val events = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "view"),
+      (1L, 2L, "2024-01-01 00:01:00", "click"),
+      (1L, 3L, "2024-01-01 00:02:00", "view"),
+      (1L, 4L, "2024-01-01 00:03:00", "purchase"),
+      (2L, 10L, "2024-01-01 00:00:00", "view"),
+      (2L, 11L, "2024-01-01 00:00:00", "click"),
+      (2L, 12L, "2024-01-01 00:05:00", "view"),
+    ).map { case (u, e, t, ty) => (u, e, ts(t), ty) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    def run(nPart: Int) = streaming.EventStreams.markovOn(
+      events.repartition(nPart))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toList
+    val single = run(1)
+    // transitions: view→click ×2, view→purchase ×1, click→view ×2
+    assert(single == List(
+      ("click", "view", 2L, 1.0),
+      ("view", "click", 2L, 2.0 / 3.0),
+      ("view", "purchase", 1L, 1.0 / 3.0)), single.toString)
+    // row-stochastic: every from-state's probabilities sum to ~1
+    single.groupBy(_._1).foreach { case (from, rows) =>
+      val s = rows.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"$from rows sum to $s")
+    }
+    assert(run(5) == single)
+  }
+
+  test("RFM segments: planted corpus reproduces hand-derived value-" +
+    "grain quartiles, ties share a score, and no customer-sized " +
+    "unpartitioned sort exists") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // max date 2024-01-10. Customers:
+    //   A: last 2024-01-10 (rec 0), 3 orders, $300k  (monetary_k 300)
+    //   B: last 2024-01-08 (rec 2), 2 orders, $100k  (monetary_k 100)
+    //   C: last 2024-01-04 (rec 6), 1 order,  $100k  (tied with B)
+    //   D: last 2024-01-01 (rec 9), 1 order,  $50k   (monetary_k 50)
+    // recency grain {0,2,6,9} → cdf quarters → scores 1,2,3,4
+    // frequency grain {1,2,3}: cnt {2,1,1} → cum {2,3,4} → scores 2,3,4
+    //   (C,D share f=1 → score 2)
+    // monetary_k grain {50,100,300}: cnt {1,2,1} → cum {1,3,4} →
+    //   scores 1,3,4 (B,C share 100 → 3)
+    val orders = Seq(
+      ("A", d("2024-01-10"), 100000_00L), ("A", d("2024-01-05"), 100000_00L),
+      ("A", d("2024-01-02"), 100000_00L),
+      ("B", d("2024-01-08"), 50000_00L), ("B", d("2024-01-03"), 50000_00L),
+      ("C", d("2024-01-04"), 100000_00L),
+      ("D", d("2024-01-01"), 50000_00L),
+    ).toDF("custkey", "order_date", "cents")
+    def run(nPart: Int) = operators.JoinWindowQueries.rfmOn(
+      orders.repartition(nPart))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+        .toList
+    val single = run(1)
+    assert(single == List(
+      ("A", 0L, 3L, 300000_00L, 1, 4, 4, 144),
+      ("B", 2L, 2L, 100000_00L, 2, 3, 3, 233),
+      ("C", 6L, 1L, 100000_00L, 3, 2, 3, 323),
+      ("D", 9L, 1L, 50000_00L, 4, 2, 1, 421)), single.toString)
+    assert(run(4) == single)
+    // scale honesty: the only unpartitioned windows run on bounded
+    // value-grain aggregates, never on the customer frame — assert no
+    // window sorts on custkey
+    val plan = operators.JoinWindowQueries.rfmOn(orders)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition(custkey"),
+      "quartile windows must never partition/sort the customer frame:\n")
+  }
 }
