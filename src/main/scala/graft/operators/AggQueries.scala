@@ -611,7 +611,94 @@ object AggQueries {
       .orderBy(col("bucket"))
   }
 
+  /** `prof_ks_test` (drift-monitoring ext.): two-sample Kolmogorov–
+    * Smirnov D statistic between the early (< 1998) and late order-
+    * value distributions — the sharper companion to [[profDriftPsi]]:
+    * D = max |F̂_early − F̂_late| over the bucketed empirical CDFs
+    * ($6k bins, top-coded at 99).
+    *
+    * Determinism: bucket counts and the cumulative/total sums are
+    * exact longs; each CDF value is ONE IEEE division, and D is built
+    * from subtraction/abs/max — comparisons only, no libm at all, so
+    * no rounding is even needed.
+    *
+    * Scale: ONE scan → hash aggregate on ≤100 buckets → two window
+    * passes over that bounded frame → a 1-row result. */
+  val profKsTest: Q = (spark, dir) =>
+    ksTestOn(Tables.orders(spark, dir)
+      .select(col("o_totalprice").as("value"),
+        (to_date(col("o_orderdate")) < to_date(lit("1998-01-01")))
+          .as("early")))
+
+  /** [[profKsTest]] over an explicit (value, early) frame — the spec
+    * plants identical eras (D = 0) and a known one-bucket shift. */
+  private[graft] def ksTestOn(obs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val counts = obs
+      .select(
+        least(floor(Tables.cents(col("value")).cast("long")
+          / lit(600000.0)), lit(99.0)).cast("int").as("bucket"),
+        col("early"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("early"), lit(1L)).otherwise(lit(0L))).as("n_early"),
+        sum(when(!col("early"), lit(1L)).otherwise(lit(0L))).as("n_late"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    counts
+      .withColumn("cum_early", sum(col("n_early")).over(cum))
+      .withColumn("cum_late", sum(col("n_late")).over(cum))
+      .withColumn("tot_early", sum(col("n_early")).over(all))
+      .withColumn("tot_late", sum(col("n_late")).over(all))
+      .agg(
+        max(col("tot_early")).as("n_early"),
+        max(col("tot_late")).as("n_late"),
+        max(abs(col("cum_early").cast("double") /
+            col("tot_early").cast("double") -
+          col("cum_late").cast("double") /
+            col("tot_late").cast("double"))).as("ks_d"))
+  }
+
+  /** `agg_entropy` (label-balance monitoring ext.): per-day Shannon
+    * entropy of the event-type mix — the "did my class distribution
+    * collapse today" monitor a labeling/ingest pipeline alarms on
+    * (0 = one type only; ln|types| = perfectly balanced).
+    *
+    * Determinism: each type's contribution p·ln(1/p) is quantized to
+    * integer micro-nats (the [[graft.operators.TextQueries]] unigram
+    * doctrine) so the per-day sum is an exact long — a double Σ over
+    * types would be add-order-dependent. The final /10⁶ is one exact
+    * division.
+    *
+    * Scale: ONE scan → hash aggregate on the (day, type) grain → a
+    * per-day window over ≤|event_type| rows → per-day re-aggregate.
+    * Nothing event-sized survives the first exchange. */
+  val aggEntropy: Q = (spark, dir) =>
+    entropyOn(Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("event_date"), col("event_type")))
+
+  /** [[aggEntropy]] over an explicit (event_date, event_type) frame —
+    * the spec plants uniform (ln k) and degenerate (0) days. */
+  private[graft] def entropyOn(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byDay = Window.partitionBy(col("event_date"))
+    ev.groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_day", sum(col("n")).over(byDay))
+      .select(col("event_date"), col("n_day"),
+        floor(col("n").cast("double") / col("n_day").cast("double") *
+          log(col("n_day").cast("double") / col("n").cast("double")) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("t"))
+      .groupBy(col("event_date"))
+      .agg(max(col("n_day")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        (sum(col("t")).cast("double") / lit(1000000.0)).as("entropy_nats"))
+      .orderBy(col("event_date"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "prof_ks_test"       -> profKsTest,
+    "agg_entropy"        -> aggEntropy,
     "prof_numeric_summary" -> profNumericSummary,
     "prof_categorical_summary" -> profCategoricalSummary,
     "agg_cube"           -> aggCube,
@@ -872,6 +959,45 @@ object AggQueries {
         |           + se2 * se2 / (CAST(n2b AS DOUBLE) - 1.0))
         |        * 1000000.0 + 0.5) / 1000000.0 AS welch_df
         |FROM m ORDER BY product""".stripMargin,
+    "prof_ks_test" ->
+      """WITH c AS (
+        |  SELECT CAST(least(floor(floor(o_totalprice * 100.0 + 0.5)
+        |                          / 600000.0), 99.0) AS INT) AS bucket,
+        |    SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |             THEN 1 ELSE 0 END) AS n_early,
+        |    SUM(CASE WHEN NOT (CAST(o_orderdate AS DATE) < DATE '1998-01-01')
+        |             THEN 1 ELSE 0 END) AS n_late
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT SUM(n_early) OVER (ORDER BY bucket) AS cum_early,
+        |         SUM(n_late) OVER (ORDER BY bucket) AS cum_late,
+        |         SUM(n_early) OVER () AS tot_early,
+        |         SUM(n_late) OVER () AS tot_late
+        |  FROM c)
+        |SELECT CAST(max(tot_early) AS BIGINT) AS n_early,
+        |  CAST(max(tot_late) AS BIGINT) AS n_late,
+        |  max(abs(CAST(cum_early AS DOUBLE) / CAST(tot_early AS DOUBLE)
+        |        - CAST(cum_late AS DOUBLE) / CAST(tot_late AS DOUBLE)))
+        |    AS ks_d
+        |FROM w""".stripMargin,
+    "agg_entropy" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_date, n,
+        |    CAST(SUM(n) OVER (PARTITION BY event_date) AS BIGINT) AS n_day
+        |  FROM c),
+        |m AS (
+        |  SELECT event_date, n_day,
+        |    CAST(floor(CAST(n AS DOUBLE) / CAST(n_day AS DOUBLE)
+        |          * ln(CAST(n_day AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * 1000000.0 + 0.5) AS BIGINT) AS t
+        |  FROM w)
+        |SELECT event_date, max(n_day) AS n_events, count(*) AS n_types,
+        |  CAST(SUM(t) AS DOUBLE) / 1000000.0 AS entropy_nats
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "prof_drift_psi" ->
       """WITH c AS (
         |  SELECT CAST(least(floor(floor(o_totalprice * 100.0 + 0.5)

@@ -380,7 +380,57 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** `txt_zipf_slope`: corpus-health check — log-log OLS fit of the
+    * token rank-frequency curve over the top 1000 tokens. Natural text
+    * sits near the Zipf slope −1; a synthetic or template-heavy corpus
+    * drifts away, so this single number is a standard pre-training
+    * corpus diagnostic.
+    *
+    * Determinism: ln(rank) and ln(count) are quantized to integer
+    * micro-nats (the [[txtUnigramPpl]] doctrine), so the five OLS
+    * power sums are exact longs and the slope/intercept are fixed IEEE
+    * trees over exactly-agreed integers; micro scaling cancels in the
+    * slope and divides out of the intercept once. The top-1000 cut is
+    * fully tie-broken (count desc, token asc).
+    *
+    * Scale: token counting is the usual hash aggregate; the top-1000
+    * is a TakeOrdered (no global sort), and the rank window + OLS run
+    * on the BOUNDED 1000-row frame. Long headroom: Σxy ≤ 10³·(35·10⁶)²
+    * ≈ 10^18 even at ln(count) ≈ 35 (10^15 tokens). */
+  val txtZipfSlope: Q = (spark, dir) =>
+    zipfOn(Tables.documents(spark, dir))
+
+  /** [[txtZipfSlope]] over an explicit (doc_id, text) frame — the spec
+    * plants an exact power-law corpus and checks the recovered slope. */
+  private[graft] def zipfOn(docs: DataFrame): DataFrame = {
+    val top = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(1000)
+    val q = top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))))
+      .select(
+        floor(log(col("rank").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("x"),
+        floor(log(col("n").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("y"))
+    val num = (col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = num / den
+    q.agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("k").as("n_ranks"),
+        Tables.round6(slope).as("zipf_slope"),
+        Tables.round6((col("sy").cast("double") -
+          slope * col("sx").cast("double")) /
+          col("k").cast("double") / lit(1000000.0)).as("zipf_intercept"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "txt_zipf_slope"  -> txtZipfSlope,
     "txt_tokens"      -> txtTokens,
     "txt_quality"     -> txtQuality,
     "txt_langid"      -> txtLangid,
@@ -401,6 +451,33 @@ object TextQueries {
     s"len(list_filter($T, t -> t IN ${sqlStop(ws)}))"
 
   def oracles: Map[String, String] = Map(
+    "txt_zipf_slope" ->
+      s"""WITH tok AS (SELECT unnest($T) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1
+         |      ORDER BY n DESC, token LIMIT 1000),
+         |r AS (SELECT n,
+         |        row_number() OVER (ORDER BY n DESC, token) AS rank
+         |      FROM c),
+         |q AS (SELECT
+         |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5)
+         |         AS BIGINT) AS x,
+         |    CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+         |         AS BIGINT) AS y
+         |  FROM r),
+         |s AS (SELECT count(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         |        SUM(x * y) AS sxy, SUM(x * x) AS sxx
+         |      FROM q)
+         |SELECT k AS n_ranks,
+         |  floor(CAST(k * sxy - sx * sy AS DOUBLE)
+         |        / CAST(k * sxx - sx * sx AS DOUBLE)
+         |        * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
+         |  floor((CAST(sy AS DOUBLE)
+         |         - CAST(k * sxy - sx * sy AS DOUBLE)
+         |           / CAST(k * sxx - sx * sx AS DOUBLE)
+         |           * CAST(sx AS DOUBLE))
+         |        / CAST(k AS DOUBLE) / 1000000.0
+         |        * 1000000.0 + 0.5) / 1000000.0 AS zipf_intercept
+         |FROM s""".stripMargin,
     "txt_tfidf" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($T) AS token FROM documents),

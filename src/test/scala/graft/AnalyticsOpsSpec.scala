@@ -522,4 +522,77 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(!plan.contains("windowspecdefinition(custkey"),
       "quartile windows must never partition/sort the customer frame:\n")
   }
+
+  test("Zipf slope: an exactly planted power law recovers slope ≈ −1 " +
+    "and a flat corpus recovers slope 0") {
+    // counts 12, 6, 4, 3 = 12/rank for ranks 1..4 → a perfect
+    // Zipf(1) curve: ln n = ln 12 − 1·ln rank, so slope = −1 exactly
+    // (up to the micro-nat quantization round6 absorbs).
+    val powerDocs = Seq(
+      1L -> (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+        Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" "))
+      .toDF("doc_id", "text")
+    val got = operators.TextQueries.zipfOn(powerDocs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toList
+    assert(got.head._1 == 4L, got.toString)
+    assert(math.abs(got.head._2 - (-1.0)) < 1e-4,
+      s"slope ${got.head._2} should be ≈ −1")
+    assert(math.abs(got.head._3 - math.log(12.0)) < 1e-4,
+      s"intercept ${got.head._3} should be ≈ ln 12")
+    // flat corpus: every token appears twice → slope 0
+    val flat = Seq(1L -> "xx yy zz xx yy zz").toDF("doc_id", "text")
+    val g2 = operators.TextQueries.zipfOn(flat)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .head
+    assert(g2._1 == 3L && g2._2 == 0.0, g2.toString)
+  }
+
+  test("KS test: identical eras give D = 0; a planted shift gives the " +
+    "hand-derived max CDF gap, partition-invariantly") {
+    def v(b: Int) = b * 6000.0 + 1.0 // $6k buckets
+    // early: buckets {0,0,1,2}; late: {0,2,2,2}
+    // CDFs: early .5,.75,1 ; late .25,.25,1 → D = .5 at bucket 1
+    val obs = Seq(
+      (v(0), true), (v(0), true), (v(1), true), (v(2), true),
+      (v(0), false), (v(2), false), (v(2), false), (v(2), false),
+    ).toDF("value", "early")
+    def run(nPart: Int) = operators.AggQueries.ksTestOn(
+      obs.repartition(nPart))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .head
+    val single = run(1)
+    assert(single == (4L, 4L, 0.5), single.toString)
+    assert(run(4) == single)
+    val same = Seq((v(0), true), (v(0), false), (v(1), true),
+      (v(1), false)).toDF("value", "early")
+    val g0 = operators.AggQueries.ksTestOn(same)
+      .collect().map(r => r.getDouble(2)).head
+    assert(g0 == 0.0, s"identical eras must give D = 0, got $g0")
+  }
+
+  test("entropy: a uniform day hits ln k, a degenerate day hits 0, " +
+    "and the micro-nat sum is partition-invariant") {
+    import java.sql.Date
+    val d1 = Date.valueOf("2024-01-01") // 2 types × 2 events: ln 2
+    val d2 = Date.valueOf("2024-01-02") // one type only: 0
+    val d3 = Date.valueOf("2024-01-03") // 3 types × 1: ln 3
+    val ev = Seq(
+      (d1, "a"), (d1, "a"), (d1, "b"), (d1, "b"),
+      (d2, "a"), (d2, "a"), (d2, "a"),
+      (d3, "a"), (d3, "b"), (d3, "c"),
+    ).toDF("event_date", "event_type")
+    def micro(p: Double) =
+      math.floor(p * math.log(1.0 / p) * 1e6 + 0.5).toLong
+    def run(nPart: Int) = operators.AggQueries.entropyOn(
+      ev.repartition(nPart))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toList
+    val single = run(1)
+    assert(single == List(
+      (4L, 2L, 2 * micro(0.5) / 1e6),
+      (3L, 1L, 0.0),
+      (3L, 3L, 3 * micro(1.0 / 3.0) / 1e6)), single.toString)
+    assert(run(5) == single)
+  }
 }
