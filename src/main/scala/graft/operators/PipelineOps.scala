@@ -323,7 +323,49 @@ object PipelineOps {
           .when(col("bucket") < 9, "val")
           .otherwise("test"))
 
+  /** `pipe_curriculum` (training-order ext.): curriculum assignment —
+    * every document gets a training phase by corpus quality tercile
+    * (1 = cleanest third, trained first) and a deterministic within-
+    * phase interleave key, so the emitted order IS the curriculum: by
+    * (phase, content-digest hash). Hash interleave instead of rand()
+    * keeps the order replayable (the [[smpSplitLeakfree]] digest
+    * rule) and breaks any ingest-order correlation.
+    *
+    * Determinism: tercile thresholds use the exact `percentile`
+    * aggregate (≙ DuckDB quantile_cont, the [[pipeQualityFilter]]
+    * precedent); only phase ASSIGNMENT consumes them, never the raw
+    * threshold, and the interleave key replays via the md5 prefix
+    * rule.
+    *
+    * Scale: scoring is a scan-stage expression; the 1-row threshold
+    * frame broadcasts; the final global order is the leaf ORDER BY a
+    * shard-writer would consume (a range exchange, no driver sort). */
+  val pipeCurriculum: Q = (spark, dir) =>
+    curriculumOn(Tables.documents(spark, dir))
+
+  /** [[pipeCurriculum]] over an explicit (doc_id, text) frame — the
+    * spec plants a 9-doc corpus with hand-separable quality thirds and
+    * asserts the phase partition and the hash-interleaved order. */
+  private[graft] def curriculumOn(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        TextQueries.qualityScoreCol(col("text"), tokens(col("text")))
+          .as("quality_score"))
+    val thr = scored.agg(
+      percentile(col("quality_score"), lit(1.0 / 3.0)).as("t1"),
+      percentile(col("quality_score"), lit(2.0 / 3.0)).as("t2"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("quality_score"),
+        when(col("quality_score") >= col("t2"), lit(1))
+          .when(col("quality_score") >= col("t1"), lit(2))
+          .otherwise(lit(3)).as("phase"),
+        conv(substring(col("h"), 1, 15), 16, 10).cast("long").as("ord"))
+      .orderBy(col("phase"), col("ord"), col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "pipe_curriculum"     -> pipeCurriculum,
     "smp_split_leakfree"  -> smpSplitLeakfree,
     "smp_stratified"      -> smpStratified,
     "smp_temperature"     -> smpTemperature,
@@ -338,6 +380,23 @@ object PipelineOps {
   private val T = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   def oracles: Map[String, String] = Map(
+    "pipe_curriculum" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, md5(text) AS h,
+         |    floor((least(CAST(len($T) AS DOUBLE) / 100.0, 1.0) * 0.4
+         |          + CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+         |                 AS DOUBLE) / length(text) * 0.4
+         |          + least(CAST(${TextQueries.sw(EN_STOP)} AS DOUBLE)
+         |                  / len($T) * 5.0, 1.0) * 0.2)
+         |        * 1000000.0 + 0.5) / 1000000.0 AS quality_score
+         |  FROM documents),
+         |t AS (SELECT quantile_cont(quality_score, 1.0/3.0) AS t1,
+         |             quantile_cont(quality_score, 2.0/3.0) AS t2 FROM q)
+         |SELECT doc_id, quality_score,
+         |  CASE WHEN quality_score >= t2 THEN 1
+         |       WHEN quality_score >= t1 THEN 2 ELSE 3 END AS phase,
+         |  CAST('0x' || substr(h, 1, 15) AS BIGINT) AS ord
+         |FROM q, t ORDER BY phase, ord, doc_id""".stripMargin,
     "smp_split_leakfree" ->
       """WITH s AS (
         |  SELECT doc_id, md5(text) AS h,

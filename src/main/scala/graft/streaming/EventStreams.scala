@@ -595,6 +595,47 @@ object EventStreams {
       .limit(10)
   }
 
+  /** `evt_inter_arrival`: per-type inter-arrival statistics of each
+    * user's event stream — gap count, mean/min/max gap seconds. The
+    * traffic-cadence panel behind rate-limit tuning and session-gap
+    * calibration (the sessionizer's 30-min threshold is read off this
+    * distribution).
+    *
+    * Determinism: gaps are differences of exact integer microseconds
+    * along the unique (t_us, event_id) per-(user, type) ordering;
+    * sums/min/max are exact longs and the mean is two IEEE divisions.
+    *
+    * Scale: ONE shuffle on (user_id, event_type) for the lag window —
+    * partitioning on the user key keeps partitions traffic-
+    * proportional (a per-type-only window would funnel a whole type's
+    * global stream into one partition) — then a hash aggregate onto
+    * the bounded type key. */
+  val evtInterArrival: Q = (spark, dir) =>
+    interArrivalOn(Tables.events(spark, dir))
+
+  /** [[evtInterArrival]] over an explicit (user_id, event_id, ts,
+    * event_type) frame — the spec plants hand-spaced gaps and an
+    * equal-timestamp tie. */
+  private[graft] def interArrivalOn(events: DataFrame): DataFrame = {
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t_us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("prev", lag(col("t_us"), 1).over(byUserType))
+      .where(col("prev").isNotNull)
+      .select(col("event_type"), (col("t_us") - col("prev")).as("gap_us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum(col("gap_us")).cast("double") /
+          count(lit(1)).cast("double") / lit(1000000.0)).as("mean_gap_sec"),
+        (min(col("gap_us")).cast("double") / lit(1000000.0))
+          .as("min_gap_sec"),
+        (max(col("gap_us")).cast("double") / lit(1000000.0))
+          .as("max_gap_sec"))
+      .orderBy(col("event_type"))
+  }
+
   /** `evt_markov_transitions`: the first-order behavior model —
     * P(next event type | current type) over user-consecutive event
     * pairs, the transition matrix behind "what usually follows a
@@ -687,6 +728,7 @@ object EventStreams {
 
   def queries: Map[String, Q] = Map(
     "evt_anomaly"         -> evtAnomaly,
+    "evt_inter_arrival"   -> evtInterArrival,
     "evt_markov_transitions" -> evtMarkovTransitions,
     "evt_ohlc_resample"   -> evtOhlcResample,
     "evt_peak_concurrency" -> evtPeakConcurrency,
@@ -739,6 +781,20 @@ object EventStreams {
         |SELECT event_type, max(open) AS peak_concurrency,
         |  CAST(SUM(s) AS BIGINT) AS n_intervals
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_inter_arrival" ->
+      """WITH o AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  CAST(SUM(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 1000000.0 AS mean_gap_sec,
+        |  CAST(min(gap_us) AS DOUBLE) / 1000000.0 AS min_gap_sec,
+        |  CAST(max(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_sec
+        |FROM o WHERE gap_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_markov_transitions" ->
       """WITH o AS (
         |  SELECT event_type AS from_type,

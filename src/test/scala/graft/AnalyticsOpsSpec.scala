@@ -571,6 +571,59 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(g0 == 0.0, s"identical eras must give D = 0, got $g0")
   }
 
+  test("inter-arrival: hand-spaced gaps aggregate exactly, an equal-" +
+    "timestamp tie orders by event_id, single events emit no gap") {
+    // user 1 / type a: t = 0s, 10s, 40s → gaps 10s, 30s
+    // user 2 / type a: t = 5s, 5s (tie → event_id order), 11s → 0s, 6s
+    // user 3 / type b: single event → no gap
+    val events = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "a"),
+      (1L, 2L, "2024-01-01 00:00:10", "a"),
+      (1L, 3L, "2024-01-01 00:00:40", "a"),
+      (2L, 4L, "2024-01-01 00:00:05", "a"),
+      (2L, 5L, "2024-01-01 00:00:05", "a"),
+      (2L, 6L, "2024-01-01 00:00:11", "a"),
+      (3L, 7L, "2024-01-01 00:00:00", "b"),
+    ).map { case (u, e, t, ty) => (u, e, ts(t), ty) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    def run(nPart: Int) = streaming.EventStreams.interArrivalOn(
+      events.repartition(nPart))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toList
+    val single = run(1)
+    // gaps for a: {10, 30, 0, 6}s → n 4, mean 11.5, min 0, max 30
+    assert(single == List(("a", 4L, 46.0 / 4.0, 0.0, 30.0)),
+      single.toString)
+    assert(run(5) == single)
+  }
+
+  test("curriculum: planted quality thirds phase 1<2<3, the within-" +
+    "phase order follows the digest hash, and phases partition the " +
+    "corpus") {
+    // 3 clearly separated quality tiers × 3 docs (quality score is
+    // dominated by the length term below 100 tokens).
+    def doc(n: Int, tag: String) =
+      (1 to n).map(i => s"the $tag$i of and").mkString(" ")
+    val docs = (
+      (1 to 3).map(i => (i.toLong, doc(24, s"hi$i"))) ++   // ~96 tokens
+      (4 to 6).map(i => (i.toLong, doc(12, s"md$i"))) ++   // ~48 tokens
+      (7 to 9).map(i => (i.toLong, doc(4, s"lo$i")))       // ~16 tokens
+    ).toDF("doc_id", "text")
+    val got = operators.PipelineOps.curriculumOn(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+      .toList
+    val byPhase = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byPhase(1) == Set(1L, 2L, 3L), byPhase.toString)
+    assert(byPhase(2) == Set(4L, 5L, 6L), byPhase.toString)
+    assert(byPhase(3) == Set(7L, 8L, 9L), byPhase.toString)
+    // emitted order: phase-major, hash-minor (ord strictly sorted
+    // within each phase — doc_id never ties the hash in practice)
+    got.groupBy(_._2).values.foreach { rows =>
+      val ords = rows.map(_._3)
+      assert(ords == ords.sorted, s"within-phase order not by hash: $rows")
+    }
+  }
+
   test("entropy: a uniform day hits ln k, a degenerate day hits 0, " +
     "and the micro-nat sum is partition-invariant") {
     import java.sql.Date
