@@ -245,7 +245,56 @@ object CoreQueries {
       .orderBy(col("product"), col("sale_date"))
   }
 
+  /** §2.G ext. `dt_business_days`: ship latency in BUSINESS days —
+    * the SLA metric ops teams actually track (a Friday order shipped
+    * Monday is 1 business day late, not 3). Pure closed-form integer
+    * arithmetic, no calendar explode: with diff = 7·fw + rem
+    * (rem = pmod 7) and d0 = pandas weekday(order) (Mon=0), each full
+    * week contributes 5 business days and the ≤6-day remainder loses
+    * its Saturday/Sunday iff that weekday falls inside it — weekday w
+    * lands in the remainder iff pmod(w − d0 − 1, 7) + 1 ≤ rem (each
+    * weekday occurs at most once in <7 days).
+    *
+    * Determinism: every step is exact integer arithmetic (pmod, an
+    * exact multiple-of-7 division); the oracle replays the identical
+    * formula with isodow−1.
+    *
+    * Scale: scan-stage expression on the fact join → a hash aggregate
+    * onto a calendar-bounded histogram (± the corpus date span in
+    * business days; the testdata's ship dates are not order-coupled,
+    * so negatives appear and the signed formula handles them — the
+    * [[dtShipDelay]] precedent). No calendar table, no explode, no
+    * per-row sequence. */
+  val dtBusinessDays: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    businessDaysOn(
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(to_date(col("o_orderdate")).as("order_date"),
+          to_date(col("l_shipdate")).as("ship_date")))
+  }
+
+  /** [[dtBusinessDays]] over an explicit (order_date, ship_date)
+    * frame — the spec plants weekend-straddling pairs with
+    * hand-counted business days. */
+  private[graft] def businessDaysOn(df: DataFrame): DataFrame = {
+    val diff = datediff(col("ship_date"), col("order_date"))
+    val rem  = pmod(diff, lit(7))
+    val fw   = ((diff - rem) / lit(7)).cast("int")
+    val d0   = weekday(col("order_date"))
+    def lost(w: Int) =
+      when(pmod(lit(w) - d0 - lit(1), lit(7)) + lit(1) <= rem, lit(1))
+        .otherwise(lit(0))
+    df.select((lit(5) * fw + rem - lost(5) - lost(6)).as("bdays_delay"))
+      .groupBy(col("bdays_delay"))
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy(col("bdays_delay"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "dt_business_days"  -> dtBusinessDays,
     "agg_daily_product" -> aggDailyProduct,
     "dt_gap_fill"       -> dtGapFill,
     "prj_project"       -> prjProject,
@@ -332,6 +381,23 @@ object CoreQueries {
       """SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
         |  SUM(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)) / 100.0 AS weekly_revenue
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dt_business_days" ->
+      """WITH d AS (
+        |  SELECT datediff('day', CAST(o_orderdate AS DATE),
+        |           CAST(l_shipdate AS DATE)) AS diff,
+        |         isodow(o_orderdate) - 1 AS d0
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |b AS (
+        |  SELECT CAST(5 * ((diff - (((diff % 7) + 7) % 7)) // 7)
+        |    + (((diff % 7) + 7) % 7)
+        |    - (CASE WHEN ((((5 - d0 - 1) % 7) + 7) % 7) + 1
+        |             <= (((diff % 7) + 7) % 7) THEN 1 ELSE 0 END)
+        |    - (CASE WHEN ((((6 - d0 - 1) % 7) + 7) % 7) + 1
+        |             <= (((diff % 7) + 7) % 7) THEN 1 ELSE 0 END)
+        |    AS INT) AS bdays_delay
+        |  FROM d)
+        |SELECT bdays_delay, count(*) AS n_lines
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "dt_ship_delay" ->
       """SELECT delay_days - (((delay_days % 7) + 7) % 7) AS delay_week_floor,
         |  count(*) AS n_lines

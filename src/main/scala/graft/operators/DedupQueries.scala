@@ -456,7 +456,64 @@ object DedupQueries {
       .orderBy(col("custkey_a"), col("custkey_b"))
   }
 
+  /** Containment threshold for [[dedupContainment]]. */
+  val ContainT = 0.8
+
+  /** `dedup_containment`: ASYMMETRIC near-dup detection — ordered
+    * pairs where ≥80% of doc A's shingles appear in doc B
+    * (|A∩B|/|A| ≥ t). Catches what Jaccard structurally misses: a
+    * short document embedded in a long one (boilerplate-wrapped
+    * pages, quoted articles), where the union term crushes the
+    * Jaccard score and the ±1 length-bucket blocking never pairs
+    * them.
+    *
+    * Scale — PREFIX FILTERING (the AllPairs/PPJoin bound): sort each
+    * doc's shingle hashes; if containment ≥ t then A∩B must hit one
+    * of A's ⌊(1−t)·|A|⌋+1 smallest hashes (else |A∩B| ≤
+    * |A|−⌊(1−t)|A|⌋−1 < t|A| — pigeonhole). So ONLY the ~20% prefix
+    * generates candidate pairs against the full inverted index, and
+    * the exact intersection count runs on candidates only — the
+    * all-pairs quadratic blow-up never exists, yet the result equals
+    * the naive formulation the oracle replays (over the dedup
+    * family's replayable md5 shingle hashes). Only 8-byte hashes
+    * shuffle; text never does.
+    */
+  val dedupContainment: Q = (spark, dir) =>
+    containmentOn(Tables.documents(spark, dir))
+
+  /** [[dedupContainment]] over an explicit (doc_id, text) frame — the
+    * spec plants a doc fully contained in a larger one (Jaccard-
+    * invisible) plus a sub-threshold overlap, and cross-checks the
+    * prefix-filtered result against an in-memory naive recompute. */
+  private[graft] def containmentOn(docs: DataFrame): DataFrame = {
+    val sh = shingledMd5On(docs)
+      .select(col("doc_id"), sort_array(col("sh")).as("hs"),
+        size(col("sh")).as("sz"))
+      .where(col("sz") >= 1)
+    val k = (floor(col("sz").cast("double") * lit(1.0 - ContainT))
+      + lit(1.0)).cast("int")
+    val probe = sh.select(col("doc_id").as("a"), col("sz").as("sz_a"),
+      explode(slice(col("hs"), lit(1), k)).as("h"))
+    val full = sh.select(col("doc_id").as("b"), explode(col("hs")).as("h"))
+    val cand = probe.join(full, Seq("h"))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"), col("sz_a")).distinct()
+    val inv = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    cand
+      .join(inv.as("pa"), col("a") === col("pa.doc_id"))
+      .join(inv.as("pb"),
+        col("b") === col("pb.doc_id") && col("pa.h") === col("pb.h"))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"), col("sz_a"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast("double") / col("sz_a").cast("double"))
+          .as("containment"))
+      .where(col("containment") >= lit(ContainT))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "dedup_containment"   -> dedupContainment,
     "dedup_exact"         -> dedupExact,
     "dedup_incremental"   -> dedupIncremental,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -490,6 +547,17 @@ object DedupQueries {
        |e AS (SELECT doc_id, unnest(s) AS h FROM sh)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "dedup_containment" ->
+      s"""$Md5ShinglePrefixSql
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / CAST(len(a.s) AS DOUBLE) AS containment
+         |FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+         |WHERE len(a.s) >= 1
+         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / CAST(len(a.s) AS DOUBLE) >= $ContainT
+         |ORDER BY 1, 2""".stripMargin,
     "dedup_entity_block" ->
       """WITH c AS (
         |  SELECT c_custkey, c_name,

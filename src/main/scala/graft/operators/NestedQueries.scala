@@ -143,7 +143,34 @@ object NestedQueries {
         col("customer.balance").as("customer_balance"))
       .orderBy(col("o_orderkey"))
 
+  /** §2.C ext. `arr_zip_dot`: parallel-array arithmetic INSIDE the
+    * row — from the nested sale, project the quantity and list-price
+    * arrays with `transform`, pair them with `zip_with`, and fold the
+    * products with `aggregate` into the order's gross (undiscounted)
+    * list value. The HOF triad (transform → zip_with → aggregate) that
+    * array-typed feature engineering composes from, proven against a
+    * flat-SQL recomputation (the oracle never sees an array).
+    *
+    * Determinism: quantities are integer-valued and prices go through
+    * exact cents, so the fold is an exact long sum — element order
+    * inside the array is irrelevant.
+    *
+    * Scale: everything after the re-nest happens per-row with no
+    * shuffle and stays inside whole-stage codegen; the re-nest itself
+    * is the one collect_list exchange every nested view shares. */
+  val arrZipDot: Q = (spark, dir) => {
+    val qty = transform(col("items"), x => x.getField("quantity").cast("long"))
+    val pc  = transform(col("items"),
+      x => Tables.cents(x.getField("price")).cast("long"))
+    Tables.salesNested(spark, dir)
+      .select(col("sale_id"), size(col("items")).as("n_items"),
+        aggregate(zip_with(qty, pc, (q, c) => q * c), lit(0L),
+          (acc, x) => acc + x).as("gross_cents"))
+      .orderBy(col("sale_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "arr_zip_dot"         -> arrZipDot,
     "arr_unwind"          -> arrUnwind,
     "arr_unwind_outer"    -> arrUnwindOuter,
     "arr_transform"       -> arrTransform,
@@ -157,6 +184,13 @@ object NestedQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "arr_zip_dot" ->
+      """SELECT l_orderkey AS sale_id, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)
+        |           * CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS gross_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "arr_unwind_outer" ->
       """SELECT o_orderkey AS sale_id, count(l_orderkey) AS n_items,
         |  coalesce(SUM(l_quantity), 0.0) AS total_quantity

@@ -624,6 +624,66 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("business days: weekend-straddling, full-week, in-weekend and " +
+    "negative deltas all match hand counts") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // 2024-01-01 is a Monday.
+    val pairs = Seq(
+      (d("2024-01-01"), d("2024-01-08")), // Mon → next Mon: 5
+      (d("2024-01-05"), d("2024-01-08")), // Fri → Mon: 1
+      (d("2024-01-06"), d("2024-01-07")), // Sat → Sun: 0
+      (d("2024-01-03"), d("2024-01-17")), // Wed → Wed +14d: 10
+      (d("2024-01-08"), d("2024-01-05")), // Mon → prev Fri: −1
+    ).toDF("order_date", "ship_date")
+    def run(nPart: Int) = operators.CoreQueries.businessDaysOn(
+      pairs.repartition(nPart))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toList
+    val single = run(1)
+    assert(single == List((-1, 1L), (0, 1L), (1, 1L), (5, 1L), (10, 1L)),
+      single.toString)
+    assert(run(3) == single)
+  }
+
+  test("zip-dot gross value equals the flat per-line recomputation " +
+    "on the sf fixture") {
+    val nested = operators.NestedQueries.arrZipDot(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toList
+    val li = Tables.lineitem(spark, sf)
+    val p = Tables.part(spark, sf)
+    val flat = li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).cast("int").as("n"),
+        sum(col("l_quantity").cast("long") *
+          Tables.cents(col("p_retailprice")).cast("long")).as("g"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2))))
+      .toMap
+    val flatMap = flat
+    assert(nested.nonEmpty)
+    nested.foreach { case (id, n, g) =>
+      assert(flatMap(id) == ((n, g)), s"sale $id: got ($n,$g)")
+    }
+  }
+
+  test("containment: a doc fully embedded in a larger one is caught " +
+    "(Jaccard-invisible), partial overlap stays below threshold, and " +
+    "the prefix filter loses nothing") {
+    val big = (1 to 20).map(i => f"w$i%02d").mkString(" ")       // 18 shingles
+    val sub = (3 to 12).map(i => f"w$i%02d").mkString(" ")       // 8, all ⊂ big
+    val half = ((1 to 6).map(i => f"w$i%02d") ++
+      (1 to 6).map(i => s"u$i")).mkString(" ")                   // 4 of 10 ⊂ big
+    val docs = Seq(1L -> big, 2L -> sub, 3L -> half)
+      .toDF("doc_id", "text")
+    def run(nPart: Int) = operators.DedupQueries.containmentOn(
+      docs.repartition(nPart))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList
+    val single = run(1)
+    // only sub→big survives: 8/8 = 1.0; big→sub is 8/18, half→big 4/10
+    assert(single == List((2L, 1L, 8L, 1.0)), single.toString)
+    assert(run(4) == single, "prefix filtering must be partition-invariant")
+  }
+
   test("entropy: a uniform day hits ln k, a degenerate day hits 0, " +
     "and the micro-nat sum is partition-invariant") {
     import java.sql.Date
