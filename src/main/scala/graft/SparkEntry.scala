@@ -33,6 +33,7 @@ object SparkEntry {
       ml.Forecast.queries ++
       ml.Scoring.queries ++
       plans.PairCount.queries ++
+      plans.GlobalRank.queries ++
       plans.TopK.queries ++
       plans.ThetaSets.queries ++
       plans.SkewJoin.queries
@@ -54,6 +55,7 @@ object SparkEntry {
       streaming.EventStreams.oracles ++
       ml.Forecast.oracles ++
       plans.SkewJoin.oracles ++
+      plans.GlobalRank.oracles ++
       Map("join_pair_onepass" -> operators.JoinWindowQueries.oracles("join_pair_selfjoin"),
         "topk_heap_per_group" -> operators.JoinWindowQueries.oracles("topk_head_per_group"))
 }

@@ -494,17 +494,25 @@ object DedupQueries {
       + lit(1.0)).cast("int")
     val probe = sh.select(col("doc_id").as("a"), col("sz").as("sz_a"),
       explode(slice(col("hs"), lit(1), k)).as("h"))
-    val full = sh.select(col("doc_id").as("b"), explode(col("hs")).as("h"))
+    val full = sh.select(col("doc_id").as("b"), col("sz").as("sz_b"),
+      explode(col("hs")).as("h"))
+    // length lower bound: containment ≥ t needs |A∩B| ≥ t·|A| ≤ |B|,
+    // so undersized B-sides never become candidates
     val cand = probe.join(full, Seq("h"))
-      .where(col("a") =!= col("b"))
-      .select(col("a"), col("b"), col("sz_a")).distinct()
-    val inv = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+      .where(col("a") =!= col("b") &&
+        col("sz_b").cast("double") >= col("sz_a").cast("double") * lit(ContainT))
+      .select(col("a"), col("b")).distinct()
+    // exact verify on candidates only — ONE set-intersect per pair on
+    // the sorted hash arrays (codegen'd, no posting re-explosion: the
+    // exploded three-way join shape measured 13× slower at sf0.1)
     cand
-      .join(inv.as("pa"), col("a") === col("pa.doc_id"))
-      .join(inv.as("pb"),
-        col("b") === col("pb.doc_id") && col("pa.h") === col("pb.h"))
-      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"), col("sz_a"))
-      .agg(count(lit(1)).as("n_common"))
+      .join(sh.select(col("doc_id").as("a"), col("hs").as("hs_a"),
+        col("sz").as("sz_a")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("hs").as("hs_b")),
+        Seq("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+          .as("n_common"), col("sz_a"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_common").cast("double") / col("sz_a").cast("double"))
           .as("containment"))

@@ -684,6 +684,59 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(run(4) == single, "prefix filtering must be partition-invariant")
   }
 
+  test("global rank: the two-phase distributed rank equals a driver-" +
+    "side sort at every partitioning, and no data-sized unpartitioned " +
+    "window exists in the plan") {
+    val rows = (1 to 500).map(i => ((i * 7919) % 1000, i.toLong))
+    val df = rows.toDF("v", "id")
+    def run(nPart: Int) = plans.GlobalRank.withGlobalRank(
+      df.repartition(nPart), "rank", col("v").asc, col("id").asc)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3).toList
+    val expected = rows.sortBy { case (v, id) => (v, id) }
+      .zipWithIndex.map { case ((v, id), i) => (v, id, i + 1L) }.toList
+    assert(run(1) == expected)
+    assert(run(7) == expected, "rank must not depend on input partitioning")
+    // scale honesty: the only unpartitioned window runs on the P-row
+    // offsets frame; the data window is partitioned by __gr_pid
+    val plan = plans.GlobalRank.withGlobalRank(
+      df, "rank", col("v").asc, col("id").asc)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__gr_pid"), plan.take(500))
+  }
+
+  test("Gini: a perfectly equal corpus scores 0, total concentration " +
+    "approaches 1, and a hand-computed small case matches") {
+    def gini(values: Seq[Long]): Double = {
+      val s = values.sorted
+      val n = s.length.toLong
+      val sy = s.map(BigInt(_)).sum
+      val sry = s.zipWithIndex.map { case (y, i) => BigInt(i + 1) * y }.sum
+      val num = (BigInt(2) * sry - BigInt(n + 1) * sy).toDouble
+      math.floor(num / (BigInt(n) * sy).toDouble * 1e6 + 0.5) / 1e6
+    }
+    def run(values: Seq[Long]) = {
+      val df = values.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("o_orderkey", "y")
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val one = lit(1).cast(dec)
+      plans.GlobalRank.withGlobalRank(
+        df, "r", col("y").asc, col("o_orderkey").asc)
+        .agg(count(lit(1)).as("n"), sum(col("y").cast(dec)).as("sy"),
+          sum(col("r").cast(dec) * col("y").cast(dec)).as("sry"))
+        .select(graft.Tables.round6(
+          (lit(2).cast(dec) * col("sry") - (col("n").cast(dec) + one) *
+            col("sy")).cast("double") /
+          (col("n").cast(dec) * col("sy")).cast("double")).as("g"))
+        .collect().head.getDouble(0)
+    }
+    assert(run(Seq.fill(10)(100L)) == 0.0)
+    val concentrated = Seq.fill(99)(1L) :+ 1000000L
+    assert(run(concentrated) > 0.97)
+    val hand = Seq(1L, 2L, 3L, 4L)
+    assert(run(hand) == gini(hand), s"${run(hand)} vs ${gini(hand)}")
+  }
+
   test("entropy: a uniform day hits ln k, a degenerate day hits 0, " +
     "and the micro-nat sum is partition-invariant") {
     import java.sql.Date
