@@ -101,8 +101,29 @@ object GlobalRank {
           .as("gini"))
   }
 
+  /** `win_global_pctrank`: distributed `percent_rank` — every order's
+    * exact value percentile index (rank−1)/(n−1) over the same total
+    * order as [[winGlobalRank]], again with no single-partition
+    * window. The per-row percentile feature a ranking model trains on.
+    * The 1-row count broadcasts; the division is two exact longs. */
+  val winGlobalPctRank: graft.Q = (spark, dir) => {
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        graft.Tables.cents(col("o_totalprice")).cast("long")
+          .as("price_cents"))
+    val n = o.agg(count(lit(1)).as("n_total"))
+    withGlobalRank(o, "global_rank",
+      col("price_cents").desc, col("o_orderkey").asc)
+      .crossJoin(broadcast(n))
+      .select(col("o_orderkey"), col("price_cents"), col("global_rank"),
+        ((col("global_rank") - lit(1L)).cast("double") /
+          (col("n_total") - lit(1L)).cast("double")).as("pct_rank"))
+      .orderBy(col("global_rank"))
+  }
+
   def queries: Map[String, graft.Q] = Map(
     "win_global_rank" -> winGlobalRank,
+    "win_global_pctrank" -> winGlobalPctRank,
     "agg_gini"        -> aggGini,
   )
 
@@ -114,6 +135,16 @@ object GlobalRank {
         |    ORDER BY floor(o_totalprice * 100.0 + 0.5) DESC, o_orderkey)
         |    AS BIGINT) AS global_rank
         |FROM orders ORDER BY global_rank""".stripMargin,
+    "win_global_pctrank" ->
+      """SELECT o_orderkey,
+        |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+        |  CAST(row_number() OVER w AS BIGINT) AS global_rank,
+        |  CAST(row_number() OVER w - 1 AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM orders) - 1 AS DOUBLE) AS pct_rank
+        |FROM orders
+        |WINDOW w AS (ORDER BY floor(o_totalprice * 100.0 + 0.5) DESC,
+        |             o_orderkey)
+        |ORDER BY global_rank""".stripMargin,
     "agg_gini" ->
       """WITH o AS (
         |  SELECT o_orderkey,
