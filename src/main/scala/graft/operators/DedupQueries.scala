@@ -486,10 +486,20 @@ object DedupQueries {
     * invisible) plus a sub-threshold overlap, and cross-checks the
     * prefix-filtered result against an in-memory naive recompute. */
   private[graft] def containmentOn(docs: DataFrame): DataFrame = {
+    // materialize the md5 shingling behind an explode → re-collect
+    // aggregate: the Generate blocks CollapseProject from re-inlining
+    // the tokenizer/md5 tree into every downstream array reference
+    // (the [[graft.operators.PipelineOps.decontaminateOn]] trap — 28
+    // inlined regex copies, 21.6 s at sf0.1 local[4] when fused), and
+    // the aggregate's doc_id exchange is the ONE subtree all four
+    // consumers (probe, full index, both verify sides) reuse. Only
+    // 8-byte hashes shuffle; empty shingle sets drop with the explode.
+    // Measured 21.6 s → ~3 s at sf0.1 local[4].
     val sh = shingledMd5On(docs)
-      .select(col("doc_id"), sort_array(col("sh")).as("hs"),
-        size(col("sh")).as("sz"))
-      .where(col("sz") >= 1)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("sz"))
     val k = (floor(col("sz").cast("double") * lit(1.0 - ContainT))
       + lit(1.0)).cast("int")
     val probe = sh.select(col("doc_id").as("a"), col("sz").as("sz_a"),

@@ -737,6 +737,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(run(hand) == gini(hand), s"${run(hand)} vs ${gini(hand)}")
   }
 
+  test("containment plan: the tokenizer regex and md5 shingling stay " +
+    "materialized behind the shared exchange (generator-inlining trap)") {
+    // Four static subtree copies (probe, full index, two verify
+    // sides), each with the tokenizer/md5 exactly ONCE behind the
+    // identical explode→collect aggregate exchange that AQE's
+    // ReusedExchange executes once. Fused, CollapseProject re-inlines
+    // the regex per array reference — measured 28 copies / 21.6 s vs
+    // ≤4 copies / ~3 s at sf0.1 local[4].
+    val plan = operators.DedupQueries.dedupContainment(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nRegex = "regexp_extract_all".r.findAllIn(plan).size
+    val nMd5 = "md5\\(".r.findAllIn(plan).size
+    assert(nRegex <= 4, s"tokenizer regex inlined $nRegex times:\n" +
+      plan.take(3000))
+    assert(nMd5 <= 4, s"md5 shingling inlined $nMd5 times:\n" +
+      plan.take(3000))
+  }
+
   test("entropy: a uniform day hits ln k, a degenerate day hits 0, " +
     "and the micro-nat sum is partition-invariant") {
     import java.sql.Date
