@@ -31,6 +31,7 @@ object SparkEntry {
       operators.MultimodalQueries.queries ++
       streaming.EventStreams.queries ++
       ml.Forecast.queries ++
+      ml.LinearBacktest.queries ++
       ml.Scoring.queries ++
       plans.PairCount.queries ++
       plans.GlobalRank.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       operators.MultimodalQueries.oracles ++
       streaming.EventStreams.oracles ++
       ml.Forecast.oracles ++
+      ml.LinearBacktest.oracles ++
       plans.SkewJoin.oracles ++
       plans.GlobalRank.oracles ++
       Map("join_pair_onepass" -> operators.JoinWindowQueries.oracles("join_pair_selfjoin"),

@@ -696,7 +696,53 @@ object AggQueries {
       .orderBy(col("event_date"))
   }
 
+  /** `prof_corr_matrix` (profiler ext.): the full pairwise Pearson
+    * correlation matrix of the four numeric lineitem columns in ONE
+    * scan — the feature-redundancy panel a training pipeline checks
+    * before fitting. All six pairs' power sums (n, Σx, Σx², Σxy) ride
+    * a single aggregate; a per-pair `corr()` loop would re-scan the
+    * fact table six times for identical output, and Spark's built-in
+    * `corr` accumulates add-order-dependent doubles besides.
+    *
+    * Determinism: values are exact integer cents, power sums
+    * accumulate as Decimal(38,0) (Σcents² overflows a long at this
+    * scale — the higher-moments doctrine), and each correlation is a
+    * fixed IEEE tree over exactly-agreed integers, round6'd. The
+    * 1-row result unpivots driver-free via inline(array(struct)). */
+  val profCorrMatrix: Q = (spark, dir) => {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def c(name: String) = Tables.cents(col(name)).cast("long").cast(dec)
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map(x => sum(c(x)).as(s"s_$x")) ++
+      cols.map(x => sum(c(x) * c(x)).as(s"q_$x")) ++
+      cols.combinations(2).map { case Seq(x, y) =>
+        sum(c(x) * c(y)).as(s"p_${x}_$y")
+      }.toSeq
+    val nd = col("n").cast(dec)
+    def corrOf(x: String, y: String) = {
+      val cov = (nd * col(s"p_${x}_$y") - col(s"s_$x") * col(s"s_$y"))
+        .cast("double")
+      val vx = (nd * col(s"q_$x") - col(s"s_$x") * col(s"s_$x"))
+        .cast("double")
+      val vy = (nd * col(s"q_$y") - col(s"s_$y") * col(s"s_$y"))
+        .cast("double")
+      Tables.round6(cov / (sqrt(vx) * sqrt(vy)))
+    }
+    val rows = cols.combinations(2).map { case Seq(x, y) =>
+      struct(lit(x).as("col_x"), lit(y).as("col_y"),
+        corrOf(x, y).as("corr"))
+    }.toSeq
+    Tables.lineitem(spark, dir)
+      .select(cols.map(col): _*)
+      .agg(sums.head, sums.tail: _*)
+      .select(inline(array(rows: _*)))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "prof_corr_matrix"   -> profCorrMatrix,
     "prof_ks_test"       -> profKsTest,
     "agg_entropy"        -> aggEntropy,
     "prof_numeric_summary" -> profNumericSummary,
@@ -959,6 +1005,36 @@ object AggQueries {
         |           + se2 * se2 / (CAST(n2b AS DOUBLE) - 1.0))
         |        * 1000000.0 + 0.5) / 1000000.0 AS welch_df
         |FROM m ORDER BY product""".stripMargin,
+    "prof_corr_matrix" -> {
+      val cs = Seq("l_quantity" -> "q", "l_extendedprice" -> "ep",
+        "l_discount" -> "di", "l_tax" -> "tx")
+      val centDefs = cs.map { case (full, a) =>
+        s"CAST(floor($full * 100.0 + 0.5) AS BIGINT) AS $a"
+      }.mkString(",\n         ")
+      val sumDefs = (
+        cs.map { case (_, a) => s"SUM(CAST($a AS HUGEINT)) AS s_$a" } ++
+        cs.map { case (_, a) => s"SUM(CAST($a AS HUGEINT) * $a) AS q_$a" } ++
+        cs.combinations(2).map { case Seq((_, x), (_, y)) =>
+          s"SUM(CAST($x AS HUGEINT) * $y) AS p_${x}_$y"
+        }).mkString(",\n    ")
+      val selects = cs.combinations(2).map { case Seq((fx, x), (fy, y)) =>
+        s"""SELECT '$fx' AS col_x, '$fy' AS col_y,
+           |  floor(CAST(n * p_${x}_$y - s_$x * s_$y AS DOUBLE)
+           |        / (sqrt(CAST(n * q_$x - s_$x * s_$x AS DOUBLE))
+           |           * sqrt(CAST(n * q_$y - s_$y * s_$y AS DOUBLE)))
+           |        * 1000000.0 + 0.5) / 1000000.0 AS corr
+           |FROM s""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH c AS (
+         |  SELECT $centDefs
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT count(*) AS n,
+         |    $sumDefs
+         |  FROM c)
+         |$selects
+         |ORDER BY col_x, col_y""".stripMargin
+    },
     "prof_ks_test" ->
       """WITH c AS (
         |  SELECT CAST(least(floor(floor(o_totalprice * 100.0 + 0.5)
