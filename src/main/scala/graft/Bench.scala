@@ -79,9 +79,16 @@ object Bench {
     val nErr = results.count(_._2 == "\"err\"")
     val ok = results.filter(_._2 != "\"err\"")
     val total = ok.map(_._2.toDouble).sum
-    // per-family subtotals (family = name prefix before first '_')
-    val fams = jmap(ok.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
-      .map { case (f, rs) => f -> f"${rs.map(_._2.toDouble).sum}%.3f" })
+    // per-family subtotals (family = name prefix before first '_').
+    // A family whose every query errored still appears — as "err" —
+    // so cross-round family diffs see "failed", not "missing"
+    // (ADVICE r7: the evt family vanished from the r07 capture).
+    val fams = jmap(results.groupBy(_._1.takeWhile(_ != '_')).toSeq
+      .sortBy(_._1).map { case (f, rs) =>
+        val oks = rs.filter(_._2 != "\"err\"")
+        f -> (if (oks.isEmpty) "\"err\""
+              else f"${oks.map(_._2.toDouble).sum}%.3f")
+      })
     val allQs = jmap(results.map { case (k, v) => k -> fmt(v) })
     val loadEnd = loadAvg()
     val nprocEnd = nProcs()

@@ -30,8 +30,12 @@ object GraftConf {
     }
     spark.conf.set("spark.sql.optimizer.excludedRules", merged)
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-    // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    // unless read as long (Tables.events converts with `div 1000`)
+    // The driver's events.ts parquet type has changed across testdata
+    // regenerations (INT64 TIMESTAMP(NANOS) rounds ≤6, naive
+    // timestamp[us] round 7+). Keep nanosAsLong on: it makes the nanos
+    // variant readable (Spark 4 rejects it otherwise) and is a no-op for
+    // every other type. Tables.normalizeEventTs branches on the actual
+    // inferred type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Write timestamps as INT64 micros, not legacy INT96: INT96 columns
     // carry NO parquet min/max statistics, so every time-predicate scan

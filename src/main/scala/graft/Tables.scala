@@ -27,17 +27,41 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert with exact
-    * integral arithmetic (`div 1000` — a double division would lose
-    * precision past 2^53 ns); truncation-to-micros matches how
-    * micro-precision engines (e.g. DuckDB) read the same file.
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, which
-    * [[GraftConf]] sets once per session (table readers never mutate
-    * session config themselves). */
+  /** The driver has shipped `events.ts` under two different parquet
+    * physical types across rounds — INT64 TIMESTAMP(NANOS) (rounds ≤6)
+    * and naive `timestamp[us]` (round 7+) — so the reader is
+    * schema-adaptive rather than assuming either. [[normalizeEventTs]]
+    * branches on the type Spark actually inferred; downstream code
+    * always sees `ts` as session-local TimestampType. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(read(spark, dir, "events"))
+
+  /** Normalize a `ts` column to TimestampType, whatever the source
+    * parquet stored:
+    *  - `LongType`: INT64 TIMESTAMP(NANOS), which Spark 4 rejects
+    *    ([PARQUET_TYPE_ILLEGAL]) unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` ([[GraftConf]] sets
+    *    it; harmless for non-nanos files). Convert with exact integral
+    *    arithmetic (`div 1000` — a double division would lose precision
+    *    past 2^53 ns); truncation-to-micros matches how micro-precision
+    *    engines (e.g. DuckDB) read the same file.
+    *  - `TimestampNTZType`: naive `timestamp[us]`. The session timezone
+    *    is UTC everywhere in this engine (Verify/Bench/specs), so the
+    *    NTZ→LTZ cast maps to the same instant and all downstream
+    *    date-part extraction is unchanged.
+    *  - `TimestampType`: tz-adjusted micros — pass through. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected INT64 nanos, " +
+          "timestamp_ntz, or timestamp")
+    }
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 

@@ -197,10 +197,15 @@ object AggQueries {
       .select(col("event_type"), col("n"),
         Tables.round6(mc / lit(100.0)).as("mean_value"),
         Tables.round6(sqrt(m2) / lit(100.0)).as("stddev_value"),
-        Tables.round6((q3 - lit(3.0) * mc * q2 + lit(2.0) * mc * mc * mc)
-          / (m2 * sqrt(m2))).as("skewness"),
-        Tables.round6((q4 - lit(4.0) * mc * q3 + lit(6.0) * mc * mc * q2
-          - lit(3.0) * mc * mc * mc * mc) / (m2 * m2) - lit(3.0))
+        // m2=0 guard: a constant group (all values equal) has zero
+        // variance, making skew/kurtosis 0/0 — NULL by convention
+        // (shape is undefined for a point mass), mirrored in the oracle
+        when(m2 > lit(0.0),
+          Tables.round6((q3 - lit(3.0) * mc * q2 + lit(2.0) * mc * mc * mc)
+            / (m2 * sqrt(m2)))).as("skewness"),
+        when(m2 > lit(0.0),
+          Tables.round6((q4 - lit(4.0) * mc * q3 + lit(6.0) * mc * mc * q2
+            - lit(3.0) * mc * mc * mc * mc) / (m2 * m2) - lit(3.0)))
           .as("kurtosis_excess"))
       .orderBy(col("event_type"))
   }
@@ -547,6 +552,16 @@ object AggQueries {
       // a t-test needs ≥2 samples per arm; also keeps ANSI mode's
       // divide-by-zero off the n−1 / empty-arm denominators at tiny SFs
       .where(col("n1") >= lit(2L) && col("n2") >= lit(2L))
+      // zero-variance guard: if BOTH arms are constant, se=0 and the
+      // t-stat/df are 0/0 — drop the group (no test is defined), in
+      // exact integer math (n·Σy² − (Σy)² ≥ 0 per arm, decimal headroom
+      // against long overflow at scale); mirrored in the oracle HAVING
+      .where({
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        (col("ss1").cast(dec) * col("n1") - col("s1").cast(dec) * col("s1") +
+          col("ss2").cast(dec) * col("n2") - col("s2").cast(dec) * col("s2")
+          ) > lit(0)
+      })
       .select(col("product"),
         col("n1").as("n_early"), col("n2").as("n_late"),
         m("1").as("mean_early"), m("2").as("mean_late"),
@@ -897,13 +912,15 @@ object AggQueries {
         |  floor(mc / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
         |  floor(sqrt(q2 - mc * mc) / 100.0 * 1000000.0 + 0.5) / 1000000.0
         |    AS stddev_value,
-        |  floor((q3 - 3.0 * mc * q2 + 2.0 * mc * mc * mc)
-        |        / ((q2 - mc * mc) * sqrt(q2 - mc * mc))
-        |        * 1000000.0 + 0.5) / 1000000.0 AS skewness,
-        |  floor(((q4 - 4.0 * mc * q3 + 6.0 * mc * mc * q2
-        |          - 3.0 * mc * mc * mc * mc)
-        |         / ((q2 - mc * mc) * (q2 - mc * mc)) - 3.0)
-        |        * 1000000.0 + 0.5) / 1000000.0 AS kurtosis_excess
+        |  CASE WHEN q2 - mc * mc > 0.0 THEN
+        |    floor((q3 - 3.0 * mc * q2 + 2.0 * mc * mc * mc)
+        |          / ((q2 - mc * mc) * sqrt(q2 - mc * mc))
+        |          * 1000000.0 + 0.5) / 1000000.0 END AS skewness,
+        |  CASE WHEN q2 - mc * mc > 0.0 THEN
+        |    floor(((q4 - 4.0 * mc * q3 + 6.0 * mc * mc * q2
+        |            - 3.0 * mc * mc * mc * mc)
+        |           / ((q2 - mc * mc) * (q2 - mc * mc)) - 3.0)
+        |          * 1000000.0 + 0.5) / 1000000.0 END AS kurtosis_excess
         |FROM m ORDER BY 1""".stripMargin,
     "agg_stats_cv" ->
       ("""SELECT product,
@@ -983,7 +1000,9 @@ object AggQueries {
         |             THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
         |             ELSE 0 END) AS ss2
         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
-        |  HAVING n1 >= 2 AND n2 >= 2),
+        |  HAVING n1 >= 2 AND n2 >= 2
+        |    AND CAST(ss1 AS HUGEINT) * n1 - CAST(s1 AS HUGEINT) * s1
+        |      + CAST(ss2 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * s2 > 0),
         |m AS (
         |  SELECT product,
         |    CAST(n1 AS BIGINT) AS n1b, CAST(n2 AS BIGINT) AS n2b,

@@ -500,8 +500,14 @@ object DedupQueries {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h"))).as("hs"),
         count(lit(1)).as("sz"))
-    val k = (floor(col("sz").cast("double") * lit(1.0 - ContainT))
-      + lit(1.0)).cast("int")
+    // prefix length k = sz − ⌈t·sz⌉ + 1 in PURE INTEGER math. The
+    // double form floor(sz·(1−t))+1 is wrong at exactly-at-threshold
+    // sizes: IEEE 1.0−0.8 = 0.1999…96, so any sz divisible by 5 gets
+    // k one short (sz=5 → k=1 not 2), silently voiding the pigeonhole
+    // guarantee. With t = 4/5 exactly: ⌈4·sz/5⌉ = (4·sz+4) div 5.
+    require(ContainT == 0.8, "integer prefix math below assumes t = 4/5")
+    val k = greatest(
+      col("sz") - expr("(sz * 4 + 4) div 5") + lit(1L), lit(1L)).cast("int")
     val probe = sh.select(col("doc_id").as("a"), col("sz").as("sz_a"),
       explode(slice(col("hs"), lit(1), k)).as("h"))
     val full = sh.select(col("doc_id").as("b"), col("sz").as("sz_b"),

@@ -726,7 +726,8 @@ object JoinWindowQueries {
         |  SELECT o_custkey, island, min(o_orderpriority) AS priority,
         |    min(o_orderdate) AS valid_from, count(*) AS n_orders
         |  FROM isl GROUP BY 1, 2)
-        |SELECT o_custkey, island AS version, priority, valid_from,
+        |SELECT o_custkey, CAST(island AS BIGINT) AS version, priority,
+        |  valid_from,
         |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
         |    AS valid_to,
         |  n_orders
@@ -894,8 +895,8 @@ object JoinWindowQueries {
         |  FROM events GROUP BY 1),
         |pd AS (SELECT hour, count(*) AS new_users FROM fs GROUP BY 1)
         |SELECT hour, new_users,
-        |  SUM(new_users) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING)
-        |    AS cum_users
+        |  CAST(SUM(new_users) OVER (ORDER BY hour ROWS UNBOUNDED
+        |    PRECEDING) AS BIGINT) AS cum_users
         |FROM pd ORDER BY hour""".stripMargin,
     "win_running_total" ->
       s"""SELECT sale_date, product, total_revenue,

@@ -116,8 +116,12 @@ object GlobalRank {
       col("price_cents").desc, col("o_orderkey").asc)
       .crossJoin(broadcast(n))
       .select(col("o_orderkey"), col("price_cents"), col("global_rank"),
-        ((col("global_rank") - lit(1L)).cast("double") /
-          (col("n_total") - lit(1L)).cast("double")).as("pct_rank"))
+        // n=1 guard: (rank−1)/(n−1) is 0/0 on a single-row input; SQL's
+        // percent_rank convention is 0.0, mirrored in the oracle
+        when(col("n_total") > lit(1L),
+          (col("global_rank") - lit(1L)).cast("double") /
+            (col("n_total") - lit(1L)).cast("double"))
+          .otherwise(lit(0.0)).as("pct_rank"))
       .orderBy(col("global_rank"))
   }
 
@@ -139,8 +143,10 @@ object GlobalRank {
       """SELECT o_orderkey,
         |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
         |  CAST(row_number() OVER w AS BIGINT) AS global_rank,
-        |  CAST(row_number() OVER w - 1 AS DOUBLE)
-        |    / CAST((SELECT count(*) FROM orders) - 1 AS DOUBLE) AS pct_rank
+        |  CASE WHEN (SELECT count(*) FROM orders) > 1
+        |       THEN CAST(row_number() OVER w - 1 AS DOUBLE)
+        |         / CAST((SELECT count(*) FROM orders) - 1 AS DOUBLE)
+        |       ELSE 0.0 END AS pct_rank
         |FROM orders
         |WINDOW w AS (ORDER BY floor(o_totalprice * 100.0 + 0.5) DESC,
         |             o_orderkey)

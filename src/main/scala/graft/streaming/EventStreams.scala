@@ -145,10 +145,14 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("c_mktsegment"),
         col("n_events"), col("total_value"))
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Streaming file sources need a declared schema, and the driver has
+    * shipped `events.ts` as both INT64 nanos (LongType under
+    * `nanosAsLong`) and naive `timestamp[us]` (TimestampNTZType) across
+    * rounds — so declare whatever a batch peek of the same file infers,
+    * then normalize `ts` with [[Tables.normalizeEventTs]] exactly like
+    * the batch reader. The peek reads only footer metadata, not data. */
+  private def eventsSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(s"$dir/events.parquet").schema
 
   /** The streaming form of [[evtTumblingWindow]]: readStream over the
     * same parquet, 1-hour tumbling windows with a 2-hour watermark,
@@ -170,10 +174,9 @@ object EventStreams {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .parquet(stageDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventTs(spark.readStream
+        .schema(eventsSchema(spark, dir))
+        .parquet(stageDir.toString))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
@@ -778,7 +781,7 @@ object EventStreams {
         |  SELECT event_type, s,
         |    SUM(d) OVER (PARTITION BY event_type ORDER BY t) AS open
         |  FROM g)
-        |SELECT event_type, max(open) AS peak_concurrency,
+        |SELECT event_type, CAST(max(open) AS BIGINT) AS peak_concurrency,
         |  CAST(SUM(s) AS BIGINT) AS n_intervals
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_inter_arrival" ->
@@ -834,9 +837,9 @@ object EventStreams {
         |    CAST(q AS DOUBLE) AS qd, CAST(s AS DOUBLE) AS sd
         |  FROM c JOIN st USING (event_type))
         |SELECT event_type, count(*) AS n_events,
-        |  SUM(CASE WHEN dev * dev * (nd - 1.0) >
+        |  CAST(SUM(CASE WHEN dev * dev * (nd - 1.0) >
         |        9.0 * nd * (nd * qd - sd * sd)
-        |      THEN 1 ELSE 0 END) AS n_anomalies
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_stream_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

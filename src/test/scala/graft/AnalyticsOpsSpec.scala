@@ -323,6 +323,43 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       "Decimal(38,0) buffers must stay hash-aggregable:\n" + plan.take(600))
   }
 
+  test("higher moments: a constant group has zero stddev and NULL " +
+    "skew/kurtosis (0/0 guard), non-constant neighbors unaffected") {
+    val events = Seq(("K", 3.0), ("K", 3.0), ("K", 3.0),
+      ("Y", 2.0), ("Y", 4.0)).toDF("event_type", "value")
+    val got = operators.AggQueries.momentsOn(events)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.isNullAt(4), r.isNullAt(5))).toList
+    assert(got == List(("K", 3L, 3.0, 0.0, true, true),
+      ("Y", 2L, 3.0, 1.0, false, false)), got.toString)
+  }
+
+  test("Welch: a group whose BOTH arms are constant is dropped (se=0 " +
+    "guard); one constant arm is kept") {
+    val obs = Seq(
+      // D: both arms constant → se = 0 → 0/0 t-stat → dropped
+      ("D", true, 5L), ("D", true, 5L), ("D", false, 9L), ("D", false, 9L),
+      // B: one constant arm → defined t from the other arm → kept
+      ("B", true, 10L), ("B", true, 10L), ("B", true, 10L), ("B", true, 10L),
+      ("B", false, 1L), ("B", false, 2L), ("B", false, 3L),
+    ).toDF("product", "early", "y")
+    val got = operators.AggQueries.welchOn(obs)
+      .collect().map(_.getString(0)).toList
+    assert(got == List("B"), got.toString)
+  }
+
+  test("global pct_rank: a single-row orders table scores 0.0, not NaN " +
+    "(n−1 = 0 guard)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pctrank_n1").toString
+    Seq((1L, 123.45)).toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = plans.GlobalRank.winGlobalPctRank(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .toList
+    assert(got == List((1L, 1L, 0.0)), got.toString)
+  }
+
   test("unigram perplexity: quantized micro-nat cross-entropy matches " +
     "an independent replication on a hand-countable corpus, and is " +
     "partition-invariant") {
@@ -682,6 +719,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // only sub→big survives: 8/8 = 1.0; big→sub is 8/18, half→big 4/10
     assert(single == List((2L, 1L, 8L, 1.0)), single.toString)
     assert(run(4) == single, "prefix filtering must be partition-invariant")
+  }
+
+  test("containment boundary: an exactly-at-threshold pair (4 of 5 " +
+    "shingles shared) survives the prefix filter even when A's minimum " +
+    "hash is the unshared shingle") {
+    // Constructed so doc A's 5 shingle hashes have their MINIMUM on the
+    // one shingle ("echo fox z1") absent from B: the old IEEE prefix
+    // length floor(5·(1.0−0.8))+1 = 1 probed only that hash and lost
+    // the pair; integer k = 5 − ⌈4·5/5⌉ + 1 = 2 reaches the shared
+    // region. B ⊂ A so B→A (containment 1.0) must appear either way.
+    val a = "alpha bravo carol delta echo fox z1"   // 5 shingles
+    val b = "alpha bravo carol delta echo fox"      // 4, all ⊂ A
+    val docs = Seq(10L -> a, 11L -> b).toDF("doc_id", "text")
+    val got = operators.DedupQueries.containmentOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList
+    assert(got == List((10L, 11L, 4L, 0.8), (11L, 10L, 4L, 1.0)),
+      got.toString)
   }
 
   test("global rank: the two-phase distributed rank equals a driver-" +

@@ -27,7 +27,7 @@ class CoreQueriesSpec extends AnyFunSuite {
   }
 
   test("testdata surface: every Tables reader loads its table with rows " +
-    "(incl. the nanos-parquet events path)") {
+    "(incl. the schema-adaptive events path)") {
     val readers: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       Seq("region" -> Tables.region, "nation" -> Tables.nation,
         "customer" -> Tables.customer, "supplier" -> Tables.supplier,

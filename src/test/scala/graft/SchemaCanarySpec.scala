@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Canary specs for the two schema boundaries the driver has moved
+  * under us twice (rounds 6-7): the testdata's `events.ts` physical
+  * parquet type, and the timestamp logical type the Verify dump
+  * writes. If either shifts again, ONE named test fails here instead
+  * of 27 queries going red in the round gate. */
+class SchemaCanarySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("testdata canary: Tables.events analyzes on every SF dir " +
+    "present and ts is session-tz TimestampType") {
+    val dirs = new java.io.File("/root/testdata").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("sf"))
+      .map(_.getAbsolutePath).sorted
+    assert(dirs.nonEmpty, "no testdata SF dirs found")
+    for (dir <- dirs) {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"$dir: ts is ${ev.schema("ts").dataType}")
+      // force analysis + one batch through the reader
+      assert(ev.limit(1).count() == 1L, s"$dir: events read no rows")
+    }
+  }
+
+  test("dump canary: a TimestampType column written through the " +
+    "Verify dump path reads back as TIMESTAMP_NTZ, not TIMESTAMPTZ") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dump_canary").toString
+    val df = Seq((1L, Timestamp.valueOf("2024-06-01 12:34:56")))
+      .toDF("id", "t")
+      .withColumn("t", col("t").cast(TimestampType))
+    Verify.dumpNtz(df).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/out")
+    // With outputTimestampType=TIMESTAMP_MICROS a raw TimestampType
+    // column would be stamped isAdjustedToUTC=true and read back as
+    // TimestampType (TIMESTAMPTZ to DuckDB) — the round-6/7 schema
+    // regression. The dump boundary must neutralize it to NTZ.
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.schema("t").dataType == TimestampNTZType,
+      s"dump wrote ${back.schema("t").dataType}")
+    assert(back.head.getAs[java.time.LocalDateTime]("t") ==
+      java.time.LocalDateTime.of(2024, 6, 1, 12, 34, 56))
+  }
+}

@@ -10,6 +10,7 @@ canonicalizes both sides (columns sorted by name, rows sorted), and
 compares cell-by-cell. Floats are compared exactly first; if not exact,
 reports the max abs diff so precision hedges can be tuned.
 """
+import datetime
 import json, math, sys, glob, os
 import duckdb
 import pandas as pd
@@ -17,6 +18,31 @@ import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class for the STRICT schema gate, mirroring the
+    driver's compare: a tz-aware timestamp vs a naive one is a schema
+    FAIL (this is exactly how the round-6/7 dump-ts regressions slipped
+    past the old, lenient version of this tool), as is int vs float
+    (DuckDB HUGEINT/float oracle vs Spark BIGINT)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "ts-aware" if getattr(s.dtype, "tz", None) is not None else "ts-naive"
+    if s.dtype == object:
+        v = s.dropna()
+        if len(v) and isinstance(v.iloc[0], datetime.date) \
+                and not isinstance(v.iloc[0], datetime.datetime):
+            # parquet DATE reads as python date objects; the driver
+            # compares DATE vs naive-TIMESTAMP as equal (srt_multikey
+            # r06: all-true with a DATE dump vs timestamp oracle)
+            return "ts-naive"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "other"
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -31,12 +57,26 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 pass
             df[c] = s.astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            if dtype_class(df[c]) == "ts-naive":
+                # python date objects → naive midnight timestamps, so
+                # DATE-vs-TIMESTAMP value compare matches the driver
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            else:
+                df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     return df.sort_values(by=list(df.columns), key=lambda s: s.map(str)) \
              .reset_index(drop=True)
 
 
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame):
+    # STRICT dtype-class gate BEFORE the value-normalizing canon: the
+    # driver fails schema on naive-vs-aware and int-vs-float even when
+    # every value matches, so this tool must too.
+    sa = {c: dtype_class(spark_df[c]) for c in sorted(spark_df.columns)}
+    sb = {c: dtype_class(oracle_df[c]) for c in sorted(oracle_df.columns)}
+    if set(sa) == set(sb):
+        bad = {c: (sa[c], sb[c]) for c in sa if sa[c] != sb[c]}
+        if bad:
+            return f"SCHEMA dtype-class mismatch (spark,oracle): {bad}"
     a, b = canon(spark_df), canon(oracle_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA mismatch: spark={list(a.columns)} oracle={list(b.columns)}"
