@@ -25,18 +25,31 @@ object RecallProbe {
       df.select("query_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = pairs(operators.SimilarityQueries.simKnnBrute(spark, dir))
-    for ((sb, nt) <- Seq((4, 8), (4, 12), (4, 16), (3, 12), (3, 16), (5, 24))) {
+    val lsh = for ((sb, nt) <- Seq((4, 8), (4, 12), (4, 16), (3, 12),
+        (3, 16), (5, 24))) yield {
       val r = (brute & pairs(
         operators.SimilarityQueries.simKnnLshWith(spark, dir, sb, nt))).size
         .toDouble / brute.size
       println(f"[probe] LSH sigBits=$sb numTables=$nt recall=$r%.3f")
+      (s"lsh_sig${sb}_t$nt", r)
     }
-    for (np <- Seq(1, 2, 3, 4, 5, 6, 7, 8)) {
+    val ivf = for (np <- Seq(1, 2, 3, 4, 5, 6, 7, 8)) yield {
       val r = (brute & pairs(
         operators.SimilarityQueries.simKnnIvfWith(spark, dir, np))).size
         .toDouble / brute.size
       println(f"[probe] IVF nProbe=$np recall=$r%.3f")
+      (s"ivf_probe$np", r)
     }
+    // Per-round artifact: recall@10 against the brute-force baseline,
+    // so ANN retrieval-quality regressions are diffable from history
+    // (the bench only times the queries; it cannot see recall decay).
+    val json = (Seq("\"sf_dir\": \"" + dir + "\"",
+      f""""brute_pairs": ${brute.size}""") ++
+      (lsh ++ ivf).map { case (k, v) => f""""$k": $v%.4f""" })
+      .mkString("{", ", ", "}\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("RECALL.json"), json)
+    println(s"[probe] wrote RECALL.json (${lsh.size + ivf.size} points)")
     spark.stop()
   }
 }

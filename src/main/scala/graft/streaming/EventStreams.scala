@@ -392,6 +392,72 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class FunnelEvent(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp, event_id: Long)
+  case class FunnelState(view: Long, click: Long, purchase: Long)
+  case class FunnelUser(user_id: Long, t_view: Option[java.sql.Timestamp],
+      t_click: Option[java.sql.Timestamp],
+      t_purchase: Option[java.sql.Timestamp])
+
+  /** Incremental per-user funnel — the stateful dual of [[evtFunnel]]'s
+    * chained-min windows (same strict-order rule: first view, first
+    * click strictly after it, first purchase strictly after that).
+    * State is three longs per user; each invocation emits the user's
+    * current stage times (monotone: a stage is set at most once and
+    * never changes), so a sink can take max-per-user to read the
+    * latest funnel position.
+    *
+    * Exactness: in batch mode the group is complete, events replay in
+    * (ts, event_id) order, and the result EQUALS the window-function
+    * form (spec-asserted). On a stream it is exact when each user's
+    * events arrive in event-time order across micro-batches; a
+    * cross-batch late view cannot retroactively re-qualify an
+    * already-skipped click (that would need unbounded candidate
+    * retention — documented trade, same as every O(1)-state funnel).
+    *
+    * Scale: one hash shuffle on user_id, O(1) state per user — the
+    * shape that serves a live 100 TB event stream where the batch
+    * window form would re-sort the full log per run. */
+  def funnelStateful(events: DataFrame)
+      : org.apache.spark.sql.Dataset[FunnelUser] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val Unset = Long.MaxValue
+    def toUs(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def fromUs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    def fn(userId: Long, evs: Iterator[FunnelEvent],
+        state: GroupState[FunnelState]): Iterator[FunnelUser] = {
+      var st = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
+      // deterministic replay order within the group: (ts, event_id)
+      evs.toArray.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
+        val t = toUs(e.ts)
+        e.event_type match {
+          case "view" if st.view == Unset => st = st.copy(view = t)
+          case "click" if st.click == Unset && st.view != Unset &&
+              t > st.view => st = st.copy(click = t)
+          case "purchase" if st.purchase == Unset && st.click != Unset &&
+              t > st.click => st = st.copy(purchase = t)
+          case _ =>
+        }
+      }
+      state.update(st)
+      def o(us: Long) = if (us == Unset) None else Some(fromUs(us))
+      Iterator.single(
+        FunnelUser(userId, o(st.view), o(st.click), o(st.purchase)))
+    }
+    events.select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** JSON property extraction from the events `props` column
     * (semi-structured payload parsing — `get_json_object` per row,
     * grouped stats per extracted key bucket).

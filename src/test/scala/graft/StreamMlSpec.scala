@@ -508,6 +508,69 @@ class StreamMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful funnel ≡ batch funnel on the sf fixture (batch mode: " +
+    "complete groups, ordered replay)") {
+    import org.apache.spark.sql.functions._
+    val su = streaming.EventStreams.funnelStateful(
+      Tables.events(spark, sf)
+        .select("user_id", "event_type", "ts", "event_id"))
+      .toDF()
+      .agg(count(lit(1)).as("n_users"), count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"))
+      .head()
+    val batch = streaming.EventStreams.evtFunnel(spark, sf).head()
+    assert((0 to 3).forall(i => su.getLong(i) == batch.getLong(i)),
+      s"stateful $su vs batch $batch")
+  }
+
+  test("streaming stateful funnel: state persists across micro-batches, " +
+    "out-of-order stages inside a batch are rejected, and the drained " +
+    "result equals the batch funnel on the union input") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-02-01 $h%02d:$m%02d:00")
+    // user 1: click BEFORE first view (batch 1) must never qualify; a
+    //   purchase BEFORE the qualifying click (batch 2) must not either
+    // user 2: clean view→click→purchase split across the two batches
+    // user 3: click with no view ever — stays at stage 0
+    val b1 = Seq((1L, "click", ts(9, 0), 1L), (1L, "view", ts(10, 0), 2L),
+      (2L, "view", ts(11, 0), 3L))
+    val b2 = Seq((1L, "purchase", ts(10, 15), 4L),
+      (1L, "click", ts(10, 30), 5L),
+      (2L, "click", ts(11, 5), 6L), (2L, "purchase", ts(11, 10), 7L),
+      (3L, "click", ts(12, 0), 8L))
+    val src = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val q = streaming.EventStreams.funnelStateful(
+        src.toDF.toDF("user_id", "event_type", "ts", "event_id"))
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode("append").start()
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      // stage columns are monotone (set once, never change): max-per-
+      // user over the appended rows reads the latest funnel position
+      val streamed = spark.table("funnel_sink")
+        .groupBy("user_id")
+        .agg(max("t_view").as("t_view"), max("t_click").as("t_click"),
+          max("t_purchase").as("t_purchase"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getTimestamp(3))).toSet
+      assert(streamed == Set(
+        (1L, ts(10, 0), ts(10, 30), null),
+        (2L, ts(11, 0), ts(11, 5), ts(11, 10)),
+        (3L, null, null, null)), streamed.toString)
+      // and the collapsed counts equal the batch window-function form
+      val batch = streaming.EventStreams.funnelOn(
+        (b1 ++ b2).toDF("user_id", "event_type", "ts", "event_id")).head()
+      assert((batch.getLong(0), batch.getLong(1), batch.getLong(2),
+        batch.getLong(3)) == ((3L, 2L, 2L, 1L)), batch.toString)
+    } finally q.stop()
+  }
+
   test("forecast: grid-searched model trains, persists, reloads, predicts " +
     "identically (sf0.001)") {
     val (model, scored) = ml.Forecast.trainBest(spark, sf)
