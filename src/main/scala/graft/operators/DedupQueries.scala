@@ -32,6 +32,33 @@ object DedupQueries {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("text_hash"))
 
+  /** Duplication-rate profile — the corpus-QA readout every training-
+    * data pipeline runs BEFORE deciding how aggressively to dedup: the
+    * histogram of exact-duplicate cluster sizes, with per-size doc and
+    * redundant-copy counts (n_redundant summed over rows = docs a
+    * keep-one-per-cluster pass would drop; n_docs summed = corpus
+    * size — both auditable from the one result).
+    *
+    * Scale: two chained hash aggregates — the first shuffles 16-byte
+    * md5 digests (never text), the second shuffles the ≤thousands-key
+    * cluster-size domain; both partial-aggregate map-side. */
+  val profDupStats: Q = (spark, dir) =>
+    dupStatsOn(Tables.documents(spark, dir))
+
+  /** [[profDupStats]] over an explicit (doc_id, text) frame — the spec
+    * plants known cluster sizes and asserts the histogram identities. */
+  private[graft] def dupStatsOn(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - lit(1L)) * col("n_clusters"))
+          .as("n_redundant"))
+      .orderBy(col("cluster_size"))
+
   /** Incremental-ingest exact dedup — the DAILY shape of [[dedupExact]]:
     * an incoming batch (every 5th doc_id, a deterministic 20% "new
     * crawl") is deduplicated in-batch (min-doc_id keeper per digest)
@@ -546,6 +573,7 @@ object DedupQueries {
     "dedup_components"    -> dedupComponents,
     "dedup_entity_block"  -> dedupEntityBlock,
     "pipe_corpus_clean"   -> pipeCorpusClean,
+    "prof_dup_stats"      -> profDupStats,
   )
 
   private val SH =
@@ -647,6 +675,14 @@ object DedupQueries {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "prof_dup_stats" ->
+      """WITH c AS (
+        |  SELECT md5(text) AS h, count(*) AS sz
+        |  FROM documents GROUP BY 1)
+        |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+        |  CAST((sz - 1) * count(*) AS BIGINT) AS n_redundant
+        |FROM c GROUP BY sz ORDER BY sz""".stripMargin,
     "dedup_incremental" ->
       """WITH d AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
         |inc AS (

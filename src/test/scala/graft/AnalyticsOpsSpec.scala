@@ -739,6 +739,30 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       got.toString)
   }
 
+  test("duplication profile: planted cluster sizes produce the exact " +
+    "histogram, its identities hold, and the result is partition-" +
+    "invariant") {
+    // clusters: "aaa"×3, "bbb"×2, "ccc"×1, "ddd"×1 →
+    //   size 1: 2 clusters/2 docs/0 redundant
+    //   size 2: 1 cluster /2 docs/1 redundant
+    //   size 3: 1 cluster /3 docs/2 redundant
+    val docs = Seq(1L -> "aaa", 2L -> "aaa", 3L -> "aaa",
+      4L -> "bbb", 5L -> "bbb", 6L -> "ccc", 7L -> "ddd")
+      .toDF("doc_id", "text")
+    def run(nPart: Int) = operators.DedupQueries.dupStatsOn(
+      docs.repartition(nPart))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    val single = run(1)
+    assert(single == List((1L, 2L, 2L, 0L), (2L, 1L, 2L, 1L),
+      (3L, 1L, 3L, 2L)), single.toString)
+    assert(run(4) == single)
+    // identities: Σn_docs = corpus size, Σn_redundant = drop count of
+    // a keep-one-per-cluster pass
+    assert(single.map(_._3).sum == 7L)
+    assert(single.map(_._4).sum == 3L)
+  }
+
   test("global rank: the two-phase distributed rank equals a driver-" +
     "side sort at every partitioning, and no data-sized unpartitioned " +
     "window exists in the plan") {

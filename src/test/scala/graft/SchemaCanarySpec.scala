@@ -30,6 +30,24 @@ class SchemaCanarySpec extends AnyFunSuite {
     }
   }
 
+  test("testdata canary: EVERY table reader analyzes and returns a row " +
+    "on every SF dir present (full-surface drift alarm)") {
+    val dirs = new java.io.File("/root/testdata").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("sf"))
+      .map(_.getAbsolutePath).sorted
+    val readers: Seq[(String,
+        (org.apache.spark.sql.SparkSession, String)
+          => org.apache.spark.sql.DataFrame)] =
+      Seq("region" -> Tables.region, "nation" -> Tables.nation,
+        "customer" -> Tables.customer, "supplier" -> Tables.supplier,
+        "part" -> Tables.part, "orders" -> Tables.orders,
+        "lineitem" -> Tables.lineitem, "events" -> Tables.events,
+        "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
+    for (dir <- dirs; (name, rd) <- readers)
+      assert(rd(spark, dir).limit(1).count() == 1L,
+        s"$dir/$name: reader analyzed but returned no rows")
+  }
+
   test("dump canary: a TimestampType column written through the " +
     "Verify dump path reads back as TIMESTAMP_NTZ, not TIMESTAMPTZ") {
     val dir = java.nio.file.Files
