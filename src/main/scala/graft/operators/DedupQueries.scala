@@ -573,8 +573,54 @@ object DedupQueries {
     "dedup_components"    -> dedupComponents,
     "dedup_entity_block"  -> dedupEntityBlock,
     "pipe_corpus_clean"   -> pipeCorpusClean,
+    "pipe_dedup_keep_best" -> pipeDedupKeepBest,
     "prof_dup_stats"      -> profDupStats,
   )
+
+  /** `pipe_dedup_keep_best`: near-dup collapse that keeps the BEST
+    * member of each duplicate cluster, not the smallest id — what a
+    * production corpus pipeline actually ships (the min-id keeper of
+    * [[dedupComponents]] can select the worst copy of a boilerplate
+    * cluster). Cluster = the doc's Jaccard connected component
+    * (singletons cluster with themselves); keeper = highest
+    * quality score, ties broken by smallest doc_id.
+    *
+    * Scale: the argmax rides ONE extra shuffle on cluster_id as a
+    * plain `max(long)` — quality (≤1e6 micro-units) and doc_id pack
+    * into one 63-bit key (doc_id bounded by 2^42 ≈ 4.4e12; quality
+    * occupies the high bits, the INVERTED doc_id the low bits so max
+    * = (max quality, min id)), keeping the aggregate in HashAggregate
+    * — a struct-ordered max_by demotes to SortAggregate (the OHLC
+    * lesson, BENCH_NOTES round 6). Component derivation dominates,
+    * as in [[pipeCorpusClean]]. */
+  val pipeDedupKeepBest: Q = (spark, dir) => {
+    val t = tokens(col("text"))
+    val q = Tables.documents(spark, dir).select(col("doc_id"),
+      floor(TextQueries.qualityScoreCol(col("text"), t) * lit(1000000.0)
+        + lit(0.5)).cast("long").as("qmicro"))
+    keepBestOn(q, dedupComponents(spark, dir))
+  }
+
+  /** [[pipeDedupKeepBest]] over explicit (doc_id, qmicro) and
+    * (doc_id, component_id) frames — the spec plants tie-breaks,
+    * singletons, and a worst-id-is-best cluster. */
+  private[graft] def keepBestOn(quality: DataFrame,
+      comp: DataFrame): DataFrame = {
+    val P = 1L << 42
+    quality.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("component_id"), col("doc_id")))
+      .withColumn("k",
+        col("qmicro") * lit(P) + (lit(P - 1L) - col("doc_id")))
+      .groupBy(col("cluster_id"))
+      .agg(max(col("k")).as("k"), count(lit(1)).as("n_members"))
+      .select(col("cluster_id"),
+        (lit(P - 1L) - expr(s"k % $P")).as("keeper_id"),
+        (expr(s"k div $P").cast("double") / lit(1000000.0))
+          .as("best_quality"),
+        col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
 
   private val SH =
     """list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -757,6 +803,39 @@ object DedupQueries {
            |UNION ALL SELECT 'd_lang', count(*) FROM lang_keep
            |UNION ALL SELECT 'e_quality', count(*) FROM qual_keep
            |ORDER BY 1""".stripMargin
+    },
+    "pipe_dedup_keep_best" -> {
+      import graft.functions.TextFunctions._
+      componentsPrefixSql +
+        s""",
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+           |reach AS (
+           |  SELECT doc, doc AS r FROM nodes
+           |  UNION
+           |  SELECT e.b AS doc, reach.r FROM reach JOIN edges e ON e.a = reach.doc),
+           |comp AS (SELECT doc AS doc_id, min(r) AS component_id FROM reach GROUP BY 1),
+           |qual AS (
+           |  SELECT doc_id,
+           |    floor((least(CAST(len(${TextQueries.T}) AS DOUBLE) / 100.0, 1.0) * 0.4
+           |          + CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.4
+           |          + least(CAST(${TextQueries.sw(EN_STOP)} AS DOUBLE) / len(${TextQueries.T}) * 5.0, 1.0) * 0.2)
+           |          * 1000000.0 + 0.5) / 1000000.0 AS quality_score
+           |  FROM documents),
+           |m AS (
+           |  SELECT q.doc_id, coalesce(c.component_id, q.doc_id) AS cluster_id,
+           |    q.quality_score
+           |  FROM qual q LEFT JOIN comp c ON q.doc_id = c.doc_id),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+           |    ORDER BY quality_score DESC, doc_id) AS rk FROM m),
+           |n AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+           |      FROM m GROUP BY 1)
+           |SELECT r.cluster_id, r.doc_id AS keeper_id,
+           |  r.quality_score AS best_quality, n.n_members
+           |FROM r JOIN n USING (cluster_id)
+           |WHERE rk = 1 ORDER BY cluster_id""".stripMargin
     },
     // dedup_minhash_lsh / dedup_simhash: fully oracled since round 4 —
     // the replayable md5 shingle hashes let DuckDB rebuild signatures,

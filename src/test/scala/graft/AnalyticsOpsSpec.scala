@@ -763,6 +763,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(single.map(_._4).sum == 3L)
   }
 
+  test("keep-best dedup: the keeper is the highest-quality cluster " +
+    "member (NOT the min id), ties break to the smallest id, " +
+    "singletons keep themselves, and the packed argmax stays in " +
+    "HashAggregate") {
+    val quality = Seq((1L, 900000L), (2L, 910000L), (3L, 950000L),
+      (4L, 800000L), (5L, 800000L), (10L, 555555L))
+      .toDF("doc_id", "qmicro")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "component_id")
+    def run(nPart: Int) = operators.DedupQueries.keepBestOn(
+      quality.repartition(nPart), comp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toList
+    val single = run(1)
+    assert(single == List(
+      (1L, 3L, 0.95, 3L),      // best member wins over min id
+      (4L, 4L, 0.8, 2L),       // quality tie → smallest doc_id
+      (10L, 10L, 0.555555, 1L) // singleton keeps itself
+    ), single.toString)
+    assert(run(4) == single)
+    val plan = operators.DedupQueries.keepBestOn(quality, comp)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      "packed-long argmax must stay hash-aggregable:\n" + plan.take(600))
+  }
+
   test("global rank: the two-phase distributed rank equals a driver-" +
     "side sort at every partitioning, and no data-sized unpartitioned " +
     "window exists in the plan") {
