@@ -211,22 +211,71 @@ object AggQueries {
   }
 
   val aggStatsCv: Q = (spark, dir) =>
-    CoreQueries.dailyBase(spark, dir)
+    statsCvOn(CoreQueries.dailyBase(spark, dir))
+
+  /** [[aggStatsCv]] over an explicit (product, total_quantity) frame.
+    * Degenerate-group guard: under ANSI mode Spark's built-in
+    * `stddev_samp` THROWS DIVIDE_BY_ZERO on a single-row group (DuckDB
+    * returns NULL), so the sample stddev is computed from exact integer
+    * power sums with the n>1 branch explicit — NULL for n=1 like the
+    * oracle, and partition-invariant (the Welford built-in is
+    * accumulation-order-sensitive in the last ulp; round6 absorbed it,
+    * exact sums don't need absorbing). NULL std propagates to cv in
+    * both engines. */
+  private[graft] def statsCvOn(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val yd = col("total_quantity").cast(dec)
+    val nd = col("n").cast(dec)
+    val varSamp = ((nd * col("q") - col("s") * col("s")).cast("double")
+      / (nd * (nd - lit(1).cast(dec))).cast("double"))
+    daily
       .groupBy(col("product"))
-      .agg(
-        Tables.round6(stddev_samp(col("total_quantity"))).as("std_quantity"),
-        (sum(col("total_quantity")) / count(lit(1))).as("mean_quantity"))
+      .agg(count(lit(1)).as("n"), sum(yd).as("s"), sum(yd * yd).as("q"))
+      .select(col("product"),
+        when(col("n") > lit(1L), Tables.round6(sqrt(varSamp)))
+          .as("std_quantity"),
+        (col("s").cast("double") / col("n").cast("double"))
+          .as("mean_quantity"))
       .withColumn("cv", Tables.round6(col("std_quantity") / col("mean_quantity")))
       .orderBy(col("product"))
+  }
 
   /** §2.D `agg_corr_group` (EDA.ipynb:450 (cell 10)): per-group Pearson
     * correlation — built-in `corr` aggregate, no UDAF (SURVEY.md §2.K). */
   val aggCorrGroup: Q = (spark, dir) =>
-    Tables.lineitem(spark, dir)
+    corrGroupOn(Tables.lineitem(spark, dir))
+
+  /** [[aggCorrGroup]] over an explicit (l_returnflag, l_quantity,
+    * l_extendedprice) frame. Degenerate-group guard: under ANSI mode
+    * Spark's built-in `corr` THROWS DIVIDE_BY_ZERO on a zero-variance
+    * or single-row group (DuckDB returns NULL), so Pearson r is
+    * computed from exact integer-cents power sums — the
+    * [[profCorrMatrix]] pattern — with the vx>0 ∧ vy>0 branch
+    * explicit: NULL for degenerate groups like the oracle,
+    * partition-invariant sums, round6 absorbing the last-ulp
+    * difference vs DuckDB's Welford corr (cent scaling cancels in r). */
+  private[graft] def corrGroupOn(li: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def c(name: String) = Tables.cents(col(name)).cast("long").cast(dec)
+    val nd = col("n").cast(dec)
+    val cov = (nd * col("pq") - col("sq") * col("sp")).cast("double")
+    val vx  = (nd * col("qq") - col("sq") * col("sq")).cast("double")
+    val vy  = (nd * col("pp") - col("sp") * col("sp")).cast("double")
+    li
       .groupBy(col("l_returnflag"))
-      .agg(Tables.round6(corr(col("l_quantity"), col("l_extendedprice")))
-        .as("corr_qty_price"))
+      .agg(count(lit(1)).as("n"),
+        sum(c("l_quantity")).as("sq"), sum(c("l_extendedprice")).as("sp"),
+        sum(c("l_quantity") * c("l_quantity")).as("qq"),
+        sum(c("l_extendedprice") * c("l_extendedprice")).as("pp"),
+        sum(c("l_quantity") * c("l_extendedprice")).as("pq"))
+      .select(col("l_returnflag"),
+        when(vx > lit(0.0) && vy > lit(0.0),
+          Tables.round6(cov / (sqrt(vx) * sqrt(vy))))
+          .as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** §2.D `agg_mode` (dashboard.py:601-603): most frequent value per
     * group with the reference's deterministic tie-break (pandas mode

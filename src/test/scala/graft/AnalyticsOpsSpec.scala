@@ -763,6 +763,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(single.map(_._4).sum == 3L)
   }
 
+  test("built-in NaN guards: corr of a constant/single-row group and " +
+    "stddev of a single-row group are NULL (DuckDB semantics), not NaN") {
+    val li = Seq(("A", 1.0, 10.0), ("A", 2.0, 20.0), ("A", 3.0, 30.0),
+      ("B", 5.0, 7.0), ("B", 5.0, 9.0),   // zero variance in x
+      ("C", 4.0, 4.0))                     // single row
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val corr = operators.AggQueries.corrGroupOn(li)
+      .collect().map(r => (r.getString(0), r.isNullAt(1),
+        if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toList
+    assert(corr == List(("A", false, 1.0), ("B", true, 0.0),
+      ("C", true, 0.0)), corr.toString)
+    val daily = Seq(("P", 2L), ("P", 4L), ("Q", 9L))
+      .toDF("product", "total_quantity")
+    val cv = operators.AggQueries.statsCvOn(daily)
+      .collect().map(r => (r.getString(0), r.isNullAt(1), r.isNullAt(3)))
+      .toList
+    assert(cv == List(("P", false, false), ("Q", true, true)),
+      cv.toString)
+  }
+
   test("keep-best dedup: the keeper is the highest-quality cluster " +
     "member (NOT the min id), ties break to the smallest id, " +
     "singletons keep themselves, and the packed argmax stays in " +
