@@ -364,8 +364,40 @@ object PipelineOps {
       .orderBy(col("phase"), col("ord"), col("doc_id"))
   }
 
+  /** `pipe_shard_manifest`: the WRITE-PLANNING step of a corpus
+    * export — assign every doc to one of [[NumShards]] shards by
+    * CONTENT hash (replayable md5 prefix, so the layout is stable
+    * across runs and engines, and hot row-count skew can't form the
+    * way an id-range split allows) and emit the per-shard manifest:
+    * doc count, character volume, id range. A 100 TB export reads
+    * this ≤NumShards-row table to size its writers before moving a
+    * byte of text.
+    *
+    * Scale: one scan projecting (16-byte hash prefix, length) — text
+    * itself never shuffles — into a NumShards-key hash aggregate. */
+  val NumShards = 8
+  val pipeShardManifest: Q = (spark, dir) =>
+    shardManifestOn(Tables.documents(spark, dir))
+
+  /** [[pipeShardManifest]] over an explicit (doc_id, text) frame —
+    * the spec asserts the partition identities (Σn_docs = corpus,
+    * shard assignment deterministic). */
+  private[graft] def shardManifestOn(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        pmod(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"),
+          lit(NumShards.toLong)).as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("shard_id"))
+
   def queries: Map[String, Q] = Map(
     "pipe_curriculum"     -> pipeCurriculum,
+    "pipe_shard_manifest" -> pipeShardManifest,
     "smp_split_leakfree"  -> smpSplitLeakfree,
     "smp_stratified"      -> smpStratified,
     "smp_temperature"     -> smpTemperature,
@@ -380,6 +412,15 @@ object PipelineOps {
   private val T = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   def oracles: Map[String, String] = Map(
+    "pipe_shard_manifest" ->
+      """WITH s AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 8 AS shard_id
+        |  FROM documents)
+        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipe_curriculum" ->
       s"""WITH q AS (
          |  SELECT doc_id, md5(text) AS h,

@@ -763,6 +763,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(single.map(_._4).sum == 3L)
   }
 
+  test("shard manifest: every doc lands in exactly one shard, the " +
+    "manifest identities hold, and assignment is content-deterministic " +
+    "across partitionings") {
+    val docs = (1L to 40L).map(i => i -> s"document number $i content")
+      .toDF("doc_id", "text")
+    def run(nPart: Int) = operators.PipelineOps.shardManifestOn(
+      docs.repartition(nPart))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    val single = run(1)
+    assert(single.map(_._2).sum == 40L, s"docs must partition: $single")
+    assert(single.forall(s => s._1 >= 0 && s._1 < 8), single.toString)
+    assert(single.forall(s => s._4 >= 1L && s._5 <= 40L), single.toString)
+    assert(run(5) == single, "content-hash sharding must not depend on " +
+      "input partitioning")
+    // identical content → identical shard, regardless of doc_id
+    val twin = Seq(900L -> "document number 7 content")
+      .toDF("doc_id", "text")
+    val shardOf7 = operators.PipelineOps.shardManifestOn(
+      docs.where(col("doc_id") === 7L)).collect()(0).getLong(0)
+    val shardOfTwin = operators.PipelineOps.shardManifestOn(twin)
+      .collect()(0).getLong(0)
+    assert(shardOf7 == shardOfTwin)
+  }
+
   test("built-in NaN guards: corr of a constant/single-row group and " +
     "stddev of a single-row group are NULL (DuckDB semantics), not NaN") {
     val li = Seq(("A", 1.0, 10.0), ("A", 2.0, 20.0), ("A", 3.0, 30.0),
