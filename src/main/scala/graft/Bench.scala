@@ -33,10 +33,12 @@ object Bench {
     GraftConf(spark)
     // experiment hook, same contract as Verify: k=v session-conf
     // overrides for ablations; unset for driver runs
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
-    })
+    // a set-but-empty var (or trailing comma) is a no-op, not a crash
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',')
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     // JIT/codegen warmup so the first measured query doesn't absorb
     // JVM startup; queries run in sorted name order so per-query
     // numbers are comparable across rounds (Map order shifts when
