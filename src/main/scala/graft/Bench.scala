@@ -27,18 +27,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the NTZ→LTZ events path interprets naive stamps in the SESSION
+      // timezone: without pinning UTC, a non-UTC host would make the
+      // bench time a subtly different workload (shifted event instants,
+      // different sessionization groups) than the UTC Verify gate
+      // certified
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftConf(spark)
-    // experiment hook, same contract as Verify: k=v session-conf
-    // overrides for ablations; unset for driver runs
-    // a set-but-empty var (or trailing comma) is a no-op, not a crash
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',')
-      .filter(_.contains("=")).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      })
+    GraftConf.applyEnvOverrides(spark)
     // JIT/codegen warmup so the first measured query doesn't absorb
     // JVM startup; queries run in sorted name order so per-query
     // numbers are comparable across rounds (Map order shifts when

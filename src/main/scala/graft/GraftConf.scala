@@ -46,4 +46,21 @@ object GraftConf {
     functions.VectorExpressions.register(spark)
     spark
   }
+
+  /** Experiment hook shared by the Verify and Bench mains:
+    * `SPARK_GRAFT_CONF` is a comma-separated list of `k=v` session-conf
+    * overrides (e.g. `spark.sql.adaptive.enabled=false` for an AQE-off
+    * invariance audit); unset for driver runs. Blank segments (a
+    * set-but-empty var, a trailing comma) are no-ops; a NON-blank
+    * segment without `=` is a typo'd ablation and fails LOUDLY — a
+    * silently-dropped override would record baseline numbers labeled
+    * as the ablation. */
+  def applyEnvOverrides(spark: SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',')
+      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        require(kv.contains("="),
+          s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
 }

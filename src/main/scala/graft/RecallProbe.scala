@@ -25,6 +25,10 @@ object RecallProbe {
       df.select("query_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = pairs(operators.SimilarityQueries.simKnnBrute(spark, dir))
+    // fail LOUDLY on an empty baseline: 0/0 recalls would serialize as
+    // bare NaN tokens — invalid JSON, breaking the per-round diff
+    require(brute.nonEmpty, s"brute-force baseline returned 0 pairs on " +
+      s"$dir — RECALL.json would be NaN-invalid")
     val lsh = for ((sb, nt) <- Seq((4, 8), (4, 12), (4, 16), (3, 12),
         (3, 16), (5, 24))) yield {
       val r = (brute & pairs(

@@ -65,6 +65,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
+  /** Every table reader, by name — the ONE list the schema canaries and
+    * surface specs iterate, so adding a table here automatically
+    * extends their coverage (two hand-maintained copies drifted apart
+    * once; never again). */
+  val allReaders: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq("region" -> region _, "nation" -> nation _,
+      "customer" -> customer _, "supplier" -> supplier _,
+      "part" -> part _, "orders" -> orders _,
+      "lineitem" -> lineitem _, "events" -> events _,
+      "documents" -> documents _, "embeddings" -> embeddings _)
+
   /** Money determinism (the reference's Decimal128-then-float rule,
     * SURVEY.md §1.3, §2.J.5; df.ipynb:91 (cell 5)): a double sum is
     * add-order-dependent, so aggregate money as exact integer cents —

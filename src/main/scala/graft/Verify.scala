@@ -34,15 +34,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftConf(spark)
-    // experiment hook: comma-separated k=v session-conf overrides
-    // (e.g. SPARK_GRAFT_CONF=spark.sql.adaptive.enabled=false for an
-    // AQE-off invariance audit); unset for driver runs
-    // a set-but-empty var (or trailing comma) is a no-op, not a crash
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',')
-      .filter(_.contains("=")).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      })
+    GraftConf.applyEnvOverrides(spark)
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (same contract as Bench): unset for driver
     // runs, so the driver always dumps the full query surface

@@ -610,8 +610,18 @@ object DedupQueries {
     quality.join(comp, Seq("doc_id"), "left")
       .withColumn("cluster_id",
         coalesce(col("component_id"), col("doc_id")))
+      // the pack is only an argmax if doc_id < 2^42 and qmicro ≤ 1e6 —
+      // guard per row (one codegen'd branch, trivial next to the md5
+      // upstream) so an out-of-range id or a future >1.0 quality fails
+      // LOUDLY instead of silently electing a wrong keeper
       .withColumn("k",
-        col("qmicro") * lit(P) + (lit(P - 1L) - col("doc_id")))
+        when(col("doc_id").between(0L, P - 1L) &&
+            col("qmicro").between(0L, 1000000L),
+          col("qmicro") * lit(P) + (lit(P - 1L) - col("doc_id")))
+        .otherwise(raise_error(concat(
+          lit("keepBestOn pack bounds violated: doc_id="),
+          col("doc_id").cast("string"),
+          lit(" qmicro="), col("qmicro").cast("string"))).cast("long")))
       .groupBy(col("cluster_id"))
       .agg(max(col("k")).as("k"), count(lit(1)).as("n_members"))
       .select(col("cluster_id"),
@@ -758,16 +768,8 @@ object DedupQueries {
     "dedup_components" -> componentsOracleSql,
     "pipe_corpus_clean" -> {
       import graft.functions.TextFunctions._
-      componentsPrefixSql +
+      componentsCompSql +
         s""",
-           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-           |nodes AS (SELECT DISTINCT a AS doc FROM edges),
-           |reach AS (
-           |  SELECT doc, doc AS r FROM nodes
-           |  UNION
-           |  SELECT e.b AS doc, reach.r FROM reach JOIN edges e ON e.a = reach.doc),
-           |comp AS (SELECT doc AS doc_id, min(r) AS component_id FROM reach GROUP BY 1),
            |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
            |near_keep AS (
            |  SELECT k.doc_id FROM exact_keep k LEFT JOIN comp c ON k.doc_id = c.doc_id
@@ -787,13 +789,7 @@ object DedupQueries {
            |    WHEN s_fr >= s_zh THEN 'fr'
            |    ELSE 'zh' END AS predicted_lang) p
            |  WHERE p.predicted_lang = s.lang),
-           |qual AS (
-           |  SELECT doc_id,
-           |    floor((least(CAST(len(${TextQueries.T}) AS DOUBLE) / 100.0, 1.0) * 0.4
-           |          + CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.4
-           |          + least(CAST(${TextQueries.sw(EN_STOP)} AS DOUBLE) / len(${TextQueries.T}) * 5.0, 1.0) * 0.2)
-           |          * 1000000.0 + 0.5) / 1000000.0 AS quality_score
-           |  FROM documents),
+           |$qualCteSql,
            |qual_keep AS (
            |  SELECT l.doc_id FROM lang_keep l JOIN qual q USING (doc_id)
            |  WHERE q.quality_score >= 0.5)
@@ -804,25 +800,10 @@ object DedupQueries {
            |UNION ALL SELECT 'e_quality', count(*) FROM qual_keep
            |ORDER BY 1""".stripMargin
     },
-    "pipe_dedup_keep_best" -> {
-      import graft.functions.TextFunctions._
-      componentsPrefixSql +
+    "pipe_dedup_keep_best" ->
+      (componentsCompSql +
         s""",
-           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-           |nodes AS (SELECT DISTINCT a AS doc FROM edges),
-           |reach AS (
-           |  SELECT doc, doc AS r FROM nodes
-           |  UNION
-           |  SELECT e.b AS doc, reach.r FROM reach JOIN edges e ON e.a = reach.doc),
-           |comp AS (SELECT doc AS doc_id, min(r) AS component_id FROM reach GROUP BY 1),
-           |qual AS (
-           |  SELECT doc_id,
-           |    floor((least(CAST(len(${TextQueries.T}) AS DOUBLE) / 100.0, 1.0) * 0.4
-           |          + CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.4
-           |          + least(CAST(${TextQueries.sw(EN_STOP)} AS DOUBLE) / len(${TextQueries.T}) * 5.0, 1.0) * 0.2)
-           |          * 1000000.0 + 0.5) / 1000000.0 AS quality_score
-           |  FROM documents),
+           |$qualCteSql,
            |m AS (
            |  SELECT q.doc_id, coalesce(c.component_id, q.doc_id) AS cluster_id,
            |    q.quality_score
@@ -835,8 +816,7 @@ object DedupQueries {
            |SELECT r.cluster_id, r.doc_id AS keeper_id,
            |  r.quality_score AS best_quality, n.n_members
            |FROM r JOIN n USING (cluster_id)
-           |WHERE rk = 1 ORDER BY cluster_id""".stripMargin
-    },
+           |WHERE rk = 1 ORDER BY cluster_id""".stripMargin),
     // dedup_minhash_lsh / dedup_simhash: fully oracled since round 4 —
     // the replayable md5 shingle hashes let DuckDB rebuild signatures,
     // bands, and candidates bit-for-bit (entries in the map above).
@@ -863,7 +843,12 @@ object DedupQueries {
            |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
            |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)""".stripMargin
 
-  private val componentsOracleSql: String =
+  /** [[componentsPrefixSql]] extended through the connected-component
+    * derivation (`comp(doc_id, component_id)`) — the ONE copy of the
+    * edges/reach recursion shared by the components, corpus-clean, and
+    * keep-best oracles (three verbatim copies once drifted apart in
+    * review; never again). */
+  private val componentsCompSql: String =
     componentsPrefixSql +
       """,
         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -872,8 +857,24 @@ object DedupQueries {
         |reach AS (
         |  SELECT doc, doc AS r FROM nodes
         |  UNION
-        |  SELECT e.b AS doc, reach.r FROM reach JOIN edges e ON e.a = reach.doc
-        |)
-        |SELECT doc AS doc_id, min(r) AS component_id FROM reach
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |  SELECT e.b AS doc, reach.r FROM reach JOIN edges e ON e.a = reach.doc),
+        |comp AS (SELECT doc AS doc_id, min(r) AS component_id FROM reach GROUP BY 1)""".stripMargin
+
+  private val componentsOracleSql: String =
+    componentsCompSql +
+      "\nSELECT doc_id, component_id FROM comp ORDER BY doc_id"
+
+  /** The `qual(doc_id, quality_score)` CTE — the ONE copy of the
+    * replayable quality-score formula shared by the corpus-clean and
+    * keep-best oracles (term-identical to txt_quality's). */
+  private val qualCteSql: String = {
+    import graft.functions.TextFunctions._
+    s"""qual AS (
+       |  SELECT doc_id,
+       |    floor((least(CAST(len(${TextQueries.T}) AS DOUBLE) / 100.0, 1.0) * 0.4
+       |          + CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.4
+       |          + least(CAST(${TextQueries.sw(EN_STOP)} AS DOUBLE) / len(${TextQueries.T}) * 5.0, 1.0) * 0.2)
+       |          * 1000000.0 + 0.5) / 1000000.0 AS quality_score
+       |  FROM documents)""".stripMargin
+  }
 }

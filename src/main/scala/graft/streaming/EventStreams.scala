@@ -415,9 +415,14 @@ object EventStreams {
     * already-skipped click (that would need unbounded candidate
     * retention — documented trade, same as every O(1)-state funnel).
     *
-    * Scale: one hash shuffle on user_id, O(1) state per user — the
-    * shape that serves a live 100 TB event stream where the batch
-    * window form would re-sort the full log per run. */
+    * Scale: one hash shuffle on user_id, O(1) CARRIED state per user —
+    * the shape that serves a live stream, where per-invocation memory
+    * is one micro-batch's events for one user. NOTE the batch-mode
+    * caveat: there each group is the user's ENTIRE history and the
+    * in-memory sort below materializes it on one task's heap — for a
+    * backfill over a pathological single-user skew (a bot with 10^8
+    * events) use the window-function [[evtFunnel]], which sorts
+    * spillably; this form's home is the incremental stream. */
   def funnelStateful(events: DataFrame)
       : org.apache.spark.sql.Dataset[FunnelUser] = {
     val spark = events.sparkSession

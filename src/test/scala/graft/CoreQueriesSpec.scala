@@ -28,13 +28,7 @@ class CoreQueriesSpec extends AnyFunSuite {
 
   test("testdata surface: every Tables reader loads its table with rows " +
     "(incl. the schema-adaptive events path)") {
-    val readers: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      Seq("region" -> Tables.region, "nation" -> Tables.nation,
-        "customer" -> Tables.customer, "supplier" -> Tables.supplier,
-        "part" -> Tables.part, "orders" -> Tables.orders,
-        "lineitem" -> Tables.lineitem, "events" -> Tables.events,
-        "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
-    for ((name, rd) <- readers)
+    for ((name, rd) <- Tables.allReaders)
       assert(rd(spark, sf).count() > 0, s"$name read no rows")
   }
 

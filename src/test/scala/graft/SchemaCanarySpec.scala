@@ -35,15 +35,8 @@ class SchemaCanarySpec extends AnyFunSuite {
     val dirs = new java.io.File("/root/testdata").listFiles()
       .filter(d => d.isDirectory && d.getName.startsWith("sf"))
       .map(_.getAbsolutePath).sorted
-    val readers: Seq[(String,
-        (org.apache.spark.sql.SparkSession, String)
-          => org.apache.spark.sql.DataFrame)] =
-      Seq("region" -> Tables.region, "nation" -> Tables.nation,
-        "customer" -> Tables.customer, "supplier" -> Tables.supplier,
-        "part" -> Tables.part, "orders" -> Tables.orders,
-        "lineitem" -> Tables.lineitem, "events" -> Tables.events,
-        "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
-    for (dir <- dirs; (name, rd) <- readers)
+    assert(dirs.nonEmpty, "no testdata SF dirs found")
+    for (dir <- dirs; (name, rd) <- Tables.allReaders)
       assert(rd(spark, dir).limit(1).count() == 1L,
         s"$dir/$name: reader analyzed but returned no rows")
   }

@@ -88,7 +88,16 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame):
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             af = av.astype(float).to_numpy()
             bf = bv.astype(float).to_numpy()
-            both_nan = np.isnan(af) & np.isnan(bf)
+            # one-sided NULL/NaN is a VALUE mismatch, not a float diff:
+            # np.nanmax would silently ignore it (and an all-NaN diff
+            # column passes the worst>0 check) — exactly the blind spot
+            # that would hide a NULL-guard disagreement between engines
+            a_nan, b_nan = np.isnan(af), np.isnan(bf)
+            if np.any(a_nan != b_nan):
+                i = int(np.argmax(a_nan != b_nan))
+                return (f"VALUE mismatch col={c} row={i}: "
+                        f"spark={af[i]!r} oracle={bf[i]!r} (one-sided null)")
+            both_nan = a_nan & b_nan
             diff = np.abs(af - bf)
             diff[both_nan] = 0.0
             if np.any(diff != 0.0):
