@@ -41,6 +41,25 @@ class SchemaCanarySpec extends AnyFunSuite {
         s"$dir/$name: reader analyzed but returned no rows")
   }
 
+  test("analysis canary: every registered query builds and analyzes " +
+    "against the current testdata schemas (the round-7 failure class — " +
+    "27 queries erroring on a schema drift — fails here by name first)") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          // constructing the DataFrame runs analysis; no execution
+          // beyond the bounded build-time collects some queries do
+          fn(spark, sf).queryExecution.analyzed
+          None
+        } catch {
+          case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName}: " +
+            e.getMessage.linesIterator.take(2).mkString(" "))
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail analysis:\n${failures.mkString("\n")}")
+  }
+
   test("dump canary: a TimestampType column written through the " +
     "Verify dump path reads back as TIMESTAMP_NTZ, not TIMESTAMPTZ") {
     val dir = java.nio.file.Files
