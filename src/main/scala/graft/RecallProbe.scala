@@ -47,9 +47,14 @@ object RecallProbe {
     // Per-round artifact: recall@10 against the brute-force baseline,
     // so ANN retrieval-quality regressions are diffable from history
     // (the bench only times the queries; it cannot see recall decay).
+    // Locale.ROOT: f"" interpolation is default-locale-dependent — a
+    // comma-decimal locale would emit invalid JSON (same latent
+    // pattern Bench fixed in round 6).
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val json = (Seq("\"sf_dir\": \"" + dir + "\"",
-      f""""brute_pairs": ${brute.size}""") ++
-      (lsh ++ ivf).map { case (k, v) => f""""$k": $v%.4f""" })
+      s""""brute_pairs": ${brute.size}""") ++
+      (lsh ++ ivf).map { case (k, v) => s""""$k": ${num(v)}""" })
       .mkString("{", ", ", "}\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("RECALL.json"), json)

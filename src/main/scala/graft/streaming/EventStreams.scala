@@ -422,7 +422,19 @@ object EventStreams {
     * in-memory sort below materializes it on one task's heap — for a
     * backfill over a pathological single-user skew (a bot with 10^8
     * events) use the window-function [[evtFunnel]], which sorts
-    * spillably; this form's home is the incremental stream. */
+    * spillably; this form's home is the incremental stream.
+    *
+    * State retention: `GroupStateTimeout.NoTimeout` — per-user state
+    * (24 bytes) is retained FOREVER, so on a real stream with
+    * unbounded user cardinality the state store grows without bound.
+    * That is the deliberate semantic here (a funnel position must
+    * survive arbitrarily long view→purchase gaps, and an evicted user
+    * would silently restart the funnel on their next event); a
+    * production deployment that can bound the funnel horizon should
+    * pass `GroupStateTimeout.ProcessingTimeTimeout` + a
+    * `state.setTimeoutDuration` / `state.hasTimedOut` removal branch
+    * instead — the trade is explicit: bounded store vs exactness for
+    * users whose funnel spans longer than the timeout. */
   def funnelStateful(events: DataFrame)
       : org.apache.spark.sql.Dataset[FunnelUser] = {
     val spark = events.sparkSession

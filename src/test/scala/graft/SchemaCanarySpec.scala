@@ -60,6 +60,65 @@ class SchemaCanarySpec extends AnyFunSuite {
       s"${failures.size} queries fail analysis:\n${failures.mkString("\n")}")
   }
 
+  test("dtype snapshot canary: raw parquet dtypes of every testdata " +
+    "column match the committed SCHEMAS.json (driver regeneration " +
+    "drift fails here with a one-line diff naming the column)") {
+    val path = java.nio.file.Paths.get("SCHEMAS.json")
+    assert(java.nio.file.Files.exists(path),
+      "SCHEMAS.json missing — run `sbt \"runMain graft.SchemaSnapshot\"`" +
+        " and commit it")
+    val committed = java.nio.file.Files.readString(path)
+    val live = SchemaSnapshot.render(spark)
+    if (live != committed) {
+      val c = committed.linesIterator.toSet
+      val l = live.linesIterator.toSet
+      fail("testdata dtype drift vs committed SCHEMAS.json:\n" +
+        (c -- l).toSeq.sorted.map("  was: " + _.trim).mkString("\n") + "\n" +
+        (l -- c).toSeq.sorted.map("  now: " + _.trim).mkString("\n") +
+        "\n(if intentional: sbt \"runMain graft.SchemaSnapshot\" + commit)")
+    }
+  }
+
+  test("precision canary: money columns are exactly 2-decimal and " +
+    "l_quantity is integral on every SF (the cents()/Decimal(38,0) " +
+    "exactness contract — a finer-precision testdata regeneration " +
+    "would silently quantize inputs; fail loudly here instead)") {
+    // (table, column, kind): kind "cents" asserts floor(x*100+.5)/100
+    // round-trips x exactly (x has <= 2 decimal digits); "int" asserts
+    // floor(x) == x. These are the exact preconditions of Tables.cents
+    // aggregation and statsCvOn's Decimal(38,0) cast of summed
+    // quantities (ADVICE r8).
+    val checks: Seq[(String, Seq[(String, String)])] = Seq(
+      "lineitem" -> Seq("l_quantity" -> "int", "l_extendedprice" -> "cents",
+        "l_discount" -> "cents", "l_tax" -> "cents"),
+      "events"   -> Seq("value" -> "cents"),
+      "orders"   -> Seq("o_totalprice" -> "cents"),
+      "customer" -> Seq("c_acctbal" -> "cents"),
+      "supplier" -> Seq("s_acctbal" -> "cents"),
+      "part"     -> Seq("p_retailprice" -> "cents"))
+    val dirs = new java.io.File("/root/testdata").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("sf"))
+      .map(_.getAbsolutePath).sorted
+    val readers = Tables.allReaders.toMap
+    for (dir <- dirs; (table, cols) <- checks) {
+      // one pass per table: count violations of every column at once
+      val aggs = cols.map { case (cn, kind) =>
+        val bad = kind match {
+          case "int" => floor(col(cn)) =!= col(cn)
+          case _     => floor(col(cn) * 100.0 + 0.5) / 100.0 =!= col(cn)
+        }
+        sum(when(bad, 1L).otherwise(0L)).as(cn)
+      }
+      val row = readers(table)(spark, dir)
+        .agg(aggs.head, aggs.tail: _*).head()
+      for (((cn, kind), i) <- cols.zipWithIndex)
+        assert(row.getLong(i) == 0L,
+          s"$dir/$table.$cn: ${row.getLong(i)} values violate " +
+            s"$kind-exactness — testdata precision drifted; the " +
+            "cents()/integral aggregation paths would quantize")
+    }
+  }
+
   test("dump canary: a TimestampType column written through the " +
     "Verify dump path reads back as TIMESTAMP_NTZ, not TIMESTAMPTZ") {
     val dir = java.nio.file.Files

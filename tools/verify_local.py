@@ -30,8 +30,12 @@ def dtype_class(s: pd.Series) -> str:
         return "ts-aware" if getattr(s.dtype, "tz", None) is not None else "ts-naive"
     if s.dtype == object:
         v = s.dropna()
-        if len(v) and isinstance(v.iloc[0], datetime.date) \
-                and not isinstance(v.iloc[0], datetime.datetime):
+        # ALL non-null values must be pure dates (not a first-row
+        # sample: a mixed date/datetime column or one classified off a
+        # single value could slip the strict gate — round-8 advice)
+        if len(v) and all(isinstance(x, datetime.date)
+                          and not isinstance(x, datetime.datetime)
+                          for x in v):
             # parquet DATE reads as python date objects; the driver
             # compares DATE vs naive-TIMESTAMP as equal (srt_multikey
             # r06: all-true with a DATE dump vs timestamp oracle)
