@@ -44,6 +44,37 @@ object RecallProbe {
       println(f"[probe] IVF nProbe=$np recall=$r%.3f")
       (s"ivf_probe$np", r)
     }
+    // fixed-vs-adaptive frontier: recall AND candidate volume per
+    // setting, so RECALL.json records which form dominates (the
+    // adaptive stop rule should match fixed-probe recall at equal or
+    // fewer scored candidates, and strictly fewer on skewed corpora).
+    val ivfCand = for (np <- Seq(4, 6, 8)) yield {
+      val c = operators.SimilarityQueries
+        .ivfCandidates(spark, dir, Left(np))
+      (s"ivf_probe${np}_cand", c)
+    }
+    val ivfAdapt = for (bp <- Seq(3500, 5500, 7500)) yield {
+      val df = operators.SimilarityQueries
+        .simKnnIvfAdaptiveWith(spark, dir, bp,
+          operators.SimilarityQueries.MaxProbe)
+      val r = (brute & pairs(df)).size.toDouble / brute.size
+      val c = operators.SimilarityQueries
+        .ivfCandidates(spark, dir, Right((bp,
+          operators.SimilarityQueries.MaxProbe)))
+      println(f"[probe] IVF adaptive massBp=$bp recall=$r%.3f cand=$c")
+      (s"ivf_adapt_m$bp", r, c)
+    }
+    // PQ shortlist→rerank and int8 coarse→rerank: the two ANN families
+    // whose retrieval quality previously had no recorded recall point
+    // (the DuckDB oracle replays the algorithm, not the intent).
+    val reranked = for ((key, df) <- Seq(
+        "pq_rerank"   -> operators.SimilarityQueries.simKnnPq(spark, dir),
+        "int8_rerank" -> operators.SimilarityQueries.simKnnRerank(spark, dir)))
+      yield {
+        val r = (brute & pairs(df)).size.toDouble / brute.size
+        println(f"[probe] $key recall=$r%.3f")
+        (key, r)
+      }
     // Per-round artifact: recall@10 against the brute-force baseline,
     // so ANN retrieval-quality regressions are diffable from history
     // (the bench only times the queries; it cannot see recall decay).
@@ -54,7 +85,10 @@ object RecallProbe {
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val json = (Seq("\"sf_dir\": \"" + dir + "\"",
       s""""brute_pairs": ${brute.size}""") ++
-      (lsh ++ ivf).map { case (k, v) => s""""$k": ${num(v)}""" })
+      (lsh ++ ivf ++ reranked).map { case (k, v) => s""""$k": ${num(v)}""" } ++
+      ivfCand.map { case (k, c) => s""""$k": $c""" } ++
+      ivfAdapt.flatMap { case (k, r, c) =>
+        Seq(s""""$k": ${num(r)}""", s""""${k}_cand": $c""") })
       .mkString("{", ", ", "}\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("RECALL.json"), json)

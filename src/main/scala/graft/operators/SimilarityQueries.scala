@@ -185,8 +185,11 @@ object SimilarityQueries {
 
   /** IVF ANN: k-means-style coarse quantization using the label
     * centroids as the codebook — corpus vectors are assigned to their
-    * nearest centroid, queries probe their nProbe nearest centroids,
-    * and exact cosine runs only on the probed clusters' members.
+    * nearest centroid, queries probe their nearest centroids in csim
+    * order until the probed clusters cover [[MassTargetBp]]/10⁴ of the
+    * assigned corpus mass (capped at [[MaxProbe]] — see the adaptive
+    * contract there), and exact cosine runs only on the probed
+    * clusters' members.
     *
     * Scale shape: the codebook is tiny (|labels| × d) — it is collected
     * once and inlined as a LITERAL array of (centroid, norm) structs, so
@@ -200,18 +203,64 @@ object SimilarityQueries {
     * selection, and exact-cosine top-k replay in DuckDB; PipelineSpec
     * additionally bounds recall vs brute force and asserts the
     * assignment plan carries no Window/Sort. */
-  val simKnnIvf: Q = (spark, dir) => simKnnIvfWith(spark, dir, NProbe)
+  val simKnnIvf: Q = (spark, dir) =>
+    simKnnIvfAdaptiveWith(spark, dir, MassTargetBp, MaxProbe)
 
-  /** Probe width, measured by RecallProbe at sf0.001: 2 → 0.28,
-    * 4 → 0.58, 6 → 0.78 (pinned; spec floor 0.7). This fixture's
-    * embeddings are near-uniform (max same-label cosine ≈ 0.47), so
-    * neighbors scatter across the 10 label clusters and probes must be
-    * wide; a corpus with real cluster structure keeps nProbe at 1-2
-    * with the same plan. */
+  /** Probe width of the FIXED-probe form, measured by RecallProbe at
+    * sf0.001: 2 → 0.28, 4 → 0.58, 6 → 0.78 (spec floor 0.7). This
+    * fixture's embeddings are near-uniform (max same-label cosine
+    * ≈ 0.47), so neighbors scatter across the 10 label clusters and
+    * probes must be wide; a corpus with real cluster structure keeps
+    * nProbe at 1-2 with the same plan. Kept for the recall probe's
+    * fixed-vs-adaptive frontier comparison; the registered query uses
+    * the adaptive mass-targeted form below. */
   val NProbe = 6
 
-  /** Parameterized form of [[simKnnIvf]] (recall-tuning probe/spec). */
-  def simKnnIvfWith(spark: SparkSession, dir: String, nProbe: Int): DataFrame = {
+  /** Adaptive probe target: probe clusters in (csim desc, cluster asc)
+    * order until the probed clusters cover ≥ this fraction of the
+    * ASSIGNED CORPUS MASS (in basis points — integer math, so the
+    * stop rule replays exactly in SQL), bounded by [[MaxProbe]]. On
+    * this near-uniform fixture 5500 bp lands at ~6 of 10 clusters —
+    * the recall/cost point fixed-6 was pinned at — but the contract is
+    * the better one at scale: a skewed corpus (real IVF indexes are
+    * skewed) stops after FEW large clusters instead of always paying
+    * nProbe probes, and a query landing in small clusters widens
+    * automatically instead of starving at a fixed count. Cost is
+    * bounded both ways: candidates ≤ maxProbe clusters, and expected
+    * candidates ≈ massTarget · n regardless of skew. */
+  val MassTargetBp = 5500
+  val MaxProbe     = 8
+
+  /** Fixed-probe parameterized form (recall-probe frontier baseline). */
+  def simKnnIvfWith(spark: SparkSession, dir: String, nProbe: Int): DataFrame =
+    ivfRank(ivfScored(spark, dir, Left(nProbe)))
+
+  /** Mass-targeted adaptive form — the registered `sim_knn_ivf`. */
+  def simKnnIvfAdaptiveWith(spark: SparkSession, dir: String, massBp: Int,
+      maxProbe: Int): DataFrame =
+    ivfRank(ivfScored(spark, dir, Right((massBp, maxProbe))))
+
+  /** Candidate-pair count of an IVF setting (recall probe's cost axis:
+    * rows scored BEFORE the top-k cut). */
+  private[graft] def ivfCandidates(spark: SparkSession, dir: String,
+      probe: Either[Int, (Int, Int)]): Long =
+    ivfScored(spark, dir, probe).count()
+
+  private def ivfRank(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Shared IVF retrieval core: centroid codebook → map-side argmax
+    * assignment → probe selection (`Left(nProbe)` fixed /
+    * `Right((massBp, maxProbe))` adaptive) → exact cosine on probed
+    * clusters. Returns the scored candidate frame (query_id, vec_id,
+    * label, cos_sim) before ranking. */
+  private def ivfScored(spark: SparkSession, dir: String,
+      probe: Either[Int, (Int, Int)]): DataFrame = {
     val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
       .select(col("vec_id"), col("label"), col("vec"), col("norm"))
     // codebook: exact per-dimension means, assembled in dim order
@@ -246,25 +295,43 @@ object SimilarityQueries {
     val assigned = emb.withColumn("cluster",
       -array_max(centroidScores(col("vec"), col("norm")))
         .getField("neg_cluster"))
-    // queries probe their nProbe nearest clusters — sorted literal
-    // scores, again a pure projection
-    val probes = emb.where(col("vec_id") < NQueries)
+    // per-query probe ranking: full sorted centroid-score array,
+    // exploded to (query_id, prank, cluster) — ≤ NQueries × |clusters|
+    // rows, a pure projection
+    val pranked = emb.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("norm").as("qnorm"),
-        explode(slice(reverse(array_sort(
-          centroidScores(col("vec"), col("norm")))), 1, nProbe)).as("s"))
+        posexplode(reverse(array_sort(
+          centroidScores(col("vec"), col("norm"))))).as(Seq("pos", "s")))
       .select(col("query_id"), col("qvec"), col("qnorm"),
-        (-col("s.neg_cluster")).as("cluster"))
-    val scored = assigned.join(broadcast(probes), Seq("cluster"))
+        (-col("s.neg_cluster")).as("cluster"), (col("pos") + 1).as("prank"))
+    val probes = probe match {
+      case Left(nProbe) => pranked.where(col("prank") <= nProbe)
+      case Right((massBp, maxProbe)) =>
+        // adaptive stop rule in EXACT integer math: keep cluster at
+        // prank k iff the mass BEFORE it (cum − csize) is still short
+        // of massBp/10⁴ of the corpus — i.e. probe until coverage
+        // crosses the target, never past maxProbe. Cluster sizes are a
+        // second aggregate pass over the assignment projection here; a
+        // production IVF index maintains them as build-time catalog
+        // metadata (they are exactly the posting-list lengths). The
+        // cumsum Window runs over ≤ NQueries × |clusters| rows.
+        val sizes = assigned.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("csize"))
+        val n = Tables.embeddings(spark, dir).count() // scalar metadata
+        val cum = sum(col("csize")).over(
+          Window.partitionBy(col("query_id")).orderBy(col("prank")))
+        pranked.join(broadcast(sizes), Seq("cluster"))
+          .withColumn("cum", cum)
+          .where((col("cum") - col("csize")) * lit(10000L) <
+            lit(massBp.toLong * n) && col("prank") <= maxProbe)
+    }
+    assigned.join(broadcast(probes.select(col("query_id"), col("qvec"),
+        col("qnorm"), col("cluster"))), Seq("cluster"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
         Tables.round6(dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
           .as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= K)
-      .orderBy(col("query_id"), col("rank"))
   }
 
   // ---- replayable random-hyperplane blocking (dedup) ----------------
@@ -632,8 +699,11 @@ object SimilarityQueries {
          |SELECT query_id, vec_id, label, cos_sim, rank FROM ranked
          |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin) +
     // Replays IVF end-to-end: integer-scaled exact centroid means, the
-    // deterministic (csim desc, cluster asc) argmax assignment, nProbe
-    // probe selection, and the exact-cosine top-k on probed clusters.
+    // deterministic (csim desc, cluster asc) argmax assignment, the
+    // ADAPTIVE mass-targeted probe selection (exact integer stop rule:
+    // probe clusters in csim order until covered assigned mass crosses
+    // MassTargetBp/10⁴ of the corpus, capped at MaxProbe), and the
+    // exact-cosine top-k on probed clusters.
     ("sim_knn_ivf" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
@@ -663,12 +733,23 @@ object SimilarityQueries {
          |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY csim DESC, cluster) AS rn FROM cs) t
          |  WHERE rn = 1),
+         |sizes AS (
+         |  SELECT cluster, count(*) AS csize FROM assigned GROUP BY 1),
+         |tot AS (SELECT count(*) AS n FROM e),
+         |pr AS (
+         |  SELECT vec_id AS query_id, cluster,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cluster) AS prank
+         |  FROM cs WHERE vec_id < $NQueries),
+         |prc AS (
+         |  SELECT p.query_id, p.cluster, p.prank, s.csize,
+         |    SUM(s.csize) OVER (PARTITION BY p.query_id
+         |      ORDER BY p.prank) AS cum
+         |  FROM pr p JOIN sizes s USING (cluster)),
          |probes AS (
-         |  SELECT vec_id AS query_id, cluster FROM (
-         |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY csim DESC, cluster) AS rn
-         |    FROM cs WHERE vec_id < $NQueries) t
-         |  WHERE rn <= $NProbe),
+         |  SELECT query_id, cluster FROM prc, tot
+         |  WHERE (cum - csize) * 10000 < $MassTargetBp * tot.n
+         |    AND prank <= $MaxProbe),
          |q AS (SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm
          |      FROM e WHERE vec_id < $NQueries),
          |scored AS (

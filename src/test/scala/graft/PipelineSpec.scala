@@ -160,12 +160,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF assignment is a pure projection: exactly one Window node " +
-    "(the final top-k) in the executed plan") {
+  test("IVF assignment is a pure projection: exactly two Window nodes " +
+    "(the adaptive-probe cumsum over <= NQueries x |clusters| rows, " +
+    "and the final top-k) in the executed plan") {
     val plan = operators.SimilarityQueries.simKnnIvf(spark, sf)
       .queryExecution.executedPlan.toString
     val nWindow = "\\bWindow\\b".r.findAllIn(plan).size
-    assert(nWindow == 1, s"expected 1 Window (final rank), got $nWindow:\n$plan")
+    assert(nWindow == 2,
+      s"expected 2 Windows (probe cumsum, final rank), got $nWindow:\n$plan")
+    // the fixed-probe frontier baseline keeps the single-Window shape
+    val fixedPlan = operators.SimilarityQueries
+      .simKnnIvfWith(spark, sf, operators.SimilarityQueries.NProbe)
+      .queryExecution.executedPlan.toString
+    val nFixed = "\\bWindow\\b".r.findAllIn(fixedPlan).size
+    assert(nFixed == 1, s"fixed-probe form: expected 1 Window, got $nFixed")
   }
 
   test("IVF ANN recall@10 vs brute force on sf0.001") {
