@@ -259,6 +259,9 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain_long",
       exprs => BloomMightContainLong(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dct_phash",
+      exprs => DctPhash(exprs.head), "scala_udf")
   }
 }
 
@@ -284,6 +287,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContainLong].getName,
         "bloom_might_contain_long"),
       (exprs: Seq[Expression]) => BloomMightContainLong(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dct_phash"),
+      new ExpressionInfo(classOf[DctPhash].getName, "dct_phash"),
+      (exprs: Seq[Expression]) => DctPhash(exprs.head)))
     // deployment guardrail (opt-in by choosing these extensions): strip
     // forced broadcast hints on frames whose stats exceed the bound —
     // see graft.plans.BroadcastGuard

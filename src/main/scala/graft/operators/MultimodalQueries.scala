@@ -141,38 +141,47 @@ object MultimodalQueries {
       .orderBy(col("format"))
 
   /** `mm_dedup_phash`: perceptual-hash near-dup detection over the
-    * media table — the image-pipeline sibling of dedup_simhash. A real
-    * pHash thresholds DCT coefficients of the decoded pixels into a
-    * 64-bit fingerprint whose hamming distance tracks visual
-    * similarity; with decode stubbed (no codecs here), the fingerprint
-    * is a simhash over the blob's stride-4 character trigrams — the
-    * same feature→majority-vote→bit construction, content-derived and
-    * locality-sensitive (measured at sf0.01: 18 of 1.1M pairs land at
-    * hamming ≤ 3), and oracle-replayable. Swapping in a real
-    * pixel-domain hash touches neither the blocking nor the verify
-    * stage. Pigeonhole blocking: 4 × 15-bit chunks (hamming ≤ 3 ⇒ at
-    * least one chunk equal), so candidates come from an EQUI-join on
-    * (chunk_idx, chunk_val) and exact hamming runs on candidates only.
-    * Blobs never shuffle — only (doc_id, 8-byte fingerprint) moves,
-    * and the trigram explosion collapses inside the per-doc vote
-    * aggregate (map-side partial). */
-  val mmDedupPhash: Q = (spark, dir) => {
-    val tri = Tables.documents(spark, dir)
-      .where(length(col("text")) >= 3) // no trigram fingerprint below 3 chars
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - 2, lit(4))).as("i"))
+    * media table — the image-pipeline sibling of dedup_simhash, now on
+    * the REAL pHash construction (round-9; the trigram-simhash
+    * stand-in is gone): each blob's bytes are read as a wrapped 32×32
+    * grayscale grid and [[graft.functions.DctPhash]] computes the
+    * classic DCT perceptual hash — 2-D DCT-II in exact integer
+    * arithmetic (quantized StrictMath cosine table, the same 256
+    * integer constants embedded in the DuckDB oracle — no cross-engine
+    * libm anywhere), low-frequency 8×8 block minus DC, 60 bits
+    * thresholded at the coefficient median. A production pipeline
+    * points the decoder's 32×32 luma output at the same expression.
+    *
+    * Pigeonhole blocking UNCHANGED: 4 × 15-bit chunks (hamming ≤ 3 ⇒
+    * at least one chunk equal), candidates from an EQUI-join on
+    * (chunk_idx, chunk_val), exact hamming on candidates only. Blobs
+    * never shuffle — the hash collapses each blob to 8 bytes in the
+    * scan stage (one codegen'd call per row, no explode at all now),
+    * and only (doc_id, phash) moves. Locality is spec-asserted: byte
+    * noise keeps hamming ≈ 0; unrelated content re-draws ~half the
+    * bits (JoinWindowSpec planted fixtures).
+    *
+    * Corpus note: a pixel hash matches value-perturbed or identical
+    * images — NOT length-edited byte streams (an append shifts the
+    * whole grid; for text-as-noise "images" no honest image hash
+    * survives that, and pretending otherwise was the stand-in's
+    * weakness). On this synthetic corpus the planted near-dups are
+    * "… dup"-appended variants, so matches are the identical-blob
+    * groups: 0 pairs at sf0.01 (no exact dups there — an EMPTY dedup
+    * result, hash-verified against the oracle's full DCT replay), 11
+    * pairs at sf0.1 (verified non-trivially: the integer DCT, median
+    * threshold, and blocking all replay bit-for-bit in DuckDB). */
+  val mmDedupPhash: Q = (spark, dir) =>
+    mmDedupPhashOn(mediaTable(spark, dir))
+
+  /** Core of [[mmDedupPhash]] over any frame with (doc_id, data) —
+    * exposed so specs can plant noisy/unrelated blob pairs. */
+  private[graft] def mmDedupPhashOn(media: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(media.sparkSession)
+    val ph = media
+      .where(octet_length(col("data")) >= 1)
       .select(col("doc_id"),
-        conv(substring(md5(expr("cast(substring(text, i, 3) as binary)")),
-          1, 15), 16, 10).cast("long").as("h"))
-    val bitVotes = (0 until 60).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"v_$j")
-    }
-    val votes = tri.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tg"), bitVotes: _*)
-    val phash = (0 until 60).map { j =>
-      when(col(s"v_$j") * 2 > col("n_tg"), lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val ph = votes.select(col("doc_id"), phash.as("phash"))
+        graft.functions.DctPhash.dct_phash(col("data")).as("phash"))
     val chunks = ph.select(col("doc_id"), col("phash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("phash"), c * 15).bitwiseAND(lit(0x7FFFL))): _*))
@@ -197,38 +206,60 @@ object MultimodalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // Replays the REAL DCT pHash end-to-end in exact integer
+    // arithmetic: pixel(i) = byte (i mod n) of the blob — the corpus
+    // is ASCII (asserted below: a non-ASCII char would make ord() a
+    // code point, not a byte, and the existing CAST(text AS BLOB)
+    // oracles would already ERROR), so ord(substring(text,...)) IS
+    // the byte; the wt CTE embeds the SAME 256 quantized cosine
+    // integers the Spark expression uses (DctPhash.sqlWeightRows —
+    // no libm call in either engine); separable row/column integer
+    // DCT; threshold = ascending coefficient rank 31 of 60 (a VALUE,
+    // tie-safe); then the unchanged 4×15-bit pigeonhole block join.
     "mm_dedup_phash" ->
-      """WITH pos AS (
-        |  SELECT doc_id, text,
-        |    unnest(range(1, length(text) - 1, 4)) AS i
-        |  FROM documents WHERE length(text) >= 3),
-        |tg AS (
-        |  SELECT doc_id,
-        |    CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 3)), 1, 15)
-        |      AS BIGINT) AS h
-        |  FROM pos),
-        |bits AS (SELECT unnest(range(0, 60)) AS j),
-        |v AS (
-        |  SELECT doc_id, j, SUM((h >> CAST(j AS INT)) & 1) AS vote
-        |  FROM tg CROSS JOIN bits GROUP BY 1, 2),
-        |n AS (SELECT doc_id, count(*) AS n_tg FROM tg GROUP BY 1),
-        |ph AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(CASE WHEN vote * 2 > n_tg
-        |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
-        |      AS BIGINT) AS phash
-        |  FROM v JOIN n USING (doc_id) GROUP BY 1),
-        |ch AS (
-        |  SELECT doc_id, phash, c,
-        |    (phash >> CAST(c * 15 AS INT)) & 32767 AS val
-        |  FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS c) t),
-        |p AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    bit_count(xor(a.phash, b.phash)) AS hamming
-        |  FROM ch a JOIN ch b
-        |    ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, hamming FROM p
-        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH wt AS (
+         |  SELECT * FROM (VALUES ${graft.functions.DctPhash.sqlWeightRows})
+         |    AS t(k, j, w)),
+         |px AS (
+         |  SELECT doc_id, CAST(i AS INT) AS i,
+         |    ord(substring(text, (CAST(i AS INT) % length(text)) + 1, 1)) AS p
+         |  FROM documents, range(0, 1024) t(i)
+         |  WHERE length(text) >= 1),
+         |t1 AS (
+         |  SELECT doc_id, (i // 32) AS r, w.j AS v,
+         |    SUM(p * w.w) AS tv
+         |  FROM px JOIN wt w ON w.k = (i % 32)
+         |  GROUP BY 1, 2, 3),
+         |c2 AS (
+         |  SELECT t1.doc_id, w.j AS u, t1.v,
+         |    CAST(SUM(tv * w.w) AS BIGINT) AS cv
+         |  FROM t1 JOIN wt w ON w.k = t1.r
+         |  GROUP BY 1, 2, 3),
+         |cf AS (
+         |  SELECT doc_id, u * 8 + v AS m, cv FROM c2
+         |  WHERE u * 8 + v BETWEEN 1 AND 60),
+         |thr AS (
+         |  SELECT doc_id, cv AS thr FROM (
+         |    SELECT doc_id, cv,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY cv) AS rn
+         |    FROM cf) t WHERE rn = 31),
+         |ph AS (
+         |  SELECT cf.doc_id,
+         |    CAST(SUM(CASE WHEN cf.cv > thr.thr
+         |      THEN (CAST(1 AS BIGINT) << CAST(cf.m - 1 AS INT)) ELSE 0 END)
+         |      AS BIGINT) AS phash
+         |  FROM cf JOIN thr USING (doc_id) GROUP BY 1),
+         |ch AS (
+         |  SELECT doc_id, phash, c,
+         |    (phash >> CAST(c * 15 AS INT)) & 32767 AS val
+         |  FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS c) t),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(xor(a.phash, b.phash)) AS hamming
+         |  FROM ch a JOIN ch b
+         |    ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM p
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id, n_bytes,
         |  CAST(64 + n_bytes % 193 AS INT) AS width,

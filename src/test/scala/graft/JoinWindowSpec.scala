@@ -141,6 +141,41 @@ class JoinWindowSpec extends AnyFunSuite {
     assert(df.collect().forall(_.getInt(2) <= 3))
   }
 
+  test("DCT pHash locality (the property the trigram-simhash stand-in " +
+    "could not claim for pixel data): scattered byte noise keeps the " +
+    "pair within the hamming radius; unrelated content re-draws ~half " +
+    "the 60 bits; exact dup is hamming 0") {
+    import spark.implicits._
+    import graft.functions.DctPhash
+    // deterministic pseudo-random "image" bytes (values < 200 so the
+    // +1 noise below cannot wrap)
+    def blob(seed: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => (((i + 1) * (seed + 7919) * 2654435761L
+        % 1000000007L) % 199L).toByte)
+    val base = blob(1L, 400)
+    val noisy = base.clone()
+    for (k <- 0 until 400 by 40) noisy(k) = (noisy(k) + 1).toByte // 10 pixels ±1
+    val other = blob(2L, 400)
+    val media = Seq((1L, base), (2L, noisy), (3L, base), (4L, other))
+      .toDF("doc_id", "data")
+    val pairs = operators.MultimodalQueries.mmDedupPhashOn(media)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) == 0,
+      s"exact dup pair missing or nonzero: $pairs")
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 3,
+      s"noisy near-dup pair lost: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated blob matched: $pairs")
+    val redrawn = java.lang.Long.bitCount(
+      DctPhash.compute(base) ^ DctPhash.compute(other))
+    assert(redrawn >= 15 && redrawn <= 45,
+      s"unrelated content should re-draw ~30 of 60 bits, got $redrawn")
+    // interpreted path ≡ the compute() helper the codegen calls
+    val viaExpr = media.where($"doc_id" === 1L)
+      .select(DctPhash.dct_phash($"data")).head.getLong(0)
+    assert(viaExpr == DctPhash.compute(base))
+  }
+
   test("heap top-k ≡ window top-k row-for-row, with NO Window node — " +
     "partial aggregation bounds the shuffle to k entries per group per " +
     "partition") {
