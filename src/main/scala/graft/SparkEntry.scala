@@ -57,6 +57,7 @@ object SparkEntry {
       ml.Forecast.oracles ++
       ml.LinearBacktest.oracles ++
       plans.SkewJoin.oracles ++
+      plans.ThetaSets.oracles ++
       plans.GlobalRank.oracles ++
       Map("join_pair_onepass" -> operators.JoinWindowQueries.oracles("join_pair_selfjoin"),
         "topk_heap_per_group" -> operators.JoinWindowQueries.oracles("topk_head_per_group"))

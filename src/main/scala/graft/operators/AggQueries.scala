@@ -110,6 +110,33 @@ object AggQueries {
     per.unionAll(merged).orderBy(col("event_type"))
   }
 
+  /** Oracled EXACT companion of [[aggApproxNgroups]] (round-9: each
+    * sketch surface gets a hash-green companion anchoring its
+    * deterministic projection — the DuckDB oracle can verify the exact
+    * counts even though the HLL estimates are engine-internal; the
+    * |estimate − exact| bound is spec-asserted at all three SFs in
+    * SketchBoundSpec). */
+  val aggApproxNgroupsExact: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .agg(
+        countDistinct(to_date(col("l_shipdate"))).as("exact_dates"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** Oracled EXACT companion of [[aggHllMerge]]: identical group keys
+    * and row structure (per-event-type + the `__all_merged` rollup),
+    * exact `count(DISTINCT user_id)` instead of sketch estimates — so
+    * the oracle pins the group structure and SketchBoundSpec pins the
+    * estimates to these values at every SF. */
+  val aggHllMergeExact: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val per = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val merged = ev
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(lit("__all_merged").as("event_type"), col("n_users"))
+    per.unionAll(merged).orderBy(col("event_type"))
+  }
+
   /** §2.D `agg_nunique` (dashboard.py:280,531): nunique over two
     * dimensions, one row. Two independent single-row aggs cross-joined —
     * both sides broadcast, no driver round-trip. */
@@ -838,6 +865,8 @@ object AggQueries {
     "agg_trend_ols"      -> aggTrendOls,
     "agg_welch_ttest"    -> aggWelchTtest,
     "prof_drift_psi"     -> profDriftPsi,
+    "agg_approx_ngroups_exact" -> aggApproxNgroupsExact,
+    "agg_hll_merge_exact"      -> aggHllMergeExact,
   )
 
   private val R = Tables.revenueSumSql // exact money-sum fragment
@@ -856,6 +885,19 @@ object AggQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "agg_approx_ngroups_exact" ->
+      """SELECT CAST(count(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT)
+        |    AS exact_dates,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+        |FROM lineitem""".stripMargin,
+    "agg_hll_merge_exact" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS n_users
+        |  FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT '__all_merged' AS event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+        |ORDER BY event_type""".stripMargin,
     "prof_categorical_summary" ->
       Seq("l_returnflag", "l_linestatus").map { c =>
         s"""SELECT '$c' AS "column",

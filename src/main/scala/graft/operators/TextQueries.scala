@@ -269,6 +269,18 @@ object TextQueries {
     cmsProbeOn(Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("token")))
 
+  /** Oracled EXACT companion of [[txtFreqCms]] (round-9 sketch
+    * anchoring): the same top-20 (count desc, token asc) key set with
+    * exact counts only — DuckDB verifies it, pinning the group/key
+    * structure; SketchBoundSpec then asserts the CMS estimate column
+    * obeys its one-sided guarantee (exact ≤ est ≤ exact + ε·N) against
+    * these counts at every SF. */
+  val txtFreqCmsExact: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token")).limit(20)
+
   private[graft] def cmsProbeOn(toks: DataFrame): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
@@ -439,6 +451,7 @@ object TextQueries {
     "txt_bigram_freq" -> txtBigramFreq,
     "txt_heavy_hitters" -> txtHeavyHitters,
     "txt_freq_cms"    -> txtFreqCms,
+    "txt_freq_cms_exact" -> txtFreqCmsExact,
     "txt_repetition"  -> txtRepetition,
     "txt_unigram_ppl" -> txtUnigramPpl,
     "txt_pii_redact"  -> txtPiiRedact,
@@ -451,6 +464,11 @@ object TextQueries {
     s"len(list_filter($T, t -> t IN ${sqlStop(ws)}))"
 
   def oracles: Map[String, String] = Map(
+    "txt_freq_cms_exact" ->
+      s"""WITH tok AS (SELECT unnest($T) AS token FROM documents)
+         |SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+         |FROM tok GROUP BY 1
+         |ORDER BY n_exact DESC, token LIMIT 20""".stripMargin,
     "txt_zipf_slope" ->
       s"""WITH tok AS (SELECT unnest($T) AS token FROM documents),
          |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1

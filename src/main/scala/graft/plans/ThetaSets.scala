@@ -122,5 +122,59 @@ object ThetaSets {
     setopsOn(ev, "2024-01-01", "2024-01-02")
   }
 
-  def queries: Map[String, Q] = Map("agg_theta_setops" -> aggThetaSetops)
+  /** Oracled EXACT companion of [[aggThetaSetops]] (round-9 sketch
+    * anchoring): the same five set-algebra rows computed from exact
+    * distinct-user flags — one distinct shuffle on (user, day-flags),
+    * one global conditional aggregate, and a `stack` unpivot to the
+    * sketch query's (set_op, count) shape. The DuckDB oracle verifies
+    * these exactly; SketchBoundSpec then pins the theta estimates to
+    * them at every SF (equality below the 4096-entry exact regime). */
+  val aggThetaSetopsExact: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+      .where(col("day").isin("2024-01-01", "2024-01-02"))
+    val flags = ev.groupBy(col("user_id"))
+      .agg(
+        max(when(col("day") === "2024-01-01", 1).otherwise(0)).as("a"),
+        max(when(col("day") === "2024-01-02", 1).otherwise(0)).as("b"))
+    flags
+      .agg(
+        sum(col("a")).as("na"),
+        sum(col("b")).as("nb"),
+        count(lit(1)).as("nu"), // every row is in A∪B by the filter
+        sum(col("a") * col("b")).as("ni"),
+        sum(col("a") * (lit(1) - col("b"))).as("nd"))
+      .selectExpr("stack(5, 'a_only', na, 'b_only', nb, 'union', nu, " +
+        "'intersect', ni, 'a_not_b', nd) as (set_op, n_users)")
+      .orderBy(col("set_op"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "agg_theta_setops"       -> aggThetaSetops,
+    "agg_theta_setops_exact" -> aggThetaSetopsExact)
+
+  def oracles: Map[String, String] = Map(
+    "agg_theta_setops_exact" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id
+        |  FROM events
+        |  WHERE CAST(CAST(ts AS DATE) AS VARCHAR)
+        |    IN ('2024-01-01', '2024-01-02')),
+        |f AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN day = '2024-01-01' THEN 1 ELSE 0 END) AS a,
+        |    max(CASE WHEN day = '2024-01-02' THEN 1 ELSE 0 END) AS b
+        |  FROM ev GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS nu, CAST(SUM(a * b) AS BIGINT) AS ni,
+        |    CAST(SUM(a * (1 - b)) AS BIGINT) AS nd
+        |  FROM f)
+        |SELECT set_op, n_users FROM (
+        |  SELECT 'a_only' AS set_op, na AS n_users FROM t
+        |  UNION ALL SELECT 'b_only', nb FROM t
+        |  UNION ALL SELECT 'union', nu FROM t
+        |  UNION ALL SELECT 'intersect', ni FROM t
+        |  UNION ALL SELECT 'a_not_b', nd FROM t) s
+        |ORDER BY set_op""".stripMargin)
 }
