@@ -559,6 +559,68 @@ object EventStreams {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
 
+  case class RetentionState(cohortDay: Int, mask: Int)
+  case class RetentionUser(user_id: Long, cohort_day: java.sql.Date,
+      offsets_mask: Int)
+
+  /** Incremental per-user cohort retention — the stateful streaming
+    * dual of [[evtRetention]]. State per user is a SUFFICIENT
+    * STATISTIC for the ≤7-day retention table: the cohort (earliest)
+    * day plus an 8-bit mask of visited offsets. A new active day d
+    * either sets bit (d − cohort) when 0 ≤ d − cohort ≤ 7, or — when d
+    * precedes the current cohort — RE-BASES: the mask shifts left by
+    * (cohort − d) (offsets grow relative to the earlier cohort; bits
+    * pushed past 7 leave the horizon, which is exactly the batch
+    * semantics), bit 0 is set for the new cohort day, and days beyond
+    * the horizon need no memory at all. The update is commutative and
+    * idempotent over days, so — unlike the funnel — this form is EXACT
+    * under ANY cross-batch arrival order, including late events from
+    * before the current cohort (spec-asserted with a planted re-basing
+    * fixture). Emits the user's current (cohort, mask) each
+    * invocation; for a fixed final cohort the mask is monotone, so a
+    * sink reads the final position as (min cohort_day, max mask at
+    * that cohort).
+    *
+    * Scale: one hash shuffle on user_id, 8 bytes of carried state per
+    * user, no per-event retention. Same `NoTimeout` forever-retention
+    * trade as [[funnelStateful]] (a user may return within horizon
+    * after any silence); bound it with ProcessingTimeTimeout when the
+    * product allows. */
+  def retentionStateful(events: DataFrame)
+      : org.apache.spark.sql.Dataset[RetentionUser] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // session tz is UTC: epoch-day from millis matches to_date()
+    def dayOf(t: java.sql.Timestamp): Int =
+      math.floorDiv(t.getTime, 86400000L).toInt
+    def fn(userId: Long, evs: Iterator[(Long, java.sql.Timestamp)],
+        state: GroupState[RetentionState]): Iterator[RetentionUser] = {
+      var st = state.getOption.getOrElse(RetentionState(Int.MaxValue, 0))
+      evs.foreach { case (_, t) =>
+        val d = dayOf(t)
+        if (st.cohortDay == Int.MaxValue) st = RetentionState(d, 1)
+        else if (d >= st.cohortDay) {
+          val off = d - st.cohortDay
+          if (off <= 7) st = st.copy(mask = st.mask | (1 << off))
+        } else {
+          val delta = st.cohortDay - d
+          val shifted =
+            if (delta > 7) 0 else (st.mask << delta) & 0xFF
+          st = RetentionState(d, shifted | 1)
+        }
+      }
+      state.update(st)
+      Iterator.single(RetentionUser(userId,
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(st.cohortDay)),
+        st.mask))
+    }
+    events.select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** `evt_anomaly`: per-type 3σ outlier counts — the numeric-outlier
     * filter a training pipeline runs before trusting a value column.
     * Determinism across engines AND partitionings: the per-type

@@ -571,6 +571,84 @@ class StreamMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Expand (cohort_day, offsets_mask) rows to the (cohort_day,
+    * day_offset) → n_users table [[streaming.EventStreams.evtRetention]]
+    * emits. */
+  private def expandRetention(su: org.apache.spark.sql.DataFrame)
+      : Map[(java.sql.Date, Int), Long] = {
+    import org.apache.spark.sql.functions._
+    su.select(col("cohort_day"),
+        explode(array((0 to 7).map(i =>
+          when(col("offsets_mask").bitwiseAND(lit(1 << i)) =!= 0, lit(i))
+            .otherwise(lit(-1))): _*)).as("day_offset"))
+      .where(col("day_offset") =!= -1)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .collect()
+      .map(r => (r.getDate(0), r.getInt(1)) -> r.getLong(2)).toMap
+  }
+
+  test("stateful retention ≡ batch retention on the sf fixture " +
+    "(batch mode: the 8-bit offset mask is a sufficient statistic)") {
+    val su = expandRetention(
+      streaming.EventStreams.retentionStateful(
+        Tables.events(spark, sf)).toDF())
+    val batch = streaming.EventStreams.evtRetention(spark, sf)
+      .collect().map(r => (r.getDate(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(su == batch, s"stateful ${su.size} cells vs batch ${batch.size}")
+  }
+
+  test("streaming stateful retention: EXACT under cross-batch late and " +
+    "out-of-order arrival (planted re-basing fixture — a late earlier " +
+    "day moves the cohort and shifts recorded offsets), equals the " +
+    "batch retention on the union input") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$d%02d $h%02d:00:00")
+    // u1: cohort 05 → late re-base to 02 in batch 3 (bits shift 3),
+    //     plus a beyond-horizon day 20 that must never appear
+    // u2: cohort 05 → late re-base to 03 in batch 2, then offset 1
+    // u3: single-day user (cohort row only)
+    val b1 = Seq((1L, ts(5, 9)), (2L, ts(5, 10)))
+    val b2 = Seq((1L, ts(8, 9)), (1L, ts(20, 9)), (2L, ts(3, 8)),
+      (3L, ts(6, 12)))
+    val b3 = Seq((2L, ts(4, 7)), (1L, ts(2, 23)), (2L, ts(5, 1)))
+    val src = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = streaming.EventStreams.retentionStateful(
+        src.toDF.toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("retention_sink")
+      .outputMode("append").start()
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      src.addData(b3: _*); q.processAllAvailable()
+      // final position per user: min cohort, max mask at that cohort
+      // (mask is monotone once the cohort has settled)
+      val finalRows = spark.table("retention_sink")
+        .groupBy("user_id")
+        .agg(min("cohort_day").as("min_cohort"), collect_list(
+          struct(col("cohort_day"), col("offsets_mask"))).as("all"))
+        .select(col("user_id"), col("min_cohort").as("cohort_day"),
+          aggregate(filter(col("all"), s => s("cohort_day") === col("min_cohort")),
+            lit(0), (acc, s) => greatest(acc, s("offsets_mask")))
+            .as("offsets_mask"))
+      val streamed = expandRetention(finalRows)
+      val batch = streaming.EventStreams.retentionOn(
+          (b1 ++ b2 ++ b3).toDF("user_id", "ts"))
+        .collect().map(r => (r.getDate(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      // the planted expectations, hand-derived
+      def d(x: Int) = java.sql.Date.valueOf(f"2024-03-$x%02d")
+      assert(batch == Map(
+        (d(2), 0) -> 1L, (d(2), 3) -> 1L, (d(2), 6) -> 1L, // u1: 02,05,08
+        (d(3), 0) -> 1L, (d(3), 1) -> 1L, (d(3), 2) -> 1L, // u2: 03,04,05
+        (d(6), 0) -> 1L))                                  // u3: 06
+    } finally q.stop()
+  }
+
   test("forecast: grid-searched model trains, persists, reloads, predicts " +
     "identically (sf0.001)") {
     val (model, scored) = ml.Forecast.trainBest(spark, sf)
