@@ -114,9 +114,6 @@ object DedupQueries {
       .select(col("doc_id"), col("len_bucket"),
         shingleHashes(col("w")).as("sh"))
 
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    shingledOn(Tables.documents(spark, dir))
-
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
@@ -142,7 +139,20 @@ object DedupQueries {
   /** Core of [[dedupNgramJaccard]] over an arbitrary documents frame
     * with (doc_id, text, n_chars) — exposed so specs can plant fixture
     * pairs (e.g. a near-dup pair straddling a length-bucket boundary). */
-  private[graft] def ngramJaccardOn(docs: DataFrame): DataFrame = {
+  private[graft] def ngramJaccardOn(docs: DataFrame): DataFrame =
+    ngramCandidatesOn(docs)
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common"))).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Candidate pairs of [[ngramJaccardOn]] — one row per doc pair
+    * sharing ≥1 shingle within ±1 length bucket, with the exact
+    * intersection count already aggregated. This is the frame whose
+    * cardinality the length-bucket blocking bounds (the scale
+    * rehearsal's measured quantity for this family). */
+  private[graft] def ngramCandidatesOn(docs: DataFrame): DataFrame = {
     val sh = shingledOn(docs)
       .select(col("doc_id"), col("len_bucket"), col("sh"),
         size(col("sh")).as("sz"))
@@ -158,19 +168,13 @@ object DedupQueries {
     val probes = inv.select(col("doc_id"), col("sz"), col("shingle"),
       explode(array(col("len_bucket") - 1, col("len_bucket"),
         col("len_bucket") + 1)).as("probe_bucket"))
-    val inter = probes.as("a").join(inv.as("b"),
+    probes.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.probe_bucket") === col("b.len_bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("n_common"))).as("jaccard"))
-      .where(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---- MinHash + LSH ------------------------------------------------
@@ -188,25 +192,52 @@ object DedupQueries {
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), shingleHashesMd5(col("w")).as("sh"))
 
-  private def shingledMd5(spark: SparkSession, dir: String): DataFrame =
-    shingledMd5On(Tables.documents(spark, dir))
-
   /** 64 minhash values per doc: h_i(s) = (a_i·(s mod p) + b_i) mod p
     * over the replayable shingle hashes, folded over the shingle set
     * (order-independent: min). a_i ≤ 127 × (p−1) ≈ 2.7e11 — no
     * overflow, ANSI-safe, and the DuckDB oracle replays it term for
     * term. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOn(Tables.documents(spark, dir))
+
+  private[graft] def minhashSignaturesOn(docs: DataFrame): DataFrame = {
     val sigCols = (0 until NumHashes).map { i =>
       val a = 2L * i + 1   // odd multipliers
       val b = 7919L * i + 1
       min(pmod(pmod(col("shingle"), lit(Prime)) * a + b, lit(Prime)))
         .as(s"sig_$i")
     }
-    shingledMd5(spark, dir)
+    shingledMd5On(docs)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH band-bucket frame: one row per (doc, band) with the band's
+    * concatenated signature key — the equi-join key that bounds
+    * candidate generation. Exposed for the scale rehearsal's bucket
+    * statistics ([[graft.ScaleRehearsal]]). */
+  private[graft] def minhashBandsOn(docs: DataFrame): DataFrame = {
+    val bandStructs = array((0 until Bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("_", (0 until Rows).map(r => col(s"sig_${bnd * Rows + r}")): _*)
+          .as("key"))
+    }: _*)
+    minhashSignaturesOn(docs)
+      .select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** LSH candidate pairs (distinct, ordered doc_a < doc_b) BEFORE the
+    * exact-Jaccard verify — the frame whose cardinality must grow
+    * linearly with corpus size for the LSH scale claim to hold. */
+  private[graft] def minhashCandidatesOn(docs: DataFrame): DataFrame = {
+    val bands = minhashBandsOn(docs)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** LSH candidate generation + exact-Jaccard verification. Fully
@@ -214,22 +245,9 @@ object DedupQueries {
     * verify all replay in DuckDB over the same md5 shingle hashes (the
     * superset-recall property vs brute force is additionally
     * spec-asserted). */
-  val dedupMinhashLsh: Q = (spark, dir) => {
-    val sigs = minhashSignatures(spark, dir)
-    val bandStructs = array((0 until Bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        concat_ws("_", (0 until Rows).map(r => col(s"sig_${bnd * Rows + r}")): _*)
-          .as("key"))
-    }: _*)
-    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val candidates = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sh = shingledMd5(spark, dir).select(col("doc_id"), col("sh"))
-    candidates
+  private[graft] def minhashLshOn(docs: DataFrame): DataFrame = {
+    val sh = shingledMd5On(docs).select(col("doc_id"), col("sh"))
+    minhashCandidatesOn(docs)
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -237,6 +255,9 @@ object DedupQueries {
       .where(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  val dedupMinhashLsh: Q = (spark, dir) =>
+    minhashLshOn(Tables.documents(spark, dir))
 
   // ---- SimHash ------------------------------------------------------
 
@@ -246,12 +267,15 @@ object DedupQueries {
     * shingle hashes (their 60 bits are already well-mixed — no spread
     * multiply needed, and the whole vote table replays in the DuckDB
     * oracle). */
-  def simhashes(spark: SparkSession, dir: String): DataFrame = {
+  def simhashes(spark: SparkSession, dir: String): DataFrame =
+    simhashesOn(Tables.documents(spark, dir))
+
+  private[graft] def simhashesOn(docs: DataFrame): DataFrame = {
     // branch-free bit votes: sum of extracted bits vs half the count
     val bitVotes = (0 until SimBits).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"v_$j")
     }
-    val votes = shingledMd5(spark, dir)
+    val votes = shingledMd5On(docs)
       .select(col("doc_id"), explode(col("sh")).as("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"), bitVotes: _*)
@@ -261,25 +285,78 @@ object DedupQueries {
     votes.select(col("doc_id"), simhash.as("simhash"))
   }
 
-  /** SimHash near-dup pairs at hamming distance ≤ 3, blocked by the
-    * pigeonhole principle on 4×15-bit chunks (distance ≤3 ⇒ at least one
-    * of 4 chunks is identical) — candidate join is equi, not quadratic. */
-  val dedupSimhash: Q = (spark, dir) => {
-    val sim = simhashes(spark, dir)
-    val chunks = sim.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL))): _*))
-        .as(Seq("chunk_idx", "chunk_val")))
-    val pairs = chunks.as("a").join(chunks.as("b"),
+  /** TWO-LEVEL pigeonhole blocking keys for hamming ≤ 3 over a 60-bit
+    * hash — 16 (chunk_idx, chunk_val) postings per doc.
+    *
+    * Level 1 is the classic 4 × 15-bit split (≤3 errors ⇒ ≥1 chunk
+    * exact). Level 1 ALONE saturates: its key space is 2^15 per chunk
+    * slot, so beyond ~30k docs random chunk collisions dominate and
+    * candidate pairs go quadratic — MEASURED in the round-9 10× scale
+    * rehearsal (dedup_simhash candidates ×85, mm_dedup_phash ×177 at
+    * 10× corpus; SCALE10.json). Level 2 restores the bound: given the
+    * exact chunk c, all ≤3 errors live in c's 45-bit complement (the
+    * other three chunks, concatenated in cyclic order); pigeonhole over
+    * its 12+11+11+11-bit sub-chunks gives ≥1 exact sub-chunk. So every
+    * true pair shares a (c·4+s, chunk_val·2^12 + sub_val) key, and the
+    * key space per slot grows from 2^15 to 2^27 — saturation pushed
+    * from ~10^4 to ~10^8 docs per slot (re-measured: candidate growth
+    * back to ~linear at 10×). Recall is exact, not probabilistic: the
+    * candidate set is a SUPERSET of all hamming ≤ 3 pairs by
+    * construction, and the exact hamming filter downstream makes the
+    * final result identical to the single-level form (oracles and
+    * fixture specs unchanged). Cost: 16 postings/doc instead of 4 —
+    * fixed-width rows, the same shuffle shape, 4× the posting volume
+    * for a quadratic→linear candidate collapse. */
+  private[graft] def twoLevelKeys(h: Column): Column = {
+    val chunks = (0 until 4).map(c =>
+      shiftright(h, c * 15).bitwiseAND(lit(0x7FFFL)))
+    val entries = for { c <- 0 until 4; s <- 0 until 4 } yield {
+      val o = (1 to 3).map(i => chunks((c + i) % 4))
+      val comp = o(0).bitwiseOR(shiftleft(o(1), 15)).bitwiseOR(shiftleft(o(2), 30))
+      val sub = s match {
+        case 0 => comp.bitwiseAND(lit(0xFFFL))
+        case 1 => shiftright(comp, 12).bitwiseAND(lit(0x7FFL))
+        case 2 => shiftright(comp, 23).bitwiseAND(lit(0x7FFL))
+        case _ => shiftright(comp, 34).bitwiseAND(lit(0x7FFL))
+      }
+      struct(lit(c * 4 + s).as("chunk_idx"),
+        shiftleft(chunks(c), 12).bitwiseOR(sub).as("chunk_val"))
+    }
+    array(entries: _*)
+  }
+
+  /** Pigeonhole blocking frame for [[dedupSimhash]] — one row per
+    * (doc, two-level key); the (chunk_idx, chunk_val) equi-key bounds
+    * candidate generation ([[twoLevelKeys]]). */
+  private[graft] def simhashChunksOn(docs: DataFrame): DataFrame =
+    simhashesOn(docs).select(col("doc_id"), col("simhash"),
+      explode(twoLevelKeys(col("simhash"))).as("k"))
+      .select(col("doc_id"), col("simhash"),
+        col("k.chunk_idx").as("chunk_idx"), col("k.chunk_val").as("chunk_val"))
+
+  /** SimHash candidate pairs (distinct, pre-hamming-filter) — the
+    * blocked candidate set the scale rehearsal measures. */
+  private[graft] def simhashCandidatesOn(docs: DataFrame): DataFrame = {
+    val chunks = simhashChunksOn(docs)
+    chunks.as("a").join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
-    pairs.where(col("hamming") <= 3)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** SimHash near-dup pairs at hamming distance ≤ 3, blocked by the
+    * two-level pigeonhole scheme ([[twoLevelKeys]]: exact 15-bit chunk
+    * + exact sub-chunk of its complement) — candidate join is equi with
+    * a 2^27 key space per slot, not quadratic. */
+  private[graft] def simhashPairsOn(docs: DataFrame): DataFrame =
+    simhashCandidatesOn(docs).where(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupSimhash: Q = (spark, dir) =>
+    simhashPairsOn(Tables.documents(spark, dir))
 
   /** Connected components over the near-dup pair graph → canonical
     * keeper per duplicate group (the step that turns pairwise dedup
@@ -462,8 +539,14 @@ object DedupQueries {
     * with early exit, vs O(len²) for the unbounded form (returns -1
     * past the threshold, so the match filter is `dist != -1`).
     * Measured 2.6 s → 0.5 s steady-state at sf0.1 together. */
-  val dedupEntityBlock: Q = (spark, dir) => {
-    val c = Tables.customer(spark, dir)
+  val dedupEntityBlock: Q = (spark, dir) =>
+    entityBlockOn(Tables.customer(spark, dir))
+
+  /** Blocked candidate pairs of [[dedupEntityBlock]] — the block-key
+    * equi-join BEFORE the banded levenshtein compare (the per-block
+    * quadratic term the alphabet bound caps). */
+  private[graft] def entityBlockCandidatesOn(customer: DataFrame): DataFrame = {
+    val c = customer
       .select(col("c_custkey"), col("c_name"))
       .withColumn("blk", expr("substring(c_name, 1, length(c_name) - 2)"))
     // explicit width: AQE would coalesce a 15k-row exchange to one
@@ -472,16 +555,21 @@ object DedupQueries {
     // shuffle width so the per-block compares actually spread out
     val left  = c.select(col("blk"), col("c_custkey").as("custkey_a"),
       col("c_name").as("name_a"))
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("blk"))
+      .repartition(
+        customer.sparkSession.sessionState.conf.numShufflePartitions,
+        col("blk"))
     val right = c.select(col("blk"), col("c_custkey").as("custkey_b"),
       col("c_name").as("name_b"))
     left.join(right, Seq("blk"))
       .where(col("custkey_a") < col("custkey_b"))
+  }
+
+  private[graft] def entityBlockOn(customer: DataFrame): DataFrame =
+    entityBlockCandidatesOn(customer)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1))
       .where(col("dist") =!= -1)
       .select(col("custkey_a"), col("custkey_b"), col("dist"))
       .orderBy(col("custkey_a"), col("custkey_b"))
-  }
 
   /** Containment threshold for [[dedupContainment]]. */
   val ContainT = 0.8
@@ -512,21 +600,21 @@ object DedupQueries {
     * spec plants a doc fully contained in a larger one (Jaccard-
     * invisible) plus a sub-threshold overlap, and cross-checks the
     * prefix-filtered result against an in-memory naive recompute. */
-  private[graft] def containmentOn(docs: DataFrame): DataFrame = {
-    // materialize the md5 shingling behind an explode → re-collect
-    // aggregate: the Generate blocks CollapseProject from re-inlining
-    // the tokenizer/md5 tree into every downstream array reference
-    // (the [[graft.operators.PipelineOps.decontaminateOn]] trap — 28
-    // inlined regex copies, 21.6 s at sf0.1 local[4] when fused), and
-    // the aggregate's doc_id exchange is the ONE subtree all four
-    // consumers (probe, full index, both verify sides) reuse. Only
-    // 8-byte hashes shuffle; empty shingle sets drop with the explode.
-    // Measured 21.6 s → ~3 s at sf0.1 local[4].
-    val sh = shingledMd5On(docs)
+  /** Sorted shingle-hash-array aggregate shared by the containment
+    * probe, index, and verify ([[containmentOn]] plan note). */
+  private[graft] def containmentShOn(docs: DataFrame): DataFrame =
+    shingledMd5On(docs)
       .select(col("doc_id"), explode(col("sh")).as("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h"))).as("hs"),
         count(lit(1)).as("sz"))
+
+  /** Prefix-filtered candidate pairs of [[containmentOn]] — ordered
+    * (a, b) pairs surviving the prefix + length-bound filters, BEFORE
+    * the exact intersection verify. Takes the [[containmentShOn]]
+    * frame so callers can reuse one aggregate across candidates and
+    * verify. */
+  private[graft] def containmentCandidatesOf(sh: DataFrame): DataFrame = {
     // prefix length k = sz − ⌈t·sz⌉ + 1 in PURE INTEGER math. The
     // double form floor(sz·(1−t))+1 is wrong at exactly-at-threshold
     // sizes: IEEE 1.0−0.8 = 0.1999…96, so any sz divisible by 5 gets
@@ -541,10 +629,24 @@ object DedupQueries {
       explode(col("hs")).as("h"))
     // length lower bound: containment ≥ t needs |A∩B| ≥ t·|A| ≤ |B|,
     // so undersized B-sides never become candidates
-    val cand = probe.join(full, Seq("h"))
+    probe.join(full, Seq("h"))
       .where(col("a") =!= col("b") &&
         col("sz_b").cast("double") >= col("sz_a").cast("double") * lit(ContainT))
       .select(col("a"), col("b")).distinct()
+  }
+
+  private[graft] def containmentOn(docs: DataFrame): DataFrame = {
+    // materialize the md5 shingling behind an explode → re-collect
+    // aggregate: the Generate blocks CollapseProject from re-inlining
+    // the tokenizer/md5 tree into every downstream array reference
+    // (the [[graft.operators.PipelineOps.decontaminateOn]] trap — 28
+    // inlined regex copies, 21.6 s at sf0.1 local[4] when fused), and
+    // the aggregate's doc_id exchange is the ONE subtree all four
+    // consumers (probe, full index, both verify sides) reuse. Only
+    // 8-byte hashes shuffle; empty shingle sets drop with the explode.
+    // Measured 21.6 s → ~3 s at sf0.1 local[4].
+    val sh = containmentShOn(docs)
+    val cand = containmentCandidatesOf(sh)
     // exact verify on candidates only — ONE set-intersect per pair on
     // the sorted hash arrays (codegen'd, no posting re-explosion: the
     // exploded three-way join shape measured 13× slower at sf0.1)
@@ -563,7 +665,74 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---- Exact substring spans (anchor-sampled) -----------------------
+
+  /** Window length (chars) and anchor selectivity for
+    * [[dedupSubstringSpans]]: ~1 window in [[SpanSel]] is selected,
+    * content-defined. */
+  val SpanK   = 64
+  val SpanSel = 16L
+
+  /** `dedup_substring_spans`: exact substring-level duplication
+    * profile — per document, what fraction of its content windows
+    * also appear VERBATIM in some other document. This is the
+    * operator behind suffix-array-style training-data dedup ("a 64-
+    * char span repeated across documents is memorization fuel"; cf.
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed for bounded-memory distributed
+    * execution: instead of a corpus-global suffix array (which needs
+    * the whole corpus resident), hash every K-char window and keep
+    * the CONTENT-DEFINED subset with h ≡ 0 (mod [[SpanSel]]) as
+    * anchors — the winnowing/CDC trick. Anchor selection depends
+    * only on window BYTES, never position, so a span shared at any
+    * byte offset in two documents selects the same anchors in both;
+    * a fixed-stride sample would silently miss every misaligned
+    * copy (phase mismatch mod stride), which is exactly the failure
+    * mode that makes naive sampling dishonest here.
+    *
+    * Result: (doc_id, n_anchors, n_dup_anchors, dup_frac) — an
+    * unbiased 1/[[SpanSel]] sample of the doc's span-duplication
+    * rate. Documents selecting zero anchors (short docs, unlucky
+    * content) drop from the result in both engines alike.
+    *
+    * Scale: md5-per-position runs scan-side (one codegen'd pass over
+    * text; no shuffle sees a window string — only selected 8-byte
+    * anchor hashes travel). The spread aggregate shuffles (hash,
+    * doc_id) pairs at 1/16 window density; hot anchors (boilerplate
+    * spans) are the usual skew axis, bounded like the ngram posting
+    * lists. The whole result replays in DuckDB over the same md5
+    * window hashes. */
+  val dedupSubstringSpans: Q = (spark, dir) =>
+    substringSpansOn(Tables.documents(spark, dir))
+
+  /** Selected (doc_id, anchor-hash) postings of
+    * [[dedupSubstringSpans]] — the only rows that ever shuffle. */
+  private[graft] def spanAnchorsOn(docs: DataFrame): DataFrame = {
+    val positions =
+      sequence(lit(1L), greatest(col("n_chars") - lit(SpanK - 1L), lit(1L)))
+    val hashes = transform(positions, p =>
+      conv(substring(md5(col("text").substr(p, lit(SpanK))), 1, 15), 16, 10)
+        .cast("long"))
+    val anchors = filter(hashes, h => pmod(h, lit(SpanSel)) === 0)
+    docs.select(col("doc_id"), explode(anchors).as("h"))
+  }
+
+  private[graft] def substringSpansOn(docs: DataFrame): DataFrame = {
+    val win = spanAnchorsOn(docs)
+    val spread = win.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    win.join(spread, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_anchors"),
+        count(when(col("nd") > 1, 1)).as("n_dup_anchors"))
+      .select(col("doc_id"), col("n_anchors"), col("n_dup_anchors"),
+        (col("n_dup_anchors").cast("double") / col("n_anchors").cast("double"))
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "dedup_substring_spans" -> dedupSubstringSpans,
     "dedup_containment"   -> dedupContainment,
     "dedup_exact"         -> dedupExact,
     "dedup_incremental"   -> dedupIncremental,
@@ -655,6 +824,28 @@ object DedupQueries {
        |e AS (SELECT doc_id, unnest(s) AS h FROM sh)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // Replays the anchor construction exactly: every K-char window
+    // hashed with the same md5-prefix scheme, content-defined
+    // selection h % SpanSel = 0, distinct-doc spread, per-doc ratio.
+    "dedup_substring_spans" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    [CAST('0x' || substr(md5(substr(text, CAST(p AS INT), $SpanK)),
+         |          1, 15) AS BIGINT)
+         |     FOR p IN range(1, GREATEST(n_chars - ${SpanK - 1}, 1) + 1)] AS hs
+         |  FROM documents),
+         |a AS (
+         |  SELECT doc_id, unnest([h FOR h IN hs IF h % $SpanSel = 0]) AS h
+         |  FROM w),
+         |spread AS (SELECT h, count(DISTINCT doc_id) AS nd FROM a GROUP BY h)
+         |SELECT a.doc_id,
+         |  count(*) AS n_anchors,
+         |  count(CASE WHEN s.nd > 1 THEN 1 END) AS n_dup_anchors,
+         |  CAST(count(CASE WHEN s.nd > 1 THEN 1 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_frac
+         |FROM a JOIN spread s USING (h)
+         |GROUP BY a.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "dedup_containment" ->
       s"""$Md5ShinglePrefixSql
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -152,9 +152,15 @@ object MultimodalQueries {
     * thresholded at the coefficient median. A production pipeline
     * points the decoder's 32×32 luma output at the same expression.
     *
-    * Pigeonhole blocking UNCHANGED: 4 × 15-bit chunks (hamming ≤ 3 ⇒
-    * at least one chunk equal), candidates from an EQUI-join on
-    * (chunk_idx, chunk_val), exact hamming on candidates only. Blobs
+    * Pigeonhole blocking: the round-9 TWO-LEVEL scheme
+    * ([[graft.operators.DedupQueries.twoLevelKeys]] — hamming ≤ 3 ⇒
+    * some 15-bit chunk exact AND some sub-chunk of its complement
+    * exact), candidates from an EQUI-join on (chunk_idx, chunk_val),
+    * exact hamming on candidates only. The final pair set is identical
+    * to single-level blocking (both are exact-recall supersets filtered
+    * by true hamming — the oracle replays the simpler single-level form
+    * for that reason), but the candidate volume stays linear at corpus
+    * scale where the 15-bit key space saturates (SCALE10.json). Blobs
     * never shuffle — the hash collapses each blob to 8 bytes in the
     * scan stage (one codegen'd call per row, no explode at all now),
     * and only (doc_id, phash) moves. Locality is spec-asserted: byte
@@ -176,16 +182,32 @@ object MultimodalQueries {
 
   /** Core of [[mmDedupPhash]] over any frame with (doc_id, data) —
     * exposed so specs can plant noisy/unrelated blob pairs. */
-  private[graft] def mmDedupPhashOn(media: DataFrame): DataFrame = {
+  private[graft] def mmDedupPhashOn(media: DataFrame): DataFrame =
+    phashCandidatesOn(media)
+      .where(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Pigeonhole blocking frame of [[mmDedupPhashOn]] — one row per
+    * (doc, two-level key) via
+    * [[graft.operators.DedupQueries.twoLevelKeys]] (exact 15-bit chunk
+    * + exact complement sub-chunk; the single-level 15-bit key space
+    * measurably saturated at 10× corpus — SCALE10.json). */
+  private[graft] def phashChunksOn(media: DataFrame): DataFrame = {
     graft.functions.VectorExpressions.register(media.sparkSession)
-    val ph = media
+    media
       .where(octet_length(col("data")) >= 1)
       .select(col("doc_id"),
         graft.functions.DctPhash.dct_phash(col("data")).as("phash"))
-    val chunks = ph.select(col("doc_id"), col("phash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("phash"), c * 15).bitwiseAND(lit(0x7FFFL))): _*))
-        .as(Seq("chunk_idx", "chunk_val")))
+      .select(col("doc_id"), col("phash"),
+        explode(graft.operators.DedupQueries.twoLevelKeys(col("phash"))).as("k"))
+      .select(col("doc_id"), col("phash"),
+        col("k.chunk_idx").as("chunk_idx"), col("k.chunk_val").as("chunk_val"))
+  }
+
+  /** pHash candidate pairs (distinct, pre-hamming-filter) — the scale
+    * rehearsal's measured frame for this family. */
+  private[graft] def phashCandidatesOn(media: DataFrame): DataFrame = {
+    val chunks = phashChunksOn(media)
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
@@ -193,8 +215,6 @@ object MultimodalQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
       .distinct()
-      .where(col("hamming") <= 3)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   def queries: Map[String, Q] = Map(

@@ -65,10 +65,18 @@ class CoreQueriesSpec extends AnyFunSuite {
 
   test("every declared query has matching column names with its oracle usage " +
     "and returns rows on sf0.001") {
+    // Queries whose CORRECT result is legitimately empty at tiny SFs:
+    // the real DCT pHash (round 9) only pairs identical/value-perturbed
+    // blobs, and sf0.001/sf0.01 plant none — the empty frame is itself
+    // hash-verified against the oracle's full DCT replay, and
+    // JoinWindowSpec's planted-fixture tests prove the operator finds
+    // near-dups when they exist. Everything else must return rows.
+    val emptyOkAtTinySf = Set("mm_dedup_phash")
     SparkEntry.queries.foreach { case (name, q) =>
       val df = q(spark, sf)
       assert(df.columns.nonEmpty, s"$name has no columns")
-      assert(df.count() > 0, s"$name returned 0 rows")
+      if (!emptyOkAtTinySf(name))
+        assert(df.count() > 0, s"$name returned 0 rows")
     }
   }
 

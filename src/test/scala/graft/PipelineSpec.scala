@@ -389,6 +389,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(ds.count() == Tables.documents(spark, sf).count())
   }
 
+  test("two-level pigeonhole keys: every hamming<=3 pair shares a key " +
+    "(incl. flips spread across three level-1 chunks)") {
+    import spark.implicits._
+    val h0 = 0x0ABCDEF1234567L & ((1L << 60) - 1)
+    // adversarial flip sets: same-chunk, chunk-boundary-straddling,
+    // and the worst case for single-level reasoning — three flips in
+    // three DIFFERENT 15-bit chunks (exactly one chunk left exact)
+    val flipSets = Seq(
+      Seq.empty[Int], Seq(0), Seq(59), Seq(0, 1, 2), Seq(14, 15, 16),
+      Seq(0, 16, 31), Seq(5, 20, 35), Seq(44, 58, 59), Seq(7, 22, 37),
+      Seq(0, 15, 30), Seq(14, 29, 44))
+    val pairs = flipSets.map { fs =>
+      (h0, fs.foldLeft(h0)((h, b) => h ^ (1L << b)), fs.mkString("+"))
+    }.toDF("ha", "hb", "flips")
+    val overlap = pairs.select(col("flips"),
+      arrays_overlap(
+        operators.DedupQueries.twoLevelKeys(col("ha")),
+        operators.DedupQueries.twoLevelKeys(col("hb"))).as("shared"))
+      .collect()
+    overlap.foreach { r =>
+      assert(r.getBoolean(1), s"no shared two-level key for flips {${r.getString(0)}}")
+    }
+  }
+
+  test("substring spans: misaligned verbatim copy is detected (content-" +
+    "defined anchors), unrelated doc reports zero duplication") {
+    import spark.implicits._
+    // deterministic "content": distinct 5-char tokens → no accidental
+    // 64-char window repeats within or across unrelated docs
+    def blob(seed: Int, n: Int): String =
+      (0 until n).map(i => f"w$seed%02d${i}%03d").mkString(" ")
+    val base = blob(1, 120)                  // ~840 chars
+    val shared = base.substring(100, 500)    // 400-char span inside doc 1
+    // doc 2 embeds the span after a 13-char prefix — NOT a multiple of
+    // any stride, so fixed-stride sampling would be phase-shifted;
+    // content-defined anchors must still fire
+    val doc2 = "prefix13char " + shared + " " + blob(2, 40)
+    val doc3 = blob(3, 120)
+    val docs = Seq((1L, base), (2L, doc2), (3L, doc3))
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val res = operators.DedupQueries.substringSpansOn(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(res.contains(1L) && res.contains(2L) && res.contains(3L))
+    val (n1, d1, f1) = res(1L); val (n2, d2, _) = res(2L); val (n3, d3, f3) = res(3L)
+    assert(d1 > 0, s"doc 1 shared span produced no dup anchors (n=$n1)")
+    assert(d2 > 0, s"doc 2 misaligned copy not detected (n=$n2)")
+    assert(d3 == 0 && f3 == 0.0, s"unrelated doc 3 reports dup anchors: $d3")
+    assert(d1 <= n1 && d2 <= n2 && d3 <= n3)
+    assert(math.abs(f1 - d1.toDouble / n1) == 0.0)
+  }
+
   test("langid predicts a language for every doc; fingerprint is stable " +
     "under whitespace change") {
     import spark.implicits._
