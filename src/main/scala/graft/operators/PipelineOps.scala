@@ -395,8 +395,90 @@ object PipelineOps {
         max(col("doc_id")).as("max_doc_id"))
       .orderBy(col("shard_id"))
 
+  /** Budget = corpus tokens ÷ this, per language (the "train on a
+    * quarter epoch" shape; production passes the target directly). */
+  val TokenBudgetDenom = 4L
+
+  /** `pipe_token_budget`: token-budget epoch planning — select, per
+    * language, a deterministic subset of documents whose token total
+    * fills a budget (¼ of that language's corpus tokens here). Docs are
+    * consumed in replayable (hash, doc_id) order and selected while the
+    * running token total stays within budget — so a rebuild, a retry,
+    * or a different engine selects the IDENTICAL subset.
+    *
+    * The global per-language cumulative sum that rule seems to require
+    * would serialize the corpus into one partition per language — the
+    * [[pipePackSequences]] hazard at its worst (5 languages = 5
+    * partitions for 100 TB). Instead the selection DECOMPOSES over the
+    * 10⁴ hash buckets: (1) per-(lang, bucket) token sums — a bounded
+    * ≤ 5×10⁴-row frame; (2) a prefix sum + boundary-bucket search on
+    * that bounded frame only; (3) buckets strictly before the boundary
+    * are selected WHOLE by a scan predicate (no ordering needed), and
+    * only the single boundary bucket (~corpus/10⁴ docs) pays a
+    * doc-grain cumulative sum. Exactness: bucket prefixes are monotone
+    * (token counts ≥ 0), so cum(doc) = bucketPrefix(h−1) +
+    * cumWithin(h), and the three cases partition the order — the
+    * DuckDB oracle runs the NAIVE single-window formulation, so the
+    * hash-match PROVES the decomposition (the join_range_bucketed
+    * doctrine). Reports per language: corpus/budget totals, selected
+    * doc/token counts, and the boundary bucket. */
+  val pipeTokenBudget: Q = (spark, dir) =>
+    tokenBudgetOn(Tables.documents(spark, dir))
+
+  /** [[pipeTokenBudget]] over an explicit (doc_id, lang, text) frame —
+    * the spec hand-computes a tiny corpus's selection and asserts the
+    * bucket decomposition equals the naive cumulative rule. */
+  private[graft] def tokenBudgetOn(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"), size(col("w")).cast("long").as("nt"),
+        hash10k(col("doc_id")).as("h"))
+    val budgets = t.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total_docs"), sum(col("nt")).as("corpus_tokens"))
+      .withColumn("budget_tokens", expr(s"corpus_tokens div $TokenBudgetDenom"))
+    val bs = t.groupBy(col("lang"), col("h"))
+      .agg(sum(col("nt")).as("bt"), count(lit(1)).as("bdocs"))
+    // prefix sum over the BOUNDED (lang, bucket) frame — ≤ 10⁴ rows per
+    // language, never the corpus
+    val pre = bs
+      .withColumn("bprefix",
+        sum(col("bt")).over(Window.partitionBy(col("lang")).orderBy(col("h"))))
+      .join(budgets.select(col("lang"), col("budget_tokens")), Seq("lang"))
+    val hstar = pre.where(col("bprefix") > col("budget_tokens"))
+      .groupBy(col("lang")).agg(min(col("h")).as("hstar"))
+    val full = pre.join(hstar, Seq("lang"), "left")
+      .where(col("hstar").isNull || col("h") < col("hstar"))
+      .groupBy(col("lang"))
+      .agg(sum(col("bdocs")).as("full_docs"), sum(col("bt")).as("full_tokens"))
+    // doc-grain refinement of ONLY the boundary bucket (~corpus/10⁴ rows)
+    val boundary = pre.join(hstar, Seq("lang")).where(col("h") === col("hstar"))
+      .select(col("lang"), col("hstar"),
+        (col("bprefix") - col("bt")).as("before_tokens"), col("budget_tokens"))
+    val bound = t.join(broadcast(boundary), Seq("lang"))
+      .where(col("h") === col("hstar"))
+      .withColumn("cumw", sum(col("nt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+      .where(col("before_tokens") + col("cumw") <= col("budget_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("b_docs"), sum(col("nt")).as("b_tokens"))
+    budgets
+      .join(full, Seq("lang"), "left")
+      .join(bound, Seq("lang"), "left")
+      .join(hstar, Seq("lang"), "left")
+      .select(col("lang"), col("n_total_docs"), col("corpus_tokens"),
+        col("budget_tokens"),
+        (coalesce(col("full_docs"), lit(0L)) + coalesce(col("b_docs"), lit(0L)))
+          .as("n_sel_docs"),
+        (coalesce(col("full_tokens"), lit(0L)) +
+          coalesce(col("b_tokens"), lit(0L))).as("sel_tokens"),
+        col("hstar").as("cut_bucket"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, Q] = Map(
     "pipe_curriculum"     -> pipeCurriculum,
+    "pipe_token_budget"   -> pipeTokenBudget,
     "pipe_shard_manifest" -> pipeShardManifest,
     "smp_split_leakfree"  -> smpSplitLeakfree,
     "smp_stratified"      -> smpStratified,
@@ -412,6 +494,41 @@ object PipelineOps {
   private val T = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   def oracles: Map[String, String] = Map(
+    // The NAIVE one-window formulation — hash-matching it proves the
+    // engine's bucket decomposition exact (join_range_bucketed rule).
+    "pipe_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($T) AS BIGINT) AS nt,
+         |    ${hash10kSql("doc_id")} AS h
+         |  FROM documents),
+         |b AS (
+         |  SELECT lang, count(*) AS n_total_docs,
+         |    CAST(SUM(nt) AS BIGINT) AS corpus_tokens,
+         |    CAST(SUM(nt) AS BIGINT) // $TokenBudgetDenom AS budget_tokens
+         |  FROM t GROUP BY 1),
+         |c AS (
+         |  SELECT t.*, CAST(SUM(nt) OVER (PARTITION BY lang
+         |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t),
+         |sel AS (
+         |  SELECT c.lang, count(*) AS n_sel_docs,
+         |    CAST(SUM(nt) AS BIGINT) AS sel_tokens
+         |  FROM c JOIN b USING (lang)
+         |  WHERE cum <= budget_tokens GROUP BY 1),
+         |bp AS (
+         |  SELECT lang, h,
+         |    CAST(SUM(SUM(nt)) OVER (PARTITION BY lang ORDER BY h)
+         |         AS BIGINT) AS bprefix
+         |  FROM t GROUP BY lang, h),
+         |hs AS (
+         |  SELECT lang, min(h) AS cut_bucket
+         |  FROM bp JOIN b USING (lang)
+         |  WHERE bprefix > budget_tokens GROUP BY 1)
+         |SELECT lang, n_total_docs, corpus_tokens, budget_tokens,
+         |  coalesce(n_sel_docs, 0) AS n_sel_docs,
+         |  coalesce(sel_tokens, 0) AS sel_tokens, cut_bucket
+         |FROM b LEFT JOIN sel USING (lang) LEFT JOIN hs USING (lang)
+         |ORDER BY lang""".stripMargin,
     "pipe_shard_manifest" ->
       """WITH s AS (
         |  SELECT doc_id, length(text) AS n_chars,

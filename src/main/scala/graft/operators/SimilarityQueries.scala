@@ -259,12 +259,20 @@ object SimilarityQueries {
     * `Right((massBp, maxProbe))` adaptive) → exact cosine on probed
     * clusters. Returns the scored candidate frame (query_id, vec_id,
     * label, cos_sim) before ranking. */
-  private def ivfScored(spark: SparkSession, dir: String,
-      probe: Either[Int, (Int, Int)]): DataFrame = {
-    val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
-      .select(col("vec_id"), col("label"), col("vec"), col("norm"))
-    // codebook: exact per-dimension means, assembled in dim order
-    val codebook = Tables.embeddings(spark, dir)
+  /** Label-centroid codebook as collected literals: (cluster, centroid,
+    * centroid norm) sorted by cluster — exact per-dimension integer-
+    * scaled means assembled in dim order (the replayable IVF coarse
+    * quantizer). The codebook is a bounded derivative (|labels| rows) —
+    * collected once and inlined as literals, so assignment is a pure
+    * map-side projection with no broadcast join, no crossJoin, no
+    * Window. Shared by [[simKnnIvf]] and [[pipeSemDedup]]. */
+  private def centroidCodebook(spark: SparkSession, dir: String)
+      : Array[(Int, Seq[Double], Double)] =
+    centroidCodebookOf(Tables.embeddings(spark, dir))
+
+  private def centroidCodebookOf(embRaw: DataFrame)
+      : Array[(Int, Seq[Double], Double)] = {
+    val codebook = embRaw
       .select(col("label"), posexplode(col("embedding").cast("array<double>"))
         .as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
@@ -274,23 +282,30 @@ object SimilarityQueries {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
         s => s("cx")).as("cvec"))
       .select(col("label").as("cluster"), col("cvec"))
-    // The codebook is a bounded derivative (|labels| rows) — collect it
-    // once and inline it as literals; every executor then assigns
-    // map-side with no broadcast join, no crossJoin, no Window.
-    val centroids: Array[(Int, Seq[Double], Double)] = codebook.collect().map {
-      r =>
-        val cv = r.getSeq[Double](1)
-        // same left-fold accumulation order as the aggregate() HOF
-        (r.getAs[Number](0).intValue, cv,
-          math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x)))
+    codebook.collect().map { r =>
+      val cv = r.getSeq[Double](1)
+      // same left-fold accumulation order as the aggregate() HOF
+      (r.getAs[Number](0).intValue, cv,
+        math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x)))
     }.sortBy(_._1)
-    /** Per-centroid (csim, −cluster) scores of `vec` — struct ordering
-      * makes `array_max` ≡ argmax by (csim desc, cluster asc). */
+  }
+
+  /** Per-centroid (csim, −cluster) scores of `vec` — struct ordering
+    * makes `array_max` ≡ argmax by (csim desc, cluster asc). */
+  private def centroidScoresFor(centroids: Array[(Int, Seq[Double], Double)],
+      vec: Column, norm: Column): Column =
+    array(centroids.map { case (cl, cv, cn) =>
+      struct((dot(vec, typedLit(cv)) / (norm * lit(cn))).as("csim"),
+        lit(-cl).as("neg_cluster"))
+    }: _*)
+
+  private def ivfScored(spark: SparkSession, dir: String,
+      probe: Either[Int, (Int, Int)]): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
+      .select(col("vec_id"), col("label"), col("vec"), col("norm"))
+    val centroids = centroidCodebook(spark, dir)
     def centroidScores(vec: Column, norm: Column): Column =
-      array(centroids.map { case (cl, cv, cn) =>
-        struct((dot(vec, typedLit(cv)) / (norm * lit(cn))).as("csim"),
-          lit(-cl).as("neg_cluster"))
-      }: _*)
+      centroidScoresFor(centroids, vec, norm)
     // map-side argmax assignment of every corpus vector — a projection
     val assigned = emb.withColumn("cluster",
       -array_max(centroidScores(col("vec"), col("norm")))
@@ -405,6 +420,74 @@ object SimilarityQueries {
         Tables.round6(cosine_similarity(col("va"), col("vb"))).as("cos_sim"))
       .where(col("cos_sim") >= 0.3)
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** SemDeDup duplicate threshold. This fixture has no true duplicate
+    * vectors (max pairwise cosine ≈ 0.47), so τ is calibrated to its
+    * within-cluster tail (~p99.8) to exercise the drop path; a
+    * production corpus runs the same plan at ≥ 0.95. */
+  val SemDedupTau = 0.35
+
+  /** `pipe_semdedup`: SemDeDup-style semantic deduplication (Abbas et
+    * al. 2023, arXiv:2303.09540) — the embedding-space member of the
+    * keeper-policy family (vs [[operators.DedupQueries]]' lexical
+    * members and `pipe_dedup_keep_best`'s quality rule): cluster the
+    * corpus with the IVF coarse quantizer ([[centroidCodebook]] — same
+    * map-side argmax assignment as sim_knn_ivf), find within-cluster
+    * pairs with cosine ≥ [[SemDedupTau]], and KEEP the pair member
+    * FARTHEST from its centroid (the paper's low-centroid-similarity
+    * keeper — it preserves cluster-edge diversity while dropping
+    * redundant cluster-core examples). The drop rule is pairwise
+    * dominance — v drops iff some τ-partner has strictly lower
+    * (csim_centroid, vec_id) — which is deterministic, local to the
+    * cluster, and exactly SQL-replayable, unlike a greedy sequential
+    * sweep. Emits every vector with its cluster, rounded centroid
+    * similarity, and the keep/drop verdict.
+    *
+    * Determinism: assignment argmax uses the IVF doctrine (identical
+    * unrounded expression trees + struct-ordered tie-break); the
+    * τ-compare and the dominance compare both use 6-decimal-rounded
+    * cosines so boundary pairs agree across engines.
+    *
+    * Scale: the within-cluster self-join is the published algorithm's
+    * shape — quadratic PER CLUSTER, linear overall because k grows
+    * with the corpus (the paper runs k = 50k on LAION so cluster size
+    * stays ~constant; here k = |labels|). Vectors shuffle ONCE on the
+    * cluster key (the IVF posting-list layout), and the pairwise
+    * compare runs inside each cluster's partition — no all-pairs path
+    * across clusters exists. FULLY oracled: codebook, assignment,
+    * pairing, and dominance replay bit-for-bit in DuckDB. */
+  val pipeSemDedup: Q = (spark, dir) =>
+    semDedupOn(Tables.embeddings(spark, dir))
+
+  /** [[pipeSemDedup]] over an explicit (vec_id, embedding, label) frame
+    * — the spec plants identical vectors (always τ-partners: cosine 1)
+    * and asserts exactly one survives, with the keeper being the
+    * lower-(csim, vec_id) member. */
+  private[graft] def semDedupOn(embRaw: DataFrame): DataFrame = {
+    val emb = withNorm(embRaw, "embedding")
+      .select(col("vec_id"), col("vec"), col("norm"))
+    val centroids = centroidCodebookOf(embRaw)
+    val assigned = emb
+      .withColumn("best",
+        array_max(centroidScoresFor(centroids, col("vec"), col("norm"))))
+      .select(col("vec_id"), col("vec"), col("norm"),
+        (-col("best.neg_cluster")).as("cluster"),
+        Tables.round6(col("best.csim")).as("csim_centroid"))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .where(Tables.round6(dot(col("a.vec"), col("b.vec")) /
+        (col("a.norm") * col("b.norm"))) >= SemDedupTau)
+      .where(col("b.csim_centroid") < col("a.csim_centroid") ||
+        (col("b.csim_centroid") === col("a.csim_centroid") &&
+          col("b.vec_id") < col("a.vec_id")))
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("dropped", lit(1))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("csim_centroid"),
+        when(col("dropped").isNull, 1).otherwise(0).as("is_kept"))
+      .orderBy(col("vec_id"))
   }
 
   /** Symmetric int8 quantization of the embedding column — the storage
@@ -649,10 +732,61 @@ object SimilarityQueries {
     "sim_label_centroids" -> simLabelCentroids,
     "dedup_embedding_cosine" -> dedupEmbCosine,
     "sim_knn_rerank"      -> simKnnRerank,
+    "pipe_semdedup"       -> pipeSemDedup,
   )
 
   def oracles: Map[String, String] = baseOracles +
     ("sim_knn_native" -> baseOracles("sim_knn_brute")) +
+    // Replays SemDeDup end-to-end: the IVF codebook + argmax assignment
+    // (identical CTEs to sim_knn_ivf), rounded centroid similarity, the
+    // within-cluster τ-pairing, and the pairwise dominance drop rule.
+    ("pipe_semdedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS norm
+         |  FROM embeddings),
+         |x AS (
+         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         |    generate_subscripts(embedding, 1) - 1 AS dim
+         |  FROM embeddings),
+         |cm AS (
+         |  SELECT label AS cluster, dim,
+         |    SUM(floor(x * 1000000.0 + 0.5)) / 1000000.0 / count(*) AS cx
+         |  FROM x GROUP BY 1, 2),
+         |cb AS (
+         |  SELECT cluster, list(cx ORDER BY dim) AS cvec FROM cm GROUP BY 1),
+         |cbn AS (
+         |  SELECT cluster, cvec, sqrt(list_dot_product(cvec, cvec)) AS cn
+         |  FROM cb),
+         |cs AS (
+         |  SELECT e.vec_id, cbn.cluster,
+         |    list_dot_product(e.vec, cbn.cvec) / (e.norm * cbn.cn) AS csim
+         |  FROM e CROSS JOIN cbn),
+         |assigned AS (
+         |  SELECT vec_id, cluster,
+         |    floor(csim * 1000000.0 + 0.5) / 1000000.0 AS csim_centroid
+         |  FROM (
+         |    SELECT vec_id, cluster, csim, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY csim DESC, cluster) AS rn
+         |    FROM cs) t
+         |  WHERE rn = 1),
+         |av AS (
+         |  SELECT a.vec_id, a.cluster, a.csim_centroid, e.vec, e.norm
+         |  FROM assigned a JOIN e USING (vec_id)),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM av a JOIN av b
+         |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+         |  WHERE floor((list_dot_product(a.vec, b.vec) / (a.norm * b.norm))
+         |          * 1000000.0 + 0.5) / 1000000.0 >= $SemDedupTau
+         |    AND (b.csim_centroid < a.csim_centroid
+         |         OR (b.csim_centroid = a.csim_centroid
+         |             AND b.vec_id < a.vec_id)))
+         |SELECT a.vec_id, a.cluster, a.csim_centroid,
+         |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
+         |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin) +
     // Replays the full LSH retrieval: the 4-bit × 16-table hyperplane
     // signatures (same replayable integer weight rule as
     // dedup_embedding_cosine), the (table, sig) candidate join, and the

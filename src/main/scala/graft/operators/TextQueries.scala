@@ -336,6 +336,84 @@ object TextQueries {
       .orderBy(col("n").desc, col("bigram"))
   }
 
+  /** The Gopher rule-battery stopword list (Rae et al. 2021, App. A1.1:
+    * "contains at least two of the following English words") — distinct
+    * from [[EN_STOP]], which is the language-ID scoring list. */
+  private[graft] val GOPHER_STOP: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** `txt_gopher_rules`: the Gopher quality rule battery (Rae et al.
+    * 2021, App. A1.1) — the rule-based corpus filter every large
+    * pretraining pipeline runs before model-based scoring: word-count
+    * bounds [50, 100k], mean word length [3, 10], symbol-to-word ratio
+    * (# and …) ≤ 0.1, ≤ 90% bullet-led lines, ≤ 30% ellipsis-ended
+    * lines, ≥ 80% words containing a letter, ≥ 2 Gopher stopwords.
+    * Emits every signal plus the conjunctive `passes` flag (a doc with
+    * zero words fails via the word-count conjunct — false AND null is
+    * false in both engines' three-valued logic).
+    *
+    * Determinism: every ratio is an integer/integer division rounded to
+    * 6 decimals BEFORE the threshold compares, so a boundary doc gets
+    * the same verdict in both engines. "Words" are whitespace-separated
+    * chunks (the paper's unit) — not [[tokens]], which drops the
+    * punctuation these rules exist to measure; the stopword rule alone
+    * uses [[tokens]] (membership needs the normal form).
+    *
+    * Scale: a pure per-row scan projection — no shuffle but the final
+    * order; at 100 TB it pipelines inside one WholeStageCodegen over
+    * the parquet scan, the same shape as [[txtQuality]]. */
+  val txtGopherRules: Q = (spark, dir) =>
+    gopherRulesOn(Tables.documents(spark, dir))
+
+  /** [[txtGopherRules]] over an explicit (doc_id, text) frame — the
+    * spec plants bullet-led, ellipsis-heavy, symbol-laden, and
+    * empty-text documents the single-line fixture lacks. */
+  private[graft] def gopherRulesOn(docs: DataFrame): DataFrame = {
+    val m = docs.select(
+      col("doc_id"),
+      filter(split(col("text"), "\\s+"), w => length(w) > 0).as("ws"),
+      split(col("text"), "\n").as("ls"),
+      (length(col("text")) - length(translate(col("text"), "#", "")))
+        .as("n_hash"),
+      size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0)))
+        .as("n_ell"),
+      stopwordCount(tokens(col("text")), GOPHER_STOP).as("n_stop"))
+    val r = m.select(
+      col("doc_id"),
+      size(col("ws")).as("n_words"),
+      aggregate(col("ws"), lit(0L), (a, w) => a + length(w))
+        .as("sum_word_len"),
+      col("n_hash"), col("n_ell"), col("n_stop"),
+      size(col("ls")).as("n_lines"),
+      size(filter(col("ls"), l => l.rlike("^\\s*[-*•]")))
+        .as("n_bullet"),
+      size(filter(col("ls"), l => l.rlike("\\.\\.\\.\\s*$")))
+        .as("n_ell_lines"),
+      size(filter(col("ws"), w => w.rlike("[a-zA-Z]")))
+        .as("n_alpha_words"))
+    val guarded = (num: Column) => when(col("n_words") > 0,
+      Tables.round6(num.cast("double") / col("n_words")))
+    val scored = r.select(
+      col("doc_id"), col("n_words"),
+      guarded(col("sum_word_len")).as("mean_word_len"),
+      guarded(col("n_hash") + col("n_ell")).as("symbol_ratio"),
+      Tables.round6(col("n_bullet").cast("double") / col("n_lines"))
+        .as("frac_bullet_lines"),
+      Tables.round6(col("n_ell_lines").cast("double") / col("n_lines"))
+        .as("frac_ellipsis_lines"),
+      guarded(col("n_alpha_words")).as("frac_alpha_words"),
+      col("n_stop"))
+    scored.withColumn("passes",
+      (col("n_words").between(50, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("frac_bullet_lines") <= 0.9 &&
+        col("frac_ellipsis_lines") <= 0.3 &&
+        col("frac_alpha_words") >= 0.8 &&
+        col("n_stop") >= 2).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII-shaped redaction: mask account-identifier digit runs (≥3) and
     * email-shaped spans, reporting the redaction count and the scrubbed
     * value — the scrub-before-sharing step of a data pipeline. Runs
@@ -455,6 +533,7 @@ object TextQueries {
     "txt_repetition"  -> txtRepetition,
     "txt_unigram_ppl" -> txtUnigramPpl,
     "txt_pii_redact"  -> txtPiiRedact,
+    "txt_gopher_rules" -> txtGopherRules,
   )
 
   private def sqlStop(words: Seq[String]): String =
@@ -464,6 +543,56 @@ object TextQueries {
     s"len(list_filter($T, t -> t IN ${sqlStop(ws)}))"
 
   def oracles: Map[String, String] = Map(
+    "txt_gopher_rules" -> {
+      val stop = GOPHER_STOP.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '\\s+'),
+         |                w -> length(w) > 0) AS ws,
+         |    regexp_split_to_array(text, '\\n') AS ls,
+         |    length(text) - length(replace(text, '#', '')) AS n_hash,
+         |    len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ell,
+         |    len(list_filter($T, t -> t IN $stop)) AS n_stop
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(ws) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+         |         AS BIGINT) AS sum_word_len,
+         |    n_hash, n_ell, n_stop, len(ls) AS n_lines,
+         |    len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]')))
+         |      AS n_bullet,
+         |    len(list_filter(ls, l -> regexp_matches(l, '\\.\\.\\.\\s*$$')))
+         |      AS n_ell_lines,
+         |    len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+         |      AS n_alpha_words
+         |  FROM base),
+         |r AS (
+         |  SELECT doc_id, n_words, n_stop,
+         |    CASE WHEN n_words > 0 THEN
+         |      floor(CAST(sum_word_len AS DOUBLE) / n_words * 1000000.0 + 0.5)
+         |        / 1000000.0 END AS mean_word_len,
+         |    CASE WHEN n_words > 0 THEN
+         |      floor(CAST(n_hash + n_ell AS DOUBLE) / n_words * 1000000.0 + 0.5)
+         |        / 1000000.0 END AS symbol_ratio,
+         |    floor(CAST(n_bullet AS DOUBLE) / n_lines * 1000000.0 + 0.5)
+         |      / 1000000.0 AS frac_bullet_lines,
+         |    floor(CAST(n_ell_lines AS DOUBLE) / n_lines * 1000000.0 + 0.5)
+         |      / 1000000.0 AS frac_ellipsis_lines,
+         |    CASE WHEN n_words > 0 THEN
+         |      floor(CAST(n_alpha_words AS DOUBLE) / n_words * 1000000.0 + 0.5)
+         |        / 1000000.0 END AS frac_alpha_words
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+         |  frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words, n_stop,
+         |  CAST((n_words BETWEEN 50 AND 100000)
+         |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |    AND symbol_ratio <= 0.1
+         |    AND frac_bullet_lines <= 0.9
+         |    AND frac_ellipsis_lines <= 0.3
+         |    AND frac_alpha_words >= 0.8
+         |    AND n_stop >= 2 AS INT) AS passes
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     "txt_freq_cms_exact" ->
       s"""WITH tok AS (SELECT unnest($T) AS token FROM documents)
          |SELECT token, CAST(count(*) AS BIGINT) AS n_exact

@@ -16,6 +16,33 @@ class AnalyticsOpsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("Gopher rule battery: planted bullet/ellipsis/symbol/numeric/empty " +
+    "docs trip exactly their rules; a clean 60-word doc passes") {
+    val clean = ("the dog and cat of big farm with red hat " * 6).trim
+    val docs = Seq(
+      (1L, clean),
+      (2L, "- one\n- two\n- three"),
+      (3L, "first line...\nsecond line...\nthird"),
+      (4L, ("word " * 60).trim + " ## ## ## ## ## ## ##"),
+      (5L, ("12345 " * 60).trim),
+      (6L, ""),
+    ).toDF("doc_id", "text")
+    val got = operators.TextQueries.gopherRulesOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Int]("passes") == 1, s"clean doc failed: ${got(1L)}")
+    assert(got(2L).getAs[Double]("frac_bullet_lines") == 1.0 &&
+      got(2L).getAs[Int]("passes") == 0)
+    assert(got(3L).getAs[Double]("frac_ellipsis_lines") == 0.666667)
+    assert(got(4L).getAs[Double]("symbol_ratio") > 0.1 &&
+      got(4L).getAs[Int]("passes") == 0)
+    assert(got(5L).getAs[Double]("frac_alpha_words") == 0.0 &&
+      got(5L).getAs[Int]("passes") == 0)
+    val empty = got(6L)
+    assert(empty.getAs[Int]("n_words") == 0 &&
+      empty.getAs[Int]("passes") == 0 &&
+      empty.isNullAt(empty.fieldIndex("mean_word_len")))
+  }
+
   test("decontamination flags exactly the training docs sharing a " +
     "3-gram with the eval set, counting distinct shared shingles") {
     // doc_id % 50 == 0 → eval; others train.

@@ -9,6 +9,38 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineOpsSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("token-budget selection: the bucket decomposition equals the naive " +
+    "per-language cumulative rule and never exceeds the budget") {
+    val docs = Tables.documents(spark, sf)
+    val got = operators.PipelineOps.tokenBudgetOn(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // independent naive replication: ONE global window per language —
+    // the formulation the decomposition exists to avoid
+    val t = docs
+      .select(col("doc_id"), col("lang"),
+        size(functions.TextFunctions.tokens(col("text"))).cast("long").as("nt"),
+        operators.PipelineOps.hash10k(col("doc_id")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = t
+      .join(t.groupBy(col("lang")).agg(sum(col("nt")).as("ct"))
+        .withColumn("budget",
+          expr(s"ct div ${operators.PipelineOps.TokenBudgetDenom}")), Seq("lang"))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .where(col("cum") <= col("budget"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("nt")).as("st"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty && got.keySet == naive.keySet)
+    got.foreach { case (lang, (budget, nSel, selTokens)) =>
+      assert(selTokens <= budget, s"$lang: $selTokens over budget $budget")
+      assert((nSel, selTokens) == naive(lang),
+        s"$lang: decomposed ($nSel, $selTokens) != naive ${naive(lang)}")
+    }
+  }
+
   test("stratified sample is a deterministic subset; strata rates bound it") {
     val total = Tables.documents(spark, sf).count()
     val s1 = operators.PipelineOps.smpStratified(spark, sf).collect()

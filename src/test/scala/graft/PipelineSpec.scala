@@ -125,6 +125,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(comps(realPairs, 0L) == comps(realPairs, Long.MaxValue))
   }
 
+  test("SemDeDup: an exact-duplicate pair keeps exactly its lower-id " +
+    "member; a near-dup pair keeps the member FARTHER from the centroid") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0), 0),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0), 0), // exact dup of 1 (cos = 1)
+      (3L, Seq(0.0, 1.0, 0.0, 0.0), 0), // orthogonal — no τ-partner
+      (4L, Seq(0.0, 0.0, 1.0, 0.0), 1), // csim_centroid ≈ 0.99862 (core)
+      (5L, Seq(0.0, 0.0, 0.9, 0.1), 1), // csim_centroid ≈ 0.99830 (edge)
+    ).toDF("vec_id", "embedding", "label")
+    val got = operators.SimilarityQueries.semDedupOn(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Int]("cluster"), r.getAs[Int]("is_kept"))).toMap
+    assert(got(1L) == (0, 1) && got(2L) == (0, 0),
+      s"identical pair must keep the lower id only: $got")
+    assert(got(3L) == (0, 1), "orthogonal member untouched")
+    // cos(4,5) ≈ 0.994 ≥ τ; 5 sits farther from the (0,0,.95,.05)
+    // centroid, so the paper's low-centroid-similarity keeper keeps 5
+    assert(got(4L) == (1, 0) && got(5L) == (1, 1),
+      s"near-dup pair must keep the cluster-edge member: $got")
+  }
+
   test("embedding near-dup LSH blocking: a planted exact duplicate is " +
     "always a candidate (identical sigs in every table) and the " +
     "block-key cardinality grows with corpus size") {
