@@ -490,6 +490,55 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** `prof_embedding_stats`: per-dimension embedding-corpus profiler —
+    * the QA panel a pipeline runs BEFORE building any vector index:
+    * mean/sample-stddev per dimension (a near-zero stddev marks a
+    * collapsed dimension that wastes index bits and distorts cosine),
+    * min/max (scale drift / clipping), and the exact-zero fraction
+    * (dead-ReLU columns). Values quantize to integer micro-units and
+    * the power sums accumulate as exact Decimal(38,0) (the
+    * agg_higher_moments doctrine ≙ DuckDB HUGEINT), so every statistic
+    * is partition-invariant and replays bit-for-bit.
+    *
+    * Scale: one posexplode of the corpus into a hash aggregate keyed
+    * by dim — map-side partials, d-row output, nothing data-sized
+    * shuffles; the explode pipelines inside the scan stage. Decimal
+    * headroom: Σm² ≤ 10³⁸ holds to ~10²⁶ values at |x| ≤ 1. */
+  val profEmbeddingStats: Q = (spark, dir) =>
+    embeddingStatsOn(Tables.embeddings(spark, dir))
+
+  /** [[profEmbeddingStats]] over an explicit (vec_id, embedding) frame
+    * — the spec plants a constant (collapsed) dimension, a dead-zero
+    * dimension, and a hand-computable spread, and asserts partition
+    * invariance of the exact-sum path. */
+  private[graft] def embeddingStatsOn(embRaw: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val md = col("m").cast(dec)
+    val nDec = col("n").cast(dec)
+    val nd = col("n").cast("double")
+    val mean = col("s1").cast("double") / nd / lit(1000000.0)
+    val varSamp = ((nDec * col("s2") - col("s1") * col("s1")).cast("double")
+      / (nDec * (nDec - lit(1).cast(dec))).cast("double")) / lit(1.0e12)
+    val stddev = Tables.round6(sqrt(varSamp))
+    embRaw
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long").as("m"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(md).as("s1"), sum(md * md).as("s2"),
+        min(col("m")).as("mn"), max(col("m")).as("mx"),
+        count(when(col("m") === 0, 1)).as("n_zero"))
+      .select(col("dim"), col("n"),
+        Tables.round6(mean).as("mean"),
+        stddev.as("stddev"),
+        (col("mn").cast("double") / lit(1000000.0)).as("min_val"),
+        (col("mx").cast("double") / lit(1000000.0)).as("max_val"),
+        Tables.round6(col("n_zero").cast("double") / nd).as("zero_frac"),
+        (stddev < lit(0.001)).cast("int").as("is_collapsed"))
+      .orderBy(col("dim"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the storage
     * path for large vector corpora (4× smaller than float32, 8× smaller
     * than the double working form). Per-vector scale = max|x|;
@@ -733,10 +782,43 @@ object SimilarityQueries {
     "dedup_embedding_cosine" -> dedupEmbCosine,
     "sim_knn_rerank"      -> simKnnRerank,
     "pipe_semdedup"       -> pipeSemDedup,
+    "prof_embedding_stats" -> profEmbeddingStats,
   )
 
   def oracles: Map[String, String] = baseOracles +
     ("sim_knn_native" -> baseOracles("sim_knn_brute")) +
+    // Exact micro-unit power sums as HUGEINT (≙ Spark Decimal(38,0)),
+    // identical variance/mean expression trees cast to DOUBLE at the
+    // same points.
+    ("prof_embedding_stats" ->
+      """WITH x AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000000.0 + 0.5)
+        |         AS BIGINT) AS m
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT dim, count(*) AS n,
+        |    SUM(CAST(m AS HUGEINT)) AS s1,
+        |    SUM(CAST(m AS HUGEINT) * m) AS s2,
+        |    min(m) AS mn, max(m) AS mx,
+        |    count(CASE WHEN m = 0 THEN 1 END) AS n_zero
+        |  FROM x GROUP BY 1),
+        |r AS (
+        |  SELECT dim, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean_raw,
+        |    floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |               / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) / 1.0e12)
+        |          * 1000000.0 + 0.5) / 1000000.0 AS stddev,
+        |    CAST(mn AS DOUBLE) / 1000000.0 AS min_val,
+        |    CAST(mx AS DOUBLE) / 1000000.0 AS max_val,
+        |    CAST(n_zero AS DOUBLE) / CAST(n AS DOUBLE) AS zero_frac_raw
+        |  FROM a)
+        |SELECT dim, n,
+        |  floor(mean_raw * 1000000.0 + 0.5) / 1000000.0 AS mean,
+        |  stddev, min_val, max_val,
+        |  floor(zero_frac_raw * 1000000.0 + 0.5) / 1000000.0 AS zero_frac,
+        |  CAST(stddev < 0.001 AS INT) AS is_collapsed
+        |FROM r ORDER BY dim""".stripMargin) +
     // Replays SemDeDup end-to-end: the IVF codebook + argmax assignment
     // (identical CTEs to sim_knn_ivf), rounded centroid similarity, the
     // within-cluster τ-pairing, and the pairwise dominance drop rule.

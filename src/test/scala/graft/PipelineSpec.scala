@@ -147,6 +147,27 @@ class PipelineSpec extends AnyFunSuite {
       s"near-dup pair must keep the cluster-edge member: $got")
   }
 
+  test("embedding profiler: a constant dimension is collapsed, a dead " +
+    "dimension counts zeros, a hand-computed spread matches, and the " +
+    "exact-sum path is partition-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq(0.5, 0.0, 1.0)),
+      (2L, Seq(0.5, 0.0, 3.0)),
+      (3L, Seq(0.5, 0.5, 2.0)),
+      (4L, Seq(0.5, 0.0, 2.0)),
+    ).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      operators.SimilarityQueries.embeddingStatsOn(df).collect()
+        .map(r => r.getInt(0) -> (r.getDouble(2), r.getDouble(3),
+          r.getDouble(6), r.getInt(7))).toMap
+    val got = run(docs)
+    assert(got(0) == ((0.5, 0.0, 0.0, 1)), s"constant dim: ${got(0)}")
+    assert(got(1) == ((0.125, 0.25, 0.75, 0)), s"dead dim: ${got(1)}")
+    assert(got(2) == ((2.0, 0.816497, 0.0, 0)), s"spread dim: ${got(2)}")
+    assert(run(docs.repartition(7)) == got, "partition-variant statistics")
+  }
+
   test("embedding near-dup LSH blocking: a planted exact duplicate is " +
     "always a candidate (identical sigs in every table) and the " +
     "block-key cardinality grows with corpus size") {
