@@ -69,7 +69,8 @@ object RecallProbe {
     // (the DuckDB oracle replays the algorithm, not the intent).
     val reranked = for ((key, df) <- Seq(
         "pq_rerank"   -> operators.SimilarityQueries.simKnnPq(spark, dir),
-        "int8_rerank" -> operators.SimilarityQueries.simKnnRerank(spark, dir)))
+        "int8_rerank" -> operators.SimilarityQueries.simKnnRerank(spark, dir),
+        "ivfpq"       -> operators.SimilarityQueries.simKnnIvfPq(spark, dir)))
       yield {
         val r = (brute & pairs(df)).size.toDouble / brute.size
         println(f"[probe] $key recall=$r%.3f")

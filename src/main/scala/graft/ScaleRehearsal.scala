@@ -78,6 +78,38 @@ object ScaleRehearsal {
       concat(lit("R" + r + "x"), col("c_name")).as("c_name"),
       col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
 
+  /** Replica-r embedding transform: a seeded permutation of the
+    * dimensions with per-dimension sign flips — an orthogonal map, so
+    * within-replica geometry (norms, pairwise cosines, cluster
+    * structure) is EXACTLY preserved while cross-replica vectors are as
+    * unrelated as fresh draws (near-uniform base ⇒ expected cosine 0).
+    * Two label columns model the two cluster-count regimes of
+    * pipe_semdedup: `label` keeps the base's 10 clusters at every scale
+    * (fixed k — the quadratic hazard), `label_scaled` gives each
+    * replica its own label block (k ∝ N — the published SemDeDup
+    * contract, cluster size constant). */
+  private[graft] def embReplica(e: DataFrame, r: Int): DataFrame =
+    if (r == 0)
+      e.select(col("vec_id"), col("embedding"), col("label"),
+        col("label").as("label_scaled"))
+    else {
+      val dim = e.select(size(col("embedding"))).head.getInt(0)
+      val rnd = new java.util.Random(0xBEEF00L + r)
+      val perm = (0 until dim).toArray
+      var i = dim - 1
+      while (i >= 1) {
+        val j = rnd.nextInt(i + 1)
+        val t = perm(i); perm(i) = perm(j); perm(j) = t
+        i -= 1
+      }
+      val sign = Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+      val mapped = array((0 until dim).map(d =>
+        element_at(col("embedding"), perm(d) + 1) * lit(sign(d))): _*)
+      e.select((col("vec_id") + lit(r * Stride)).as("vec_id"),
+        mapped.as("embedding"), col("label"),
+        (col("label") + lit(r * 1000)).as("label_scaled"))
+    }
+
   private def scaled(base: DataFrame, k: Int,
       replica: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until k).map(replica(base, _)).reduce(_ unionByName _)
@@ -95,8 +127,14 @@ object ScaleRehearsal {
       output: DataFrame => DataFrame,
       buckets: DataFrame => (Seq[String], DataFrame))
 
+  /** The (vec_id, embedding, label) view of a rehearsal embeddings
+    * frame under the chosen cluster-count regime. */
+  private def embCols(d: DataFrame, labelCol: String): DataFrame =
+    d.select(col("vec_id"), col("embedding"), col(labelCol).as("label"))
+
   def main(args: Array[String]): Unit = {
-    import graft.operators.{DedupQueries => D, MultimodalQueries => M}
+    import graft.operators.{DedupQueries => D, MultimodalQueries => M,
+      SimilarityQueries => S}
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
@@ -120,6 +158,9 @@ object ScaleRehearsal {
       scaled(Tables.customer(spark, baseDir), k, customerReplica)
         .repartition(8 * k)
         .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      scaled(Tables.embeddings(spark, baseDir), k, embReplica)
+        .repartition(4 * k)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
 
     def media(docs: DataFrame): DataFrame =
@@ -151,7 +192,25 @@ object ScaleRehearsal {
       Fam("dedup_substring_spans",
         D.spanAnchorsOn,
         D.substringSpansOn,
-        d => (Seq("h"), D.spanAnchorsOn(d))))
+        d => (Seq("h"), D.spanAnchorsOn(d))),
+      // SemDeDup in BOTH cluster-count regimes: candidates = unordered
+      // within-cluster pairs (the verify-stage cost); out = dropped
+      // vectors; buckets = cluster sizes. fixed_k demonstrates the
+      // quadratic hazard the scaladoc warns about (10 clusters at every
+      // scale ⇒ cand ∝ n²); scaled_k is the published contract (k ∝ N
+      // ⇒ cluster size constant ⇒ cand ∝ n).
+      Fam("pipe_semdedup_fixed_k",
+        d => S.semDedupCandidatesOn(embCols(d, "label")),
+        d => S.semDedupOn(embCols(d, "label")).where(col("is_kept") === 0),
+        d => (Seq("cluster"),
+          S.semDedupAssignedOn(embCols(d, "label")).select("cluster"))),
+      Fam("pipe_semdedup_scaled_k",
+        d => S.semDedupCandidatesOn(embCols(d, "label_scaled")),
+        d => S.semDedupOn(embCols(d, "label_scaled"))
+          .where(col("is_kept") === 0),
+        d => (Seq("cluster"),
+          S.semDedupAssignedOn(embCols(d, "label_scaled"))
+            .select("cluster"))))
 
     def j(d: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(d))
 
@@ -159,6 +218,8 @@ object ScaleRehearsal {
       val dir = s"$outRoot/x$k"
       val input =
         if (fam.name == "dedup_entity_block") Tables.customer(spark, dir)
+        else if (fam.name.startsWith("pipe_semdedup"))
+          Tables.embeddings(spark, dir)
         else Tables.documents(spark, dir)
       val nIn = input.count()
       // warm pass first (codegen/JIT compile lands here, not in the

@@ -300,6 +300,17 @@ object SimilarityQueries {
     }: _*)
 
   private def ivfScored(spark: SparkSession, dir: String,
+      probe: Either[Int, (Int, Int)]): DataFrame =
+    ivfCandidateFrame(spark, dir, probe)
+      .select(col("query_id"), col("vec_id"), col("label"),
+        Tables.round6(dot(col("vec"), col("qvec")) /
+          (col("norm") * col("qnorm"))).as("cos_sim"))
+
+  /** IVF candidate frame — every (query, corpus-vector) pair whose
+    * vector sits in one of the query's probed clusters, carrying both
+    * sides' vectors/norms: [[ivfScored]] scores it with exact cosine
+    * (sim_knn_ivf); [[simKnnIvfPq]] scores it with PQ ADC instead. */
+  private def ivfCandidateFrame(spark: SparkSession, dir: String,
       probe: Either[Int, (Int, Int)]): DataFrame = {
     val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
       .select(col("vec_id"), col("label"), col("vec"), col("norm"))
@@ -344,9 +355,6 @@ object SimilarityQueries {
     assigned.join(broadcast(probes.select(col("query_id"), col("qvec"),
         col("qnorm"), col("cluster"))), Seq("cluster"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("label"),
-        Tables.round6(dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
-          .as("cos_sim"))
   }
 
   // ---- replayable random-hyperplane blocking (dedup) ----------------
@@ -464,16 +472,35 @@ object SimilarityQueries {
     * — the spec plants identical vectors (always τ-partners: cosine 1)
     * and asserts exactly one survives, with the keeper being the
     * lower-(csim, vec_id) member. */
-  private[graft] def semDedupOn(embRaw: DataFrame): DataFrame = {
+  /** Cluster-assigned corpus of [[pipeSemDedup]]: every vector with its
+    * argmax cluster and rounded centroid similarity — exposed so the
+    * scale rehearsal can measure cluster-size (bucket) statistics. */
+  private[graft] def semDedupAssignedOn(embRaw: DataFrame): DataFrame = {
     val emb = withNorm(embRaw, "embedding")
       .select(col("vec_id"), col("vec"), col("norm"))
     val centroids = centroidCodebookOf(embRaw)
-    val assigned = emb
+    emb
       .withColumn("best",
         array_max(centroidScoresFor(centroids, col("vec"), col("norm"))))
       .select(col("vec_id"), col("vec"), col("norm"),
         (-col("best.neg_cluster")).as("cluster"),
         Tables.round6(col("best.csim")).as("csim_centroid"))
+  }
+
+  /** Unordered within-cluster candidate pairs of [[pipeSemDedup]] —
+    * the pairs the exact-cosine verify stage must score (the rehearsal's
+    * cost axis; the registered query's both-direction dominance join
+    * compares exactly these, twice). */
+  private[graft] def semDedupCandidatesOn(embRaw: DataFrame): DataFrame = {
+    val a = semDedupAssignedOn(embRaw)
+    a.as("a").join(a.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+  }
+
+  private[graft] def semDedupOn(embRaw: DataFrame): DataFrame = {
+    val assigned = semDedupAssignedOn(embRaw)
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -653,14 +680,50 @@ object SimilarityQueries {
     * id ascending (struct array_min); shortlist by (pq_sim desc,
     * vec_id asc) after round6; final rank by (cos_sim desc, vec_id). */
   val simKnnPq: Q = (spark, dir) => {
-    // every dot here is the codegen'd DotProduct expression, NOT the
-    // zip_with+aggregate HOF: ArrayAggregate is CodegenFallback, and
-    // the encode evaluates 8×64 sub-vector dots PER ROW — interpreted,
-    // that was 5.4 s steady-state at sf0.1 (BenchOne); the tight-loop
-    // expression computes the identical left-fold, bit-for-bit
     import graft.functions.VectorExpressions.dot_product
     val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
       .select(col("vec_id"), col("label"), col("vec"), col("norm"))
+    val decoded = pqDecodedOn(emb)
+    val queries = emb.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("norm").as("qnorm"))
+    val pqScored = decoded.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Tables.round6(dot_product(col("qvec"), col("rv")) /
+          (col("qnorm") * col("rnorm"))).as("pq_sim"))
+    val wPq = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_sim").desc, col("vec_id"))
+    val shortlist = pqScored.withColumn("crank", row_number().over(wPq))
+      .where(col("crank") <= PqShortlist)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank: fetch the shortlist's true vectors (5×50 rows) by
+    // equi-join and score exact cosine
+    val exact = shortlist
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        Tables.round6(dot_product(col("vec"), col("qvec")) /
+          (col("norm") * col("qnorm"))).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** PQ-decoded corpus — every vector's codeword reconstruction `rv`
+    * and its norm `rnorm` (plus vec_id/label), built from the
+    * deterministic hash-ordered codebook sample. Shared by
+    * [[simKnnPq]] and [[simKnnIvfPq]].
+    *
+    * Every dot here is the codegen'd DotProduct expression, NOT the
+    * zip_with+aggregate HOF: ArrayAggregate is CodegenFallback, and
+    * the encode evaluates 8×64 sub-vector dots PER ROW — interpreted,
+    * that was 5.4 s steady-state at sf0.1 (BenchOne); the tight-loop
+    * expression computes the identical left-fold, bit-for-bit. */
+  private def pqDecodedOn(emb: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions.dot_product
     val d = vecDim(emb)
     require(d % PqSubspaces == 0,
       s"dim $d must split evenly into $PqSubspaces subspaces")
@@ -712,21 +775,47 @@ object SimilarityQueries {
     // as |queries| grows (measured neutral at NQueries=5/sf0.1, where the
     // 8×64-centroid ENCODE scan dominates; the fan-out independence is
     // what matters at serving query rates)
-    val decoded = encoded
+    encoded
       .withColumn("rv", recon)
       .withColumn("rnorm", sqrt(dot_product(col("rv"), col("rv"))))
-    val pqScored = decoded.crossJoin(broadcast(queries))
-      .where(col("vec_id") =!= col("query_id"))
+  }
+
+  /** `sim_knn_ivfpq`: the composed IVF×PQ index — THE production
+    * billion-scale ANN layout (Jégou et al. 2011's IVFADC): the IVF
+    * coarse quantizer restricts each query to its probed clusters'
+    * posting lists, PQ ADC ranks those candidates from 8-byte codes
+    * without touching a float vector, and only the
+    * [[PqShortlist]]-wide shortlist pays an exact-cosine re-rank.
+    * Pure composition of the two proven stages — [[ivfCandidateFrame]]
+    * (mass-targeted adaptive probes) scored by [[pqDecodedOn]]'s
+    * reconstructions instead of exact cosine.
+    *
+    * Scale shape: at 100 TB the corpus is partitioned by assigned
+    * cluster and stores only codes in the scan path (the IVF posting +
+    * PQ compression multiply: probes cut candidates ~mass-target×,
+    * codes cut bytes 64×); full vectors are fetched by equi-join for
+    * ≤ shortlist × queries rows. FULLY oracled — the probe selection,
+    * the ADC scores, and both rankings replay bit-for-bit in DuckDB
+    * (the sim_knn_ivf and sim_knn_pq replay rules composed). */
+  val simKnnIvfPq: Q = (spark, dir) => {
+    import graft.functions.VectorExpressions.dot_product
+    val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
+      .select(col("vec_id"), col("label"), col("vec"), col("norm"))
+    val decoded = pqDecodedOn(emb).select(col("vec_id"), col("rv"), col("rnorm"))
+    val cand = ivfCandidateFrame(spark, dir, Right((MassTargetBp, MaxProbe)))
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("vec_id"))
+    val adc = cand.join(decoded, Seq("vec_id"))
       .select(col("query_id"), col("vec_id"),
         Tables.round6(dot_product(col("qvec"), col("rv")) /
           (col("qnorm") * col("rnorm"))).as("pq_sim"))
     val wPq = Window.partitionBy(col("query_id"))
       .orderBy(col("pq_sim").desc, col("vec_id"))
-    val shortlist = pqScored.withColumn("crank", row_number().over(wPq))
+    val shortlist = adc.withColumn("crank", row_number().over(wPq))
       .where(col("crank") <= PqShortlist)
       .select(col("query_id"), col("vec_id"))
-    // exact re-rank: fetch the shortlist's true vectors (5×50 rows) by
-    // equi-join and score exact cosine
+    val queries = emb.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("norm").as("qnorm"))
     val exact = shortlist
       .join(emb, Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
@@ -783,6 +872,7 @@ object SimilarityQueries {
     "sim_knn_rerank"      -> simKnnRerank,
     "pipe_semdedup"       -> pipeSemDedup,
     "prof_embedding_stats" -> profEmbeddingStats,
+    "sim_knn_ivfpq"       -> simKnnIvfPq,
   )
 
   def oracles: Map[String, String] = baseOracles +
@@ -1044,6 +1134,122 @@ object SimilarityQueries {
          |  SELECT query_id, vec_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |      ORDER BY pq_sim DESC, vec_id) AS crank FROM pq) t
+         |  WHERE crank <= $PqShortlist),
+         |ex AS (
+         |  SELECT s.query_id, s.vec_id, e.label,
+         |    floor((list_dot_product(e.vec, q.qvec) / (e.norm * q.qnorm))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+         |  FROM short s JOIN e ON s.vec_id = e.vec_id
+         |       JOIN q ON s.query_id = q.query_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rank
+         |  FROM ex)
+         |SELECT query_id, vec_id, label, cos_sim, rank FROM ranked
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin) +
+    // Replays the composed IVF×PQ index: the sim_knn_ivf probe CTEs
+    // (codebook icb, assignment, adaptive mass-targeted probes) feeding
+    // the sim_knn_pq decode CTEs (codebook pcb, argmin codes, flattened
+    // reconstruction), ADC on candidates only, shortlist, exact re-rank.
+    ("sim_knn_ivfpq" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS norm
+         |  FROM embeddings),
+         |x AS (
+         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         |    generate_subscripts(embedding, 1) - 1 AS dim
+         |  FROM embeddings),
+         |cm AS (
+         |  SELECT label AS cluster, dim,
+         |    SUM(floor(x * 1000000.0 + 0.5)) / 1000000.0 / count(*) AS cx
+         |  FROM x GROUP BY 1, 2),
+         |cb AS (
+         |  SELECT cluster, list(cx ORDER BY dim) AS cvec FROM cm GROUP BY 1),
+         |icb AS (
+         |  SELECT cluster, cvec, sqrt(list_dot_product(cvec, cvec)) AS cn
+         |  FROM cb),
+         |cs AS (
+         |  SELECT e.vec_id, icb.cluster,
+         |    list_dot_product(e.vec, icb.cvec) / (e.norm * icb.cn) AS csim
+         |  FROM e CROSS JOIN icb),
+         |assigned AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cluster) AS rn FROM cs) t
+         |  WHERE rn = 1),
+         |sizes AS (
+         |  SELECT cluster, count(*) AS csize FROM assigned GROUP BY 1),
+         |tot AS (SELECT count(*) AS n FROM e),
+         |pr AS (
+         |  SELECT vec_id AS query_id, cluster,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cluster) AS prank
+         |  FROM cs WHERE vec_id < $NQueries),
+         |prc AS (
+         |  SELECT p.query_id, p.cluster, p.prank, s.csize,
+         |    SUM(s.csize) OVER (PARTITION BY p.query_id
+         |      ORDER BY p.prank) AS cum
+         |  FROM pr p JOIN sizes s USING (cluster)),
+         |probes AS (
+         |  SELECT query_id, cluster FROM prc, tot
+         |  WHERE (cum - csize) * 10000 < $MassTargetBp * tot.n
+         |    AND prank <= $MaxProbe),
+         |q AS (SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm
+         |      FROM e WHERE vec_id < $NQueries),
+         |dims AS (SELECT len(vec) // $PqSubspaces AS sd FROM e LIMIT 1),
+         |sel AS (
+         |  SELECT vec, row_number() OVER (
+         |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1
+         |    AS code
+         |  FROM e
+         |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+         |  LIMIT $PqCodebookK),
+         |pcb AS (
+         |  SELECT sel.code, gs.sub,
+         |    list_slice(sel.vec, gs.sub * (SELECT sd FROM dims) + 1,
+         |      (gs.sub + 1) * (SELECT sd FROM dims)) AS cvec,
+         |    list_dot_product(
+         |      list_slice(sel.vec, gs.sub * (SELECT sd FROM dims) + 1,
+         |        (gs.sub + 1) * (SELECT sd FROM dims)),
+         |      list_slice(sel.vec, gs.sub * (SELECT sd FROM dims) + 1,
+         |        (gs.sub + 1) * (SELECT sd FROM dims))) AS cn2
+         |  FROM sel, generate_series(0, ${PqSubspaces - 1}) gs(sub)),
+         |subv AS (
+         |  SELECT e.vec_id, gs.sub,
+         |    list_slice(e.vec, gs.sub * (SELECT sd FROM dims) + 1,
+         |      (gs.sub + 1) * (SELECT sd FROM dims)) AS sv
+         |  FROM e, generate_series(0, ${PqSubspaces - 1}) gs(sub)),
+         |dist AS (
+         |  SELECT s.vec_id, s.sub, c.code,
+         |    list_dot_product(s.sv, s.sv)
+         |      - 2.0 * list_dot_product(s.sv, c.cvec) + c.cn2 AS dist2
+         |  FROM subv s JOIN pcb c ON s.sub = c.sub),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY dist2 ASC, code ASC) AS rn FROM dist) t
+         |  WHERE rn = 1),
+         |recon AS (
+         |  SELECT co.vec_id, flatten(list(c.cvec ORDER BY co.sub)) AS rv
+         |  FROM codes co JOIN pcb c ON co.sub = c.sub AND co.code = c.code
+         |  GROUP BY co.vec_id),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM assigned a JOIN probes p ON a.cluster = p.cluster
+         |  WHERE a.vec_id <> p.query_id),
+         |adc AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    floor((list_dot_product(q.qvec, r.rv)
+         |           / (q.qnorm * sqrt(list_dot_product(r.rv, r.rv))))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS pq_sim
+         |  FROM cand c JOIN recon r ON c.vec_id = r.vec_id
+         |       JOIN q ON c.query_id = q.query_id),
+         |short AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY pq_sim DESC, vec_id) AS crank FROM adc) t
          |  WHERE crank <= $PqShortlist),
          |ex AS (
          |  SELECT s.query_id, s.vec_id, e.label,

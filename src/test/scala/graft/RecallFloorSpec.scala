@@ -103,6 +103,14 @@ class RecallFloorSpec extends AnyFunSuite {
     assert(r >= 0.8, s"PQ rerank recall=$r")
   }
 
+  test("recall floor: composed IVF x PQ (probes -> ADC shortlist -> " +
+    "exact re-rank) >= 0.8 on the planted fixture") {
+    val r = (brute & pairs(
+      operators.SimilarityQueries.simKnnIvfPq(spark, plantedDir))).size
+      .toDouble / brute.size
+    assert(r >= 0.8, s"IVFxPQ recall=$r")
+  }
+
   test("recall floor: int8 coarse + exact re-rank >= 0.9 on the " +
     "planted fixture") {
     val r = (brute & pairs(
