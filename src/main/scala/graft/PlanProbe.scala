@@ -16,11 +16,13 @@ object PlanProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftConf(spark)
-    for ((name, fn) <- Seq(
-        "smp_stratified" -> operators.PipelineOps.smpStratified,
-        "pipe_mixture" -> operators.PipelineOps.pipeMixture,
-        "txt_chunk_overlap" -> operators.PipelineOps.txtChunkOverlap,
-        "pipe_pack_sequences" -> operators.PipelineOps.pipePackSequences)) {
+    for ((name, fn) <- Seq[(String, Q)](
+        "txt_gopher_rules" -> operators.TextQueries.txtGopherRules,
+        "pipe_token_budget" -> operators.PipelineOps.pipeTokenBudget,
+        "pipe_semdedup" -> operators.SimilarityQueries.pipeSemDedup,
+        "prof_embedding_stats" ->
+          operators.SimilarityQueries.profEmbeddingStats,
+        "sim_knn_ivfpq" -> operators.SimilarityQueries.simKnnIvfPq)) {
       println(s"========== $name ==========")
       println(fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -434,44 +434,55 @@ object PipelineOps {
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("lang"), size(col("w")).cast("long").as("nt"),
         hash10k(col("doc_id")).as("h"))
-    val budgets = t.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_total_docs"), sum(col("nt")).as("corpus_tokens"))
-      .withColumn("budget_tokens", expr(s"corpus_tokens div $TokenBudgetDenom"))
-    val bs = t.groupBy(col("lang"), col("h"))
+    // ALL per-language decisions ride one bounded (lang, bucket) frame
+    // via stacked windows — totals, budget, prefix, boundary bucket —
+    // then collapse in a single aggregate. Join-free on purpose: each
+    // branch of a join tree re-expands its subtree (no CSE), and the
+    // first cut of this operator — bucket sums joined against
+    // separately-aggregated budgets/boundaries — planned TWELVE corpus
+    // scans (PlanProbe); this form plans three (the summary subtree
+    // expands under both of its consumers, plus the boundary-bucket
+    // filter). A production run persists the 4-column (doc_id, lang,
+    // nt, h) stats projection once — the natural build artifact — and
+    // every pass is metadata-cheap.
+    val wl = Window.partitionBy(col("lang"))
+    val pre = t.groupBy(col("lang"), col("h"))
       .agg(sum(col("nt")).as("bt"), count(lit(1)).as("bdocs"))
-    // prefix sum over the BOUNDED (lang, bucket) frame — ≤ 10⁴ rows per
-    // language, never the corpus
-    val pre = bs
-      .withColumn("bprefix",
-        sum(col("bt")).over(Window.partitionBy(col("lang")).orderBy(col("h"))))
-      .join(budgets.select(col("lang"), col("budget_tokens")), Seq("lang"))
-    val hstar = pre.where(col("bprefix") > col("budget_tokens"))
-      .groupBy(col("lang")).agg(min(col("h")).as("hstar"))
-    val full = pre.join(hstar, Seq("lang"), "left")
-      .where(col("hstar").isNull || col("h") < col("hstar"))
-      .groupBy(col("lang"))
-      .agg(sum(col("bdocs")).as("full_docs"), sum(col("bt")).as("full_tokens"))
+      .withColumn("corpus_tokens", sum(col("bt")).over(wl))
+      .withColumn("n_total_docs", sum(col("bdocs")).over(wl))
+      .withColumn("budget_tokens", expr(s"corpus_tokens div $TokenBudgetDenom"))
+      .withColumn("bprefix", sum(col("bt")).over(wl.orderBy(col("h"))))
+      .withColumn("hstar",
+        min(when(col("bprefix") > col("budget_tokens"), col("h"))).over(wl))
+    // full buckets = strictly before the boundary; their token sum IS
+    // the prefix before the boundary bucket (before_tokens)
+    val isFull = col("hstar").isNull || col("h") < col("hstar")
+    val summary = pre.groupBy(col("lang"))
+      .agg(max(col("n_total_docs")).as("n_total_docs"),
+        max(col("corpus_tokens")).as("corpus_tokens"),
+        max(col("budget_tokens")).as("budget_tokens"),
+        max(col("hstar")).as("hstar"),
+        sum(when(isFull, col("bdocs")).otherwise(0L)).as("full_docs"),
+        sum(when(isFull, col("bt")).otherwise(0L)).as("full_tokens"))
     // doc-grain refinement of ONLY the boundary bucket (~corpus/10⁴ rows)
-    val boundary = pre.join(hstar, Seq("lang")).where(col("h") === col("hstar"))
-      .select(col("lang"), col("hstar"),
-        (col("bprefix") - col("bt")).as("before_tokens"), col("budget_tokens"))
-    val bound = t.join(broadcast(boundary), Seq("lang"))
+    val bound = t
+      .join(broadcast(summary.select(col("lang"), col("hstar"),
+        col("full_tokens").as("before_tokens"), col("budget_tokens"))),
+        Seq("lang"))
       .where(col("h") === col("hstar"))
       .withColumn("cumw", sum(col("nt")).over(
         Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
       .where(col("before_tokens") + col("cumw") <= col("budget_tokens"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("b_docs"), sum(col("nt")).as("b_tokens"))
-    budgets
-      .join(full, Seq("lang"), "left")
+    summary
       .join(bound, Seq("lang"), "left")
-      .join(hstar, Seq("lang"), "left")
       .select(col("lang"), col("n_total_docs"), col("corpus_tokens"),
         col("budget_tokens"),
-        (coalesce(col("full_docs"), lit(0L)) + coalesce(col("b_docs"), lit(0L)))
+        (col("full_docs") + coalesce(col("b_docs"), lit(0L)))
           .as("n_sel_docs"),
-        (coalesce(col("full_tokens"), lit(0L)) +
-          coalesce(col("b_tokens"), lit(0L))).as("sel_tokens"),
+        (col("full_tokens") + coalesce(col("b_tokens"), lit(0L)))
+          .as("sel_tokens"),
         col("hstar").as("cut_bucket"))
       .orderBy(col("lang"))
   }
