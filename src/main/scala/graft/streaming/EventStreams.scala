@@ -191,6 +191,26 @@ object EventStreams {
       .start()
   }
 
+  /** Complete-mode test form of [[windowUsersStreamAppend]] over the
+    * testdata events (the [[tumblingStream]] NOTE applies: complete
+    * mode is test-only; production is the append form). */
+  def windowUsersStream(spark: SparkSession, dir: String,
+      sinkName: String): StreamingQuery = {
+    val stageDir = java.nio.file.Paths.get(
+      s"target/tmp/stream_events_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(stageDir)
+    val link = stageDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    windowUsersStreamAppend(
+      Tables.normalizeEventTs(spark.readStream
+        .schema(eventsSchema(spark, dir))
+        .parquet(stageDir.toString)))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete").start()
+  }
+
   /** Production form of the tumbling aggregation: append mode over any
     * events stream with `(ts timestamp, event_type string, value
     * double)` columns. The 2-hour watermark bounds state — a window
@@ -208,6 +228,51 @@ object EventStreams {
         (sum(Tables.cents(col("value"))) / lit(100.0)).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  /** `evt_window_users`: EXACT distinct active users per (1-hour
+    * tumbling window, event type) — the per-window audience/reach
+    * panel next to [[evtTumblingWindow]]'s volume counts. Batch-exact
+    * and oracled; the streaming dual is
+    * [[windowUsersStreamAppend]], because exact DISTINCT inside an
+    * append-mode window is unsupported (its state is the user SET, not
+    * a mergeable scalar) — the production streaming form carries an
+    * HLL sketch instead, and StreamMlSpec pins the two together:
+    * stream ≡ batch for the sketch form (an HLL estimate is
+    * set-determined, so identical inputs give identical estimates) and
+    * |sketch − exact| within the rsd bound per window.
+    *
+    * Scale: one hash aggregate keyed by (window, type); the partial
+    * state per key is the distinct-set partial — at 100 TB the exact
+    * form is the batch-audit path and the sketch form the serving
+    * path, same as the agg_approx_ngroups pair. */
+  val evtWindowUsers: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_users"), col("n_events"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Relative standard deviation of the streaming HLL distinct-user
+    * sketch (Spark maps rsd → HLL precision; 2% ⇒ ~6 KB per open
+    * (window, type) key — bounded state where the exact set is not). */
+  val WindowUsersRsd = 0.02
+
+  /** Streaming dual of [[evtWindowUsers]]: append mode, 2-hour
+    * watermark, `approx_count_distinct` per window — the mergeable-
+    * sketch aggregate whose per-key state is a fixed-size HLL register
+    * array, so state = (open windows × types) × ~6 KB regardless of
+    * user cardinality. */
+  def windowUsersStreamAppend(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), WindowUsersRsd)
+        .as("n_users_est"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_users_est"), col("n_events"))
 
   /** Streaming form of [[evtSlidingWindow]]: append mode, overlapping
     * 1h/30min windows, 2-hour watermark. State per key is 2× the
@@ -885,6 +950,7 @@ object EventStreams {
     "evt_retention"       -> evtRetention,
     "evt_stream_stream_join" -> evtStreamStreamJoin,
     "evt_tumbling_window" -> evtTumblingWindow,
+    "evt_window_users"    -> evtWindowUsers,
     "evt_sliding_window"  -> evtSlidingWindow,
     "evt_sessionize"      -> evtSessionize,
     "evt_session_window"  -> evtSessionWindow,
@@ -1051,6 +1117,10 @@ object EventStreams {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events,
         |  SUM(floor(value * 100.0 + 0.5)) / 100.0 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "evt_window_users" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // session_window merges events whose [ts, ts+gap) windows OVERLAP:
     // a gap of exactly 30 min starts a NEW session (>= breaks), unlike

@@ -20,6 +20,32 @@ class StreamMlSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed distinct users: streaming HLL ≡ batch HLL window-by-" +
+    "window (a sketch estimate is set-determined), and the estimate " +
+    "sits within the rsd bound of the exact count everywhere") {
+    val q = streaming.EventStreams.windowUsersStream(spark, sf, "wu_sink")
+    try q.processAllAvailable() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select("window_start", "event_type", "n_users_est").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val streamed = keyed(spark.table("wu_sink"))
+    val batch = keyed(streaming.EventStreams
+      .windowUsersStreamAppend(Tables.events(spark, sf)))
+    assert(streamed == batch, "stream and batch sketch estimates diverged")
+    val exact = streaming.EventStreams.evtWindowUsers(spark, sf)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(exact.keySet == batch.keySet, "window key sets diverged")
+    val tol = 3 * streaming.EventStreams.WindowUsersRsd
+    exact.foreach { case (k, ex) =>
+      val est = batch(k)
+      // 3×rsd relative, floored at ±2 absolute for tiny windows (HLL
+      // is exact in sparse mode, but the floor keeps the gate honest)
+      assert(math.abs(est - ex) <= math.max(2.0, tol * ex),
+        s"window $k: estimate $est vs exact $ex beyond ${tol * 100}%")
+    }
+  }
+
   test("native session_window ≡ window-function sessionizer: identical " +
     "session groups (fixture has no exact-30-min gaps, where the two " +
     "gap rules legitimately differ)") {
