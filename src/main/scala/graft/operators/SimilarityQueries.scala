@@ -829,6 +829,62 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Delta-batch boundary for [[simIndexUpsert]]: vec_id ≥ 90% of the
+    * corpus plays the freshly-arrived batch (deterministic, so the
+    * oracle replays the split). */
+  val UpsertDeltaPct = 90
+
+  /** `sim_index_upsert`: incremental ANN-index maintenance — the
+    * dataflow that keeps an IVF index SERVING while the corpus grows:
+    * the newest batch (top decile of vec_id here; in production the
+    * day's arrivals) is assigned with the EXISTING index's codebook —
+    * centroids built from the base corpus only, the crucial
+    * discipline: re-deriving centroids per batch would silently
+    * reshuffle old postings and invalidate every stored assignment —
+    * and the per-cluster posting-list counts update by addition.
+    * Emits the catalog row per cluster: base postings, added postings,
+    * new total, and the growth share. The posting counts are exactly
+    * the adaptive probe rule's mass metadata (sim_knn_ivf), so this
+    * IS that query's catalog-maintenance step.
+    *
+    * Scale: assignment is the same map-side literal-codebook argmax as
+    * [[simKnnIvf]] (zero shuffle); counts are a |clusters|-row hash
+    * aggregate. A 100 TB index absorbs a batch by scanning ONLY the
+    * batch. FULLY oracled: base-only codebook, both assignments, and
+    * the count algebra replay in DuckDB. */
+  val simIndexUpsert: Q = (spark, dir) =>
+    indexUpsertOn(Tables.embeddings(spark, dir))
+
+  /** [[simIndexUpsert]] over an explicit (vec_id, embedding, label)
+    * frame — the spec plants a delta vector nearest to a base centroid
+    * and asserts it lands there without moving any base posting. */
+  private[graft] def indexUpsertOn(embRaw: DataFrame): DataFrame = {
+    val n = embRaw.count() // scalar catalog metadata
+    val cut = n * UpsertDeltaPct / 100
+    val base  = embRaw.where(col("vec_id") < cut)
+    val delta = embRaw.where(col("vec_id") >= cut)
+    // codebook from the BASE only — the existing index's quantizer
+    val centroids = centroidCodebookOf(base)
+    def assigned(part: DataFrame): DataFrame =
+      withNorm(part, "embedding")
+        .select(col("vec_id"), col("vec"), col("norm"))
+        .withColumn("best",
+          array_max(centroidScoresFor(centroids, col("vec"), col("norm"))))
+        .select(col("vec_id"), (-col("best.neg_cluster")).as("cluster"))
+    val baseCounts = assigned(base).groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_base"))
+    val deltaCounts = assigned(delta).groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_added"))
+    baseCounts.join(deltaCounts, Seq("cluster"), "full")
+      .select(col("cluster"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"))
+      .withColumn("n_total", col("n_base") + col("n_added"))
+      .withColumn("growth_pct",
+        Tables.round6(col("n_added").cast("double") / col("n_total")))
+      .orderBy(col("cluster"))
+  }
+
   /** Centroid aggregation per label — the IVF coarse-quantizer step
     * (element-wise mean of vectors via posexplode + group). Exactness:
     * per-dimension sums of doubles are shuffled — kept deterministic by
@@ -873,10 +929,59 @@ object SimilarityQueries {
     "pipe_semdedup"       -> pipeSemDedup,
     "prof_embedding_stats" -> profEmbeddingStats,
     "sim_knn_ivfpq"       -> simKnnIvfPq,
+    "sim_index_upsert"    -> simIndexUpsert,
   )
 
   def oracles: Map[String, String] = baseOracles +
     ("sim_knn_native" -> baseOracles("sim_knn_brute")) +
+    // Replays the upsert end-to-end: the 90% vec_id split, the
+    // BASE-ONLY integer-scaled codebook, both argmax assignments, and
+    // the full-outer count merge.
+    ("sim_index_upsert" ->
+      s"""WITH tot AS (SELECT count(*) AS n FROM embeddings),
+         |cut AS (SELECT n * $UpsertDeltaPct // 100 AS c FROM tot),
+         |e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS norm
+         |  FROM embeddings),
+         |x AS (
+         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         |    generate_subscripts(embedding, 1) - 1 AS dim
+         |  FROM embeddings WHERE vec_id < (SELECT c FROM cut)),
+         |cm AS (
+         |  SELECT label AS cluster, dim,
+         |    SUM(floor(x * 1000000.0 + 0.5)) / 1000000.0 / count(*) AS cx
+         |  FROM x GROUP BY 1, 2),
+         |cb AS (
+         |  SELECT cluster, list(cx ORDER BY dim) AS cvec FROM cm GROUP BY 1),
+         |cbn AS (
+         |  SELECT cluster, cvec, sqrt(list_dot_product(cvec, cvec)) AS cn
+         |  FROM cb),
+         |cs AS (
+         |  SELECT e.vec_id, cbn.cluster,
+         |    list_dot_product(e.vec, cbn.cvec) / (e.norm * cbn.cn) AS csim
+         |  FROM e CROSS JOIN cbn),
+         |assigned AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cluster) AS rn FROM cs) t
+         |  WHERE rn = 1),
+         |b AS (
+         |  SELECT cluster, count(*) AS n_base FROM assigned
+         |  WHERE vec_id < (SELECT c FROM cut) GROUP BY 1),
+         |d AS (
+         |  SELECT cluster, count(*) AS n_added FROM assigned
+         |  WHERE vec_id >= (SELECT c FROM cut) GROUP BY 1)
+         |SELECT coalesce(b.cluster, d.cluster) AS cluster,
+         |  coalesce(n_base, 0) AS n_base,
+         |  coalesce(n_added, 0) AS n_added,
+         |  coalesce(n_base, 0) + coalesce(n_added, 0) AS n_total,
+         |  floor(CAST(coalesce(n_added, 0) AS DOUBLE)
+         |        / (coalesce(n_base, 0) + coalesce(n_added, 0))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS growth_pct
+         |FROM b FULL OUTER JOIN d ON b.cluster = d.cluster
+         |ORDER BY cluster""".stripMargin) +
     // Exact micro-unit power sums as HUGEINT (≙ Spark Decimal(38,0)),
     // identical variance/mean expression trees cast to DOUBLE at the
     // same points.

@@ -147,6 +147,37 @@ class PipelineSpec extends AnyFunSuite {
       s"near-dup pair must keep the cluster-edge member: $got")
   }
 
+  test("index upsert: the delta batch is assigned with the BASE codebook " +
+    "— a planted delta lands in its NEAREST base cluster regardless of " +
+    "its own label, and no base posting moves") {
+    import spark.implicits._
+    // cut = 10·90/100 = 9 → base ids 0..8, delta id {9}. Base clusters:
+    // label 0 (ids 0-4) around e1, label 1 (ids 5-8) around e2. The
+    // delta vector carries label 1 but sits at e1 — the existing
+    // codebook must route it to cluster 0 (labels play no role in
+    // assignment; re-deriving centroids WITH the delta would shift
+    // cluster 1's centroid instead).
+    val docs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0), 0),
+      (1L, Seq(0.9, 0.1, 0.0, 0.0), 0),
+      (2L, Seq(0.9, 0.0, 0.1, 0.0), 0),
+      (3L, Seq(1.0, 0.1, 0.0, 0.0), 0),
+      (4L, Seq(0.9, 0.0, 0.0, 0.1), 0),
+      (5L, Seq(0.0, 0.0, 1.0, 0.0), 1),
+      (6L, Seq(0.1, 0.0, 0.9, 0.0), 1),
+      (7L, Seq(0.0, 0.1, 1.0, 0.0), 1),
+      (8L, Seq(0.0, 0.0, 0.9, 0.1), 1),
+      (9L, Seq(0.95, 0.05, 0.0, 0.0), 1), // delta: nearest = cluster 0
+    ).toDF("vec_id", "embedding", "label")
+    val got = operators.SimilarityQueries.indexUpsertOn(docs).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(0) == ((5L, 1L, 6L)),
+      s"delta must join cluster 0 with base postings intact: $got")
+    assert(got(1) == ((4L, 0L, 4L)),
+      s"cluster 1 must be untouched by the upsert: $got")
+  }
+
   test("embedding profiler: a constant dimension is collapsed, a dead " +
     "dimension counts zeros, a hand-computed spread matches, and the " +
     "exact-sum path is partition-invariant") {
