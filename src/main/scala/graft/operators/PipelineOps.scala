@@ -487,9 +487,128 @@ object PipelineOps {
       .orderBy(col("lang"))
   }
 
+  /** Merge budget for [[pipeBpeTrain]] (production trains 30k-100k;
+    * the loop shape is identical at any k). */
+  val BpeMerges = 20
+
+  // Per-character symbol split: `split(word, '(?!^)')` would need
+  // lookahead (absent in RE2), so both engines INDEX instead —
+  // transform(sequence(1, len), i -> substring(word, i, 1)) here,
+  // substr(word, i, 1) over range(1, len+1) in the DuckDB companion.
+
+  /** Word-frequency table — the ONLY corpus-scale step of BPE
+    * training: one hash aggregate; the merge loop below runs on this
+    * vocabulary-bounded frame only. */
+  private[graft] def wordFreqOf(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Adjacent symbol pairs of a syms array, exploded with the word
+    * frequency — (left_sym, right_sym, freq) rows. */
+  private def pairsOf(vocab: org.apache.spark.sql.DataFrame) =
+    vocab
+      .where(size(col("syms")) >= 2)
+      .select(col("freq"), posexplode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+        .as(Seq("pos", "p")))
+      .select(col("p.a").as("left_sym"), col("p.b").as("right_sym"),
+        col("freq"))
+
+  /** `pipe_bpe_pairs`: the oracled anchor of [[pipeBpeTrain]] — the
+    * first iteration's adjacent-character pair statistics (top-20 by
+    * weighted count, fully tie-broken), straight off the
+    * word-frequency table. DuckDB replays it exactly, pinning the
+    * corpus-scale half of BPE training (the word-freq aggregate and
+    * the pair counting); only the iterative argmax LOOP is rows-only. */
+  val pipeBpePairs: Q = (spark, dir) =>
+    pairsOf(wordFreqOf(Tables.documents(spark, dir))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+      .groupBy(col("left_sym"), col("right_sym"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+      .limit(20)
+
+  /** `pipe_bpe_train`: distributed byte-pair-encoding tokenizer
+    * training (Sennrich et al. 2016) — the vocabulary-induction step
+    * every LLM data pipeline runs before token counting means
+    * anything. Classic BPE on the word-frequency table: start from
+    * character symbols, repeatedly merge the highest-weighted adjacent
+    * symbol pair (ties broken (count desc, left asc, right asc) so the
+    * merge sequence is deterministic and partition-invariant), apply
+    * the merge left-to-right non-overlapping, emit the ordered merge
+    * table — the tokenizer IS this table.
+    *
+    * Scale: the corpus contributes ONE hash aggregate (word → freq);
+    * every loop iteration is a pair-count aggregate + a fold-rewrite
+    * over the vocabulary frame — bounded by |vocab|, not the corpus
+    * (the reason BPE training is feasible at 100 TB: a web-scale vocab
+    * is ~10⁸ rows, corpus-independent). The per-iteration argmax is a
+    * 1-row collect (catalog metadata, the codebook discipline);
+    * lineage is truncated per iteration (localCheckpoint — a reliable
+    * checkpoint dir in production).
+    *
+    * Rows-only BY CONTRACT (the iterative argmax loop has no SQL
+    * replay — the ML/sketch category); anchored by the fully-oracled
+    * [[pipeBpePairs]] companion and a planted-corpus spec deriving the
+    * merge sequence by hand. */
+  val pipeBpeTrain: Q = (spark, dir) =>
+    bpeTrainOn(Tables.documents(spark, dir), BpeMerges)
+
+  /** [[pipeBpeTrain]] over an explicit (doc_id, text) frame with an
+    * injectable merge budget — the spec plants the classic
+    * low/lower/newest/widest corpus and asserts the hand-derived merge
+    * sequence and partition invariance. */
+  private[graft] def bpeTrainOn(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = wordFreqOf(docs)
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .select(col("freq"), col("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val top = pairsOf(vocab)
+        .groupBy(col("left_sym"), col("right_sym"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("left_sym"), col("right_sym"))
+        .limit(1).collect() // 1 row: the argmax is catalog metadata
+      if (top.isEmpty || top.head.getLong(2) < 2) done = true
+      else {
+        val (a, b, cnt) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((r, a, b, cnt))
+        // left-to-right non-overlapping merge: a fold that joins a
+        // trailing `a` with a current `b` exactly once per occurrence
+        val merged = concat(lit(a), lit(b))
+        vocab = vocab.withColumn("syms",
+          aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, s) => when(
+              size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+              .otherwise(concat(acc, array(s)))))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
   def queries: Map[String, Q] = Map(
     "pipe_curriculum"     -> pipeCurriculum,
     "pipe_token_budget"   -> pipeTokenBudget,
+    "pipe_bpe_pairs"      -> pipeBpePairs,
+    "pipe_bpe_train"      -> pipeBpeTrain,
     "pipe_shard_manifest" -> pipeShardManifest,
     "smp_split_leakfree"  -> smpSplitLeakfree,
     "smp_stratified"      -> smpStratified,
@@ -505,6 +624,18 @@ object PipelineOps {
   private val T = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   def oracles: Map[String, String] = Map(
+    "pipe_bpe_pairs" ->
+      s"""WITH wf AS (
+         |  SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest($T) AS word FROM documents) GROUP BY 1),
+         |p AS (
+         |  SELECT substr(word, CAST(i AS INT), 1) AS left_sym,
+         |    substr(word, CAST(i AS INT) + 1, 1) AS right_sym, freq
+         |  FROM wf, unnest(range(1, length(word))) t(i)
+         |  WHERE length(word) >= 2)
+         |SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+         |FROM p GROUP BY 1, 2
+         |ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20""".stripMargin,
     // The NAIVE one-window formulation — hash-matching it proves the
     // engine's bucket decomposition exact (join_range_bucketed rule).
     "pipe_token_budget" ->

@@ -9,6 +9,31 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineOpsSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("BPE training recovers the hand-derived merge sequence on the " +
+    "classic low/lower/newest/widest corpus, ties break (count, left, " +
+    "right), and the sequence is partition-invariant") {
+    import spark.implicits._
+    // Sennrich et al. 2016's worked example: weighted pair counts give
+    // e-s:9 s-t:9 (tie → 'e' first), then es-t:9, then l-o:7 o-w:7
+    // (tie → 'l' first), then lo-w:7
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      operators.PipelineOps.bpeTrainOn(df, 4).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toList
+    val got = run(docs)
+    assert(got == List((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)), s"merge sequence: $got")
+    // wordFreq counts survive any partitioning; so must the merges
+    val repart = run(docs.as[(Long, String)]
+      .flatMap { case (_, t) => t.split(" ").zipWithIndex
+        .map { case (w, i) => (i.toLong, w) } }
+      .toDF("doc_id", "text").repartition(7))
+    assert(repart == got, "merge sequence is partition-variant")
+  }
+
   test("token-budget selection: the bucket decomposition equals the naive " +
     "per-language cumulative rule and never exceeds the budget") {
     val docs = Tables.documents(spark, sf)
