@@ -564,10 +564,21 @@ object PipelineOps {
       k: Int): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeTrainState(docs, k)._1
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The full training state: the ordered merge list AND the final
+    * vocabulary frame (word, freq, syms) with every merge applied —
+    * [[txtBpeTokenize]] reads token counts straight off the latter
+    * instead of re-folding merges per corpus occurrence. */
+  private def bpeTrainState(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     var vocab = wordFreqOf(docs)
       .withColumn("syms", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-      .select(col("freq"), col("syms"))
+      .select(col("word"), col("freq"), col("syms"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
@@ -599,9 +610,42 @@ object PipelineOps {
         r += 1
       }
     }
-    merges.toSeq
-      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
-      .orderBy(col("merge_rank"))
+    (merges.toSeq, vocab)
+  }
+
+  /** `txt_bpe_tokenize`: the APPLY side of [[pipeBpeTrain]] — token
+    * counts of every document under the trained BPE vocabulary, the
+    * numbers that size shards, contexts, and training budgets once a
+    * real tokenizer exists (whitespace token counts systematically
+    * under-state long words and multilingual text). Reports per doc:
+    * word count, char count, BPE token count, and chars-per-token (the
+    * compression the vocabulary achieves on that doc).
+    *
+    * Scale: tokenization never re-folds merges per corpus occurrence —
+    * the final vocabulary frame already holds each word's merged
+    * symbol sequence, so the corpus pass is ONE explode + an equi-join
+    * on `word` against the vocab-bounded frame (planner-chosen, the
+    * txt_tfidf vocabulary-join doctrine) + a doc-grain aggregate.
+    * Rows-only like its trainer (the merge loop has no SQL replay);
+    * the spec hand-verifies the counts on the Sennrich corpus. */
+  val txtBpeTokenize: Q = (spark, dir) =>
+    bpeTokenizeOn(Tables.documents(spark, dir), BpeMerges)
+
+  /** [[txtBpeTokenize]] over an explicit (doc_id, text) frame with an
+    * injectable merge budget. */
+  private[graft] def bpeTokenizeOn(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val vocab = bpeTrainState(docs, k)._2
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(vocab.select(col("word"), size(col("syms")).as("n_sym")),
+        Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        Tables.round6(col("n_chars").cast("double") / col("n_bpe_tokens")))
+      .orderBy(col("doc_id"))
   }
 
   def queries: Map[String, Q] = Map(
@@ -609,6 +653,7 @@ object PipelineOps {
     "pipe_token_budget"   -> pipeTokenBudget,
     "pipe_bpe_pairs"      -> pipeBpePairs,
     "pipe_bpe_train"      -> pipeBpeTrain,
+    "txt_bpe_tokenize"    -> txtBpeTokenize,
     "pipe_shard_manifest" -> pipeShardManifest,
     "smp_split_leakfree"  -> smpSplitLeakfree,
     "smp_stratified"      -> smpStratified,

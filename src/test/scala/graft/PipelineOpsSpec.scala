@@ -32,6 +32,13 @@ class PipelineOpsSpec extends AnyFunSuite {
         .map { case (w, i) => (i.toLong, w) } }
       .toDF("doc_id", "text").repartition(7))
     assert(repart == got, "merge sequence is partition-variant")
+    // tokenize under the trained vocab: low→[low](1), lower→[low,e,r](3),
+    // newest→[n,e,w,est](4), widest→[w,i,d,est](4) ⇒ 16 words, 79 chars,
+    // 5·1+2·3+6·4+3·4 = 47 BPE tokens
+    val tok = operators.PipelineOps.bpeTokenizeOn(docs, 4).collect()
+    assert(tok.length == 1)
+    assert((tok.head.getLong(1), tok.head.getLong(2), tok.head.getLong(3))
+      == ((16L, 79L, 47L)), s"tokenize stats: ${tok.head}")
   }
 
   test("token-budget selection: the bucket decomposition equals the naive " +
