@@ -717,6 +717,52 @@ object EventStreams {
       .orderBy(col("event_type"))
   }
 
+  /** `evt_anomaly_mad`: robust outlier counts per event type — the
+    * median/MAD dual of [[evtAnomaly]]'s mean/σ rule. The 3σ rule is
+    * itself distorted by the outliers it hunts (one extreme value
+    * inflates σ and hides its peers — masking); the median and the
+    * median absolute deviation have a 50% breakdown point, so
+    * |v − median| > 3·MAD/0.6745 (the Gaussian-consistent MAD scaling)
+    * keeps flagging when the mean-based rule saturates. Both panels
+    * together are the standard data-quality pairing.
+    *
+    * Determinism: values quantize to integer cents; the exact
+    * `percentile` aggregate ≙ DuckDB `quantile_cont` bit-for-bit (the
+    * pipe_quality_filter precedent), deviations and the threshold are
+    * identical IEEE trees over exactly-agreed numbers — no rounding
+    * needed before the compare (the [[evtAnomaly]] doctrine).
+    *
+    * Scale: three type-keyed hash aggregates and two joins against
+    * |event_type|-row frames (planner-broadcast). At 100 TB swap the
+    * exact percentile for `approx_percentile` — the documented
+    * agg_approx_percentiles path. */
+  val evtAnomalyMad: Q = (spark, dir) =>
+    anomalyMadOn(Tables.events(spark, dir))
+
+  /** [[evtAnomalyMad]] over an explicit (event_type, value) frame —
+    * the spec plants a masked-outlier distribution (five heavy values
+    * inflate σ until the 3σ rule flags nothing) and asserts the MAD
+    * rule still flags exactly those five. */
+  private[graft] def anomalyMadOn(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("event_type"), Tables.cents(col("value")).cast("long").as("c"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("c"), lit(0.5)).as("med"))
+    val dev = ev.join(med, Seq("event_type"))
+      .withColumn("adev", abs(col("c").cast("double") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(mad, Seq("event_type"))
+      .withColumn("is_anom",
+        col("adev") * lit(0.6745) > lit(3.0) * col("mad"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Tables.round6(max(col("med")) / lit(100.0)).as("median_value"),
+        Tables.round6(max(col("mad")) / lit(100.0)).as("mad_value"),
+        sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anomalies"))
+      .orderBy(col("event_type"))
+  }
+
   /** `evt_peak_concurrency`: peak simultaneous activity per event type
     * — the classic sweep-line over intervals (each event opens a
     * 30-minute activity window; the answer is the max of the running
@@ -941,6 +987,7 @@ object EventStreams {
 
   def queries: Map[String, Q] = Map(
     "evt_anomaly"         -> evtAnomaly,
+    "evt_anomaly_mad"     -> evtAnomalyMad,
     "evt_inter_arrival"   -> evtInterArrival,
     "evt_markov_transitions" -> evtMarkovTransitions,
     "evt_ohlc_resample"   -> evtOhlcResample,
@@ -1052,6 +1099,29 @@ object EventStreams {
         |        9.0 * nd * (nd * qd - sd * sd)
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_anomaly_mad" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont(c, 0.5) AS med
+        |  FROM c GROUP BY 1),
+        |dev AS (
+        |  SELECT event_type, abs(CAST(c AS DOUBLE) - med) AS adev, med
+        |  FROM c JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT event_type, count(*) AS n_events,
+        |  floor(max(med) / 100.0 * 1000000.0 + 0.5) / 1000000.0
+        |    AS median_value,
+        |  floor(max(mad) / 100.0 * 1000000.0 + 0.5) / 1000000.0
+        |    AS mad_value,
+        |  CAST(SUM(CASE WHEN adev * 0.6745 > 3.0 * mad
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_stream_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us, p.value

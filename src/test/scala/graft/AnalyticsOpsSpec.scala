@@ -151,6 +151,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(nHints == 1, s"expected 1 hint (the 1-row p25), got $nHints")
   }
 
+  test("MAD anomaly rule flags outliers the 3-sigma rule MASKS: five " +
+    "heavy values inflate sigma past their own deviation, median/MAD " +
+    "still isolates them") {
+    // 15 inliers spread 8..12 (median 10, MAD ~1) + 5 masked outliers
+    // at 500: mean 132.5, sigma ~218 -> 3-sigma band reaches ~785 and
+    // flags NOTHING; MAD threshold ~= 10 + 3·1.0/0.6745 flags the five.
+    val inliers = Seq(8.0, 8.5, 9.0, 9.0, 9.5, 10.0, 10.0, 10.0, 10.5,
+      10.5, 11.0, 11.0, 11.5, 12.0, 12.0)
+    val rows = (inliers ++ Seq.fill(5)(500.0)).map(("pay", _))
+    val df = rows.toDF("event_type", "value")
+    val mad = streaming.EventStreams.anomalyMadOn(df).collect()
+    assert(mad.length == 1)
+    assert(mad.head.getAs[Long]("n_anomalies") == 5L,
+      s"MAD must flag exactly the five masked outliers: ${mad.head}")
+    // 20 values → the interpolated median sits between the 10th (10.5)
+    // and 11th (11.0) order statistics
+    assert(mad.head.getAs[Double]("median_value") == 10.75)
+    // the sigma rule on the identical data flags nothing — the
+    // masking failure mode this operator exists to cover
+    val n = rows.length.toDouble
+    val mean = rows.map(_._2).sum / n
+    val sd = math.sqrt(rows.map(v => (v._2 - mean) * (v._2 - mean)).sum / (n - 1))
+    assert(rows.forall(v => math.abs(v._2 - mean) <= 3 * sd),
+      "fixture broken: 3-sigma should mask every outlier here")
+  }
+
   test("retention: offsets clip at the 7-day horizon, same-day repeats " +
     "collapse, cohorts aggregate across users") {
     val events = Seq(
