@@ -237,6 +237,64 @@ object AggQueries {
       .orderBy(col("event_type"))
   }
 
+  /** `prof_cusum_drift`: SEQUENTIAL change-point detection on each
+    * product's daily-quantity series — the one-sided CUSUM chart, the
+    * monitoring dual of [[profDriftPsi]]/[[profKsTest]] (those compare
+    * two finished eras; CUSUM flags the day a drift STARTS, which is
+    * what a production pipeline pages on). Uses the closed form
+    * S_t = C_t − min_{i≤t} C_i with C_t = Σ(dev_i − k): the
+    * max(0, ·)-recursion becomes two stock windows (prefix sum +
+    * running min), so the "sequential" statistic is fully relational —
+    * no stateful fold, no driver loop.
+    *
+    * Exactness: deviations live in integer n-units (dev_t = n·x_t − Σx
+    * — exact longs, no mean division), so the prefix sum is
+    * partition-invariant; the slack k and alarm threshold come from
+    * the exact `percentile` MAD (≙ quantile_cont — the evt_anomaly_mad
+    * doctrine), making every float op an identical IEEE tree over
+    * exactly-agreed numbers. Slack = 1 MAD bounds the null excursion
+    * (a zero-slack CUSUM random-walks to ~σ√t and alarms on noise);
+    * alarm at excursion > 5 MAD.
+    *
+    * Scale: one product-keyed shuffle; both windows ride the same
+    * calendar-bounded (product, date) frame. */
+  val profCusumDrift: Q = (spark, dir) =>
+    cusumOn(CoreQueries.dailyBase(spark, dir))
+
+  /** [[profCusumDrift]] over an explicit (product, sale_date,
+    * total_quantity) frame — the spec plants a level shift mid-series
+    * (detected at/after the shift day) and a stationary control
+    * (no alarms), and asserts partition invariance. */
+  private[graft] def cusumOn(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = daily.select(col("product"), col("sale_date"),
+      col("total_quantity").cast("long").as("x"))
+    val stats = base.groupBy(col("product"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val d = base.join(stats, Seq("product"))
+      .withColumn("dev", col("n") * col("x") - col("s"))
+    val mad = d.groupBy(col("product"))
+      .agg(percentile(abs(col("dev")), lit(0.5)).as("mad"))
+    val w = Window.partitionBy(col("product")).orderBy(col("sale_date"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    val cum = d.join(mad, Seq("product"))
+      .withColumn("t", row_number().over(w))
+      .withColumn("cal", sum(col("dev")).over(wc))
+      .withColumn("cadj", col("cal").cast("double") - col("t") * col("mad"))
+      .withColumn("minp", min(col("cadj")).over(wc))
+      .withColumn("exc", col("cadj") - col("minp"))
+      .withColumn("alarm", col("exc") > lit(5.0) * col("mad"))
+    cum.groupBy(col("product"))
+      .agg(max(col("n")).as("n_days"),
+        Tables.round6(max(col("mad")) / max(col("n"))).as("mad_qty"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarm_days"),
+        Tables.round6(max(col("exc")) / max(col("n")))
+          .as("max_excursion_qty"),
+        min(when(col("alarm"), col("sale_date"))).as("first_alarm_date"))
+      .orderBy(col("product"))
+  }
+
   val aggStatsCv: Q = (spark, dir) =>
     statsCvOn(CoreQueries.dailyBase(spark, dir))
 
@@ -865,6 +923,7 @@ object AggQueries {
     "agg_trend_ols"      -> aggTrendOls,
     "agg_welch_ttest"    -> aggWelchTtest,
     "prof_drift_psi"     -> profDriftPsi,
+    "prof_cusum_drift"   -> profCusumDrift,
     "agg_approx_ngroups_exact" -> aggApproxNgroupsExact,
     "agg_hll_merge_exact"      -> aggHllMergeExact,
   )
@@ -1184,6 +1243,42 @@ object AggQueries {
         |SELECT event_date, max(n_day) AS n_events, count(*) AS n_types,
         |  CAST(SUM(t) AS DOUBLE) / 1000000.0 AS entropy_nats
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "prof_cusum_drift" ->
+      ("""WITH b AS (
+        |  SELECT product, sale_date, CAST(total_quantity AS BIGINT) AS x
+        |  FROM (""".stripMargin + CoreQueries.aggDailyProductSql + """) daily),
+        |st AS (SELECT product, count(*) AS n, SUM(x) AS s
+        |       FROM b GROUP BY 1),
+        |d AS (
+        |  SELECT b.product, sale_date, n,
+        |    CAST(n * x - s AS BIGINT) AS dev
+        |  FROM b JOIN st USING (product)),
+        |md AS (SELECT product, quantile_cont(abs(dev), 0.5) AS mad
+        |       FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT d.product, sale_date, n, mad,
+        |    row_number() OVER (PARTITION BY d.product
+        |      ORDER BY sale_date) AS t,
+        |    CAST(SUM(dev) OVER (PARTITION BY d.product ORDER BY sale_date
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cal
+        |  FROM d JOIN md USING (product)),
+        |e AS (
+        |  SELECT product, sale_date, n, mad,
+        |    CAST(cal AS DOUBLE) - t * mad AS cadj,
+        |    min(CAST(cal AS DOUBLE) - t * mad) OVER (
+        |      PARTITION BY product ORDER BY sale_date
+        |      ROWS UNBOUNDED PRECEDING) AS minp
+        |  FROM c),
+        |f AS (SELECT product, sale_date, n, mad, cadj - minp AS exc FROM e)
+        |SELECT product, max(n) AS n_days,
+        |  floor(max(mad) / max(n) * 1000000.0 + 0.5) / 1000000.0 AS mad_qty,
+        |  CAST(SUM(CASE WHEN exc > 5.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarm_days,
+        |  floor(max(exc) / max(n) * 1000000.0 + 0.5) / 1000000.0
+        |    AS max_excursion_qty,
+        |  min(CASE WHEN exc > 5.0 * mad THEN sale_date END)
+        |    AS first_alarm_date
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
     "prof_drift_psi" ->
       """WITH c AS (
         |  SELECT CAST(least(floor(floor(o_totalprice * 100.0 + 0.5)

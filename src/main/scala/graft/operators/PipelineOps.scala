@@ -279,6 +279,34 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** `smp_quality_weighted`: quality-proportional document sampling —
+    * keep probability ∝ quality score (the importance-sampling middle
+    * ground between uniform sampling, which wastes budget on junk, and
+    * hard threshold filtering, which zeroes the tail a model still
+    * learns from). Per doc: rate_bp = ⌊10⁴·q/q_max⌋ basis points (the
+    * best document always survives), decided by the same replayable
+    * [[hash10k]] as every sampler here — idempotent, retry-stable,
+    * engine-independent.
+    *
+    * Determinism: q is the round6-quantized [[TextQueries]] scalar and
+    * q_max an exact max over those quantized values, so the rate floor
+    * divides two exactly-agreed doubles — both engines land the same
+    * basis point. Scale: scoring is scan-stage, q_max is a 1-row
+    * broadcast, the keep decision is a pure predicate. */
+  val smpQualityWeighted: Q = (spark, dir) => {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextQueries.qualityScoreCol(col("text"), tokens(col("text")))
+          .as("q"))
+    val qmax = scored.agg(max(col("q")).as("q_max"))
+    scored.crossJoin(broadcast(qmax))
+      .withColumn("rate_bp",
+        floor(lit(10000.0) * col("q") / col("q_max")).cast("long"))
+      .where(hash10k(col("doc_id")) < col("rate_bp"))
+      .select(col("doc_id"), col("q").as("quality_score"), col("rate_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `smp_split_leakfree`: leakage-free train/val/test assignment —
     * the split is a pure function of the CONTENT digest (md5 → 60-bit
     * integer → decile: 7/2/1), so byte-identical documents can never
@@ -656,6 +684,7 @@ object PipelineOps {
     "txt_bpe_tokenize"    -> txtBpeTokenize,
     "pipe_shard_manifest" -> pipeShardManifest,
     "smp_split_leakfree"  -> smpSplitLeakfree,
+    "smp_quality_weighted" -> smpQualityWeighted,
     "smp_stratified"      -> smpStratified,
     "smp_temperature"     -> smpTemperature,
     "smp_fixed_k"         -> smpFixedK,
@@ -758,6 +787,24 @@ object PipelineOps {
         |SELECT split, count(*) AS n_docs, count(DISTINCT h) AS n_groups,
         |  (SELECT n_leaked_groups FROM l) AS n_leaked_groups
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "smp_quality_weighted" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    floor((least(CAST(len($T) AS DOUBLE) / 100.0, 1.0) * 0.4
+         |          + CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+         |                 AS DOUBLE) / length(text) * 0.4
+         |          + least(CAST(${TextQueries.sw(EN_STOP)} AS DOUBLE)
+         |                  / len($T) * 5.0, 1.0) * 0.2)
+         |        * 1000000.0 + 0.5) / 1000000.0 AS q
+         |  FROM documents),
+         |m AS (SELECT max(q) AS q_max FROM q),
+         |r AS (
+         |  SELECT doc_id, q AS quality_score,
+         |    CAST(floor(10000.0 * q / q_max) AS BIGINT) AS rate_bp
+         |  FROM q, m)
+         |SELECT doc_id, quality_score, rate_bp FROM r
+         |WHERE ${hash10kSql("doc_id")} < rate_bp
+         |ORDER BY doc_id""".stripMargin,
     "smp_stratified" -> {
       val rateCase = StratRates
         .map { case (l, r) => s"WHEN '$l' THEN $r" }

@@ -151,6 +151,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(nHints == 1, s"expected 1 hint (the 1-row p25), got $nHints")
   }
 
+  test("CUSUM drift: a planted level shift alarms once the adjusted " +
+    "excursion clears 5 MAD, a stationary control never alarms, and " +
+    "the chart is partition-invariant") {
+    // shift: 50 days at 100 then 10 at 400 → mean 150, dev ±3000/15000
+    // n-units, MAD 3000 (slack); adjusted drift +12000/day post-shift
+    // ⇒ first alarm on shift day 2 (24000 > 5·3000), 9 alarm days,
+    // max excursion 120000/n = 2000 qty. control: constant → all zero.
+    val d0 = java.time.LocalDate.of(2026, 1, 1)
+    def date(i: Int) = java.sql.Date.valueOf(d0.plusDays(i.toLong))
+    val rows =
+      (0 until 60).map(i =>
+        ("shift", date(i), if (i < 50) 100.0 else 400.0)) ++
+      (0 until 60).map(i => ("flat", date(i), 100.0))
+    val df = rows.toDF("product", "sale_date", "total_quantity")
+    def run(in: org.apache.spark.sql.DataFrame) =
+      operators.AggQueries.cusumOn(in).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getDouble(4), Option(r.getDate(5)))).toMap
+    val got = run(df)
+    assert(got("shift") == ((60L, 50.0, 9L, 2000.0, Some(date(51)))),
+      s"shift series: ${got("shift")}")
+    assert(got("flat") == ((60L, 0.0, 0L, 0.0, None)),
+      s"stationary control must never alarm: ${got("flat")}")
+    assert(run(df.repartition(7)) == got, "CUSUM is partition-variant")
+  }
+
   test("MAD anomaly rule flags outliers the 3-sigma rule MASKS: five " +
     "heavy values inflate sigma past their own deviation, median/MAD " +
     "still isolates them") {

@@ -73,6 +73,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality-weighted sample: deterministic, the best document always " +
+    "survives, and the kept set's mean quality exceeds the corpus mean") {
+    val s1 = operators.PipelineOps.smpQualityWeighted(spark, sf).collect()
+    val s2 = operators.PipelineOps.smpQualityWeighted(spark, sf).collect()
+    assert(s1.toSeq == s2.toSeq, "sampling must be replay-stable")
+    val total = Tables.documents(spark, sf).count()
+    assert(s1.length > 0 && s1.length < total)
+    // the argmax-quality doc has rate_bp = 10000 and hash10k < 10000
+    // always holds, so it can never be dropped
+    val qmax = s1.map(_.getDouble(1)).max
+    val corpusQmax = operators.TextQueries.txtQuality(spark, sf)
+      .agg(max(col("quality_score"))).head().getDouble(0)
+    assert(qmax == corpusQmax, "the best document was dropped")
+    val keptMean = s1.map(_.getDouble(1)).sum / s1.length
+    val corpusMean = operators.TextQueries.txtQuality(spark, sf)
+      .agg(avg(col("quality_score"))).head().getDouble(0)
+    assert(keptMean > corpusMean,
+      s"importance sampling must raise mean quality: $keptMean vs $corpusMean")
+  }
+
   test("stratified sample is a deterministic subset; strata rates bound it") {
     val total = Tables.documents(spark, sf).count()
     val s1 = operators.PipelineOps.smpStratified(spark, sf).collect()
