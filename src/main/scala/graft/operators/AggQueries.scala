@@ -295,6 +295,52 @@ object AggQueries {
       .orderBy(col("product"))
   }
 
+  /** `agg_winsorized_mean`: 5%-winsorized daily-revenue mean per
+    * product — the robust location estimate between the raw mean
+    * (outlier-dragged) and the median (discards magnitude): values
+    * below p05 / above p95 are CLAMPED to those bounds, then averaged.
+    * Completes the robust panel (MAD spread, CUSUM sequence, winsorized
+    * location).
+    *
+    * Determinism: summing clamped DOUBLES would be add-order-dependent;
+    * instead the aggregate counts the clamped tails and sums only the
+    * untouched middle as exact cents — mean = (Σmid + n_lo·p05 +
+    * n_hi·p95)/n is one expression over exact longs and two replayable
+    * percentile bounds (≙ quantile_cont), partition-invariant by
+    * construction. One product-keyed aggregate pair + a |products|-row
+    * broadcast join. */
+  val aggWinsorizedMean: Q = (spark, dir) =>
+    winsorizedOn(CoreQueries.dailyBase(spark, dir))
+
+  /** [[aggWinsorizedMean]] over an explicit (product, total_revenue)
+    * frame — the spec plants one extreme day among uniform ones and
+    * hand-computes both means and the clamp counts. */
+  private[graft] def winsorizedOn(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = daily
+      .select(col("product"), Tables.cents(col("total_revenue")).cast("long")
+        .as("c"))
+    val bounds = base.groupBy(col("product"))
+      .agg(percentile(col("c"), lit(0.05)).as("p05"),
+        percentile(col("c"), lit(0.95)).as("p95"))
+    base.join(bounds, Seq("product"))
+      .groupBy(col("product"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).as("s_all"),
+        sum(when(col("c") >= col("p05") && col("c") <= col("p95"), col("c"))
+          .otherwise(0L)).as("s_mid"),
+        sum(when(col("c") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("c") > col("p95"), 1L).otherwise(0L)).as("n_hi"),
+        max(col("p05")).as("p05"), max(col("p95")).as("p95"))
+      .select(col("product"), col("n_days"), col("n_lo"), col("n_hi"),
+        Tables.round6(col("s_all").cast("double") / col("n_days") / lit(100.0))
+          .as("mean_raw"),
+        Tables.round6((col("s_mid").cast("double")
+          + col("n_lo") * col("p05") + col("n_hi") * col("p95"))
+          / col("n_days") / lit(100.0)).as("mean_winsorized"))
+      .orderBy(col("product"))
+  }
+
   val aggStatsCv: Q = (spark, dir) =>
     statsCvOn(CoreQueries.dailyBase(spark, dir))
 
@@ -924,6 +970,7 @@ object AggQueries {
     "agg_welch_ttest"    -> aggWelchTtest,
     "prof_drift_psi"     -> profDriftPsi,
     "prof_cusum_drift"   -> profCusumDrift,
+    "agg_winsorized_mean" -> aggWinsorizedMean,
     "agg_approx_ngroups_exact" -> aggApproxNgroupsExact,
     "agg_hll_merge_exact"      -> aggHllMergeExact,
   )
@@ -1243,6 +1290,33 @@ object AggQueries {
         |SELECT event_date, max(n_day) AS n_events, count(*) AS n_types,
         |  CAST(SUM(t) AS DOUBLE) / 1000000.0 AS entropy_nats
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_winsorized_mean" ->
+      ("""WITH b AS (
+        |  SELECT product,
+        |    CAST(floor(total_revenue * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM (""".stripMargin + CoreQueries.aggDailyProductSql + """) daily),
+        |bd AS (
+        |  SELECT product, quantile_cont(c, 0.05) AS p05,
+        |    quantile_cont(c, 0.95) AS p95
+        |  FROM b GROUP BY 1),
+        |a AS (
+        |  SELECT b.product, count(*) AS n_days,
+        |    CAST(SUM(c) AS BIGINT) AS s_all,
+        |    CAST(SUM(CASE WHEN c >= p05 AND c <= p95 THEN c ELSE 0 END)
+        |         AS BIGINT) AS s_mid,
+        |    CAST(SUM(CASE WHEN c < p05 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_lo,
+        |    CAST(SUM(CASE WHEN c > p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hi,
+        |    max(p05) AS p05, max(p95) AS p95
+        |  FROM b JOIN bd USING (product) GROUP BY 1)
+        |SELECT product, n_days, n_lo, n_hi,
+        |  floor(CAST(s_all AS DOUBLE) / n_days / 100.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mean_raw,
+        |  floor((CAST(s_mid AS DOUBLE) + n_lo * p05 + n_hi * p95)
+        |        / n_days / 100.0 * 1000000.0 + 0.5) / 1000000.0
+        |    AS mean_winsorized
+        |FROM a ORDER BY 1""".stripMargin),
     "prof_cusum_drift" ->
       ("""WITH b AS (
         |  SELECT product, sale_date, CAST(total_quantity AS BIGINT) AS x

@@ -151,6 +151,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(nHints == 1, s"expected 1 hint (the 1-row p25), got $nHints")
   }
 
+  test("winsorized mean: one extreme day is clamped to the interpolated " +
+    "p95 (hand-derived), the raw mean keeps it, and nothing is " +
+    "partition-variant") {
+    // 19 days at $10 + 1 at $1000: p95 interpolates 1000c + .05·99000c
+    // = 5950c, so winsorized = (19·1000 + 5950)/20/100 = 12.475 while
+    // the raw mean is dragged to 59.5
+    val rows = (Seq.fill(19)(10.0) :+ 1000.0).map(("p", _))
+    val df = rows.toDF("product", "total_revenue")
+    def run(in: org.apache.spark.sql.DataFrame) =
+      operators.AggQueries.winsorizedOn(in).collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toList
+    val got = run(df)
+    assert(got == List((0L, 1L, 59.5, 12.475)), s"winsorized: $got")
+    assert(run(df.repartition(7)) == got, "winsorized mean is " +
+      "partition-variant")
+  }
+
   test("CUSUM drift: a planted level shift alarms once the adjusted " +
     "excursion clears 5 MAD, a stationary control never alarms, and " +
     "the chart is partition-invariant") {
