@@ -22,7 +22,14 @@ object PlanProbe {
         "pipe_semdedup" -> operators.SimilarityQueries.pipeSemDedup,
         "prof_embedding_stats" ->
           operators.SimilarityQueries.profEmbeddingStats,
-        "sim_knn_ivfpq" -> operators.SimilarityQueries.simKnnIvfPq)) {
+        "sim_knn_ivfpq" -> operators.SimilarityQueries.simKnnIvfPq,
+        "sim_index_upsert" -> operators.SimilarityQueries.simIndexUpsert,
+        "evt_window_users" -> streaming.EventStreams.evtWindowUsers,
+        "evt_anomaly_mad" -> streaming.EventStreams.evtAnomalyMad,
+        "prof_cusum_drift" -> operators.AggQueries.profCusumDrift,
+        "agg_winsorized_mean" -> operators.AggQueries.aggWinsorizedMean,
+        "smp_quality_weighted" ->
+          operators.PipelineOps.smpQualityWeighted)) {
       println(s"========== $name ==========")
       println(fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
