@@ -2,10 +2,34 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: prints formatted plans for the newest operators so the
-  * scan schema / pushdown / exchange count can be eyeballed per round.
+/** Dev tool: prints formatted plans so scan schema / pushdown /
+  * exchange counts can be eyeballed per round.
+  *
+  * The probe list is CUMULATIVE (round-9 advice: replacing the list
+  * each round silently dropped plan-regression coverage for earlier
+  * operators): [[probeNames]] only ever grows, and every name resolves
+  * against the full [[SparkEntry.queries]] registry, so a renamed or
+  * dropped query fails loudly here instead of fading out. Filter with
+  * `SPARK_GRAFT_PLAN_ONLY=name1,name2` while iterating, or set
+  * `SPARK_GRAFT_PLAN_ONLY=all` to probe the ENTIRE query surface.
+  *
   * Usage: `sbt "runMain graft.PlanProbe [sfDir]"`. */
 object PlanProbe {
+
+  /** Every operator any round's probe has covered — append, never
+    * replace. */
+  val probeNames: Seq[String] = Seq(
+    // rounds ≤ 8
+    "smp_stratified", "pipe_mixture", "txt_chunk_overlap",
+    "pipe_pack_sequences",
+    // round 9
+    "txt_gopher_rules", "pipe_token_budget", "pipe_semdedup",
+    "prof_embedding_stats", "sim_knn_ivfpq", "sim_index_upsert",
+    "evt_window_users", "evt_anomaly_mad", "prof_cusum_drift",
+    "agg_winsorized_mean", "smp_quality_weighted",
+    // round 10
+    "mm_dedup_phash", "dedup_substring_spans", "txt_bpe_tokenize")
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -16,22 +40,18 @@ object PlanProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftConf(spark)
-    for ((name, fn) <- Seq[(String, Q)](
-        "txt_gopher_rules" -> operators.TextQueries.txtGopherRules,
-        "pipe_token_budget" -> operators.PipelineOps.pipeTokenBudget,
-        "pipe_semdedup" -> operators.SimilarityQueries.pipeSemDedup,
-        "prof_embedding_stats" ->
-          operators.SimilarityQueries.profEmbeddingStats,
-        "sim_knn_ivfpq" -> operators.SimilarityQueries.simKnnIvfPq,
-        "sim_index_upsert" -> operators.SimilarityQueries.simIndexUpsert,
-        "evt_window_users" -> streaming.EventStreams.evtWindowUsers,
-        "evt_anomaly_mad" -> streaming.EventStreams.evtAnomalyMad,
-        "prof_cusum_drift" -> operators.AggQueries.profCusumDrift,
-        "agg_winsorized_mean" -> operators.AggQueries.aggWinsorizedMean,
-        "smp_quality_weighted" ->
-          operators.PipelineOps.smpQualityWeighted)) {
+    val registry = SparkEntry.queries
+    val selected = sys.env.get("SPARK_GRAFT_PLAN_ONLY") match {
+      case Some("all") => registry.keys.toSeq.sorted
+      case Some(csv)   => csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None        => probeNames
+    }
+    val missing = selected.filterNot(registry.contains)
+    require(missing.isEmpty,
+      s"PlanProbe names not in SparkEntry.queries: ${missing.mkString(", ")}")
+    for (name <- selected) {
       println(s"========== $name ==========")
-      println(fn(spark, dir).queryExecution.explainString(
+      println(registry(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()

@@ -859,10 +859,18 @@ object SimilarityQueries {
     * frame — the spec plants a delta vector nearest to a base centroid
     * and asserts it lands there without moving any base posting. */
   private[graft] def indexUpsertOn(embRaw: DataFrame): DataFrame = {
-    val n = embRaw.count() // scalar catalog metadata
-    val cut = n * UpsertDeltaPct / 100
-    val base  = embRaw.where(col("vec_id") < cut)
-    val delta = embRaw.where(col("vec_id") >= cut)
+    // base/delta cut derived RELATIONALLY (the oracle's tot/cut CTEs):
+    // a 1-row count aggregate broadcast into the split predicates, so
+    // building this query stays lazy — the earlier eager .count() here
+    // made a mere explain() trigger a full corpus scan job. (The one
+    // construction-time action left in this family is the codebook
+    // collect — bounded catalog metadata by the codebook discipline.)
+    val cutDf = embRaw.agg(
+      expr(s"(count(1) * $UpsertDeltaPct) div 100").as("cut"))
+    val base = embRaw.crossJoin(cutDf)
+      .where(col("vec_id") < col("cut")).drop("cut")
+    val delta = embRaw.crossJoin(cutDf)
+      .where(col("vec_id") >= col("cut")).drop("cut")
     // codebook from the BASE only — the existing index's quantizer
     val centroids = centroidCodebookOf(base)
     def assigned(part: DataFrame): DataFrame =

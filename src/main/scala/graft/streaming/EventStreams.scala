@@ -163,17 +163,33 @@ object EventStreams {
     * [[tumblingStreamAppend]]: append mode, where the watermark bounds
     * state and windows emit once finalized.
     * `query.processAllAvailable()` drains the backlog synchronously. */
+  /** Staging dir for the streaming file source (it requires a
+    * DIRECTORY; the testdata table is a single file) — one symlink,
+    * zero copy. The link target is validated on every call: if the
+    * testdata dir moved or was regenerated at a different path, a
+    * stale link would silently stream old/absent data, so a link whose
+    * target differs from the requested source is deleted and re-created
+    * rather than trusted. */
+  private def stagedEventsDir(dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val stageDir = Paths.get(
+      s"target/tmp/stream_events_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Files.createDirectories(stageDir)
+    val link = stageDir.resolve("events.parquet")
+    val target = Paths.get(s"$dir/events.parquet").toAbsolutePath
+    val stale = Files.isSymbolicLink(link) &&
+      Files.readSymbolicLink(link) != target
+    if (stale || (Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)
+        && !Files.isSymbolicLink(link)))
+      Files.delete(link)
+    if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      Files.createSymbolicLink(link, target)
+    stageDir
+  }
+
   def tumblingStream(spark: SparkSession, dir: String,
       sinkName: String): StreamingQuery = {
-    // the streaming file source requires a directory; the testdata table
-    // is a single file — stage it via symlink (zero copy)
-    val stageDir = java.nio.file.Paths.get(
-      s"target/tmp/stream_events_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(stageDir)
-    val link = stageDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val stageDir = stagedEventsDir(dir)
     val stream = Tables.normalizeEventTs(spark.readStream
         .schema(eventsSchema(spark, dir))
         .parquet(stageDir.toString))
@@ -196,13 +212,7 @@ object EventStreams {
     * mode is test-only; production is the append form). */
   def windowUsersStream(spark: SparkSession, dir: String,
       sinkName: String): StreamingQuery = {
-    val stageDir = java.nio.file.Paths.get(
-      s"target/tmp/stream_events_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(stageDir)
-    val link = stageDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val stageDir = stagedEventsDir(dir)
     windowUsersStreamAppend(
       Tables.normalizeEventTs(spark.readStream
         .schema(eventsSchema(spark, dir))
