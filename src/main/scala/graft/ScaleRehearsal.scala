@@ -214,7 +214,14 @@ object ScaleRehearsal {
 
     def j(d: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(d))
 
-    val rows = for (fam <- docFams; k <- scales) yield {
+    // SPARK_GRAFT_FAMILIES=f1,f2 filters to named families while
+    // iterating (default: all). Filtered runs still write SCALE10.json
+    // — restore the committed artifact after local iteration.
+    val famFilter = sys.env.get("SPARK_GRAFT_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val activeFams = docFams.filter(f => famFilter.forall(_.contains(f.name)))
+
+    val rows = for (fam <- activeFams; k <- scales) yield {
       val dir = s"$outRoot/x$k"
       val input =
         if (fam.name == "dedup_entity_block") Tables.customer(spark, dir)
@@ -238,7 +245,7 @@ object ScaleRehearsal {
       (fam.name, k, nIn, candN, outN, maxB, nB, sec)
     }
 
-    val famJson = docFams.map { fam =>
+    val famJson = activeFams.map { fam =>
       val rs = rows.filter(_._1 == fam.name).sortBy(_._2)
       val base = rs.head
       val perScale = rs.map { case (_, k, nIn, cand, out, maxB, nB, sec) =>

@@ -307,32 +307,101 @@ object DedupQueries {
     * fixture specs unchanged). Cost: 16 postings/doc instead of 4 —
     * fixed-width rows, the same shuffle shape, 4× the posting volume
     * for a quadratic→linear candidate collapse. */
-  private[graft] def twoLevelKeys(h: Column): Column = {
+  private[graft] def twoLevelKeys(h: Column): Column = pigeonholeKeys(h, 2)
+
+  /** Corpus size above which the pigeonhole blocking engages its THIRD
+    * level — the key-width-∝-n lever the round-9 rehearsal left
+    * documented but unimplemented. The 2-level slot space is 2^27;
+    * uniform keys would hold to ~10^7 docs, but the pHash key
+    * distribution is measurably narrow (DCT spectra of byte-grid
+    * content cluster), and SCALE10 r9 measured the superlinear onset
+    * at ~5·10^4 docs (candidate ratio ×43.8 at 10× of the 5k-doc
+    * base). The switch sits 2.5× below that measured onset. Levels
+    * are a pure function of n — deterministic, partition-invariant,
+    * and output-INVISIBLE (any level's candidate set is an
+    * exact-recall superset; the hamming filter makes the final pairs
+    * identical). */
+  private[graft] val ThirdLevelMinDocs = 20000L
+
+  /** Pigeonhole level count for a corpus of n hashes — the
+    * [[graft.operators.SimilarityQueries.sigBitsFor]] discipline
+    * applied to the hamming-radius family: exact-key WIDTH grows with
+    * the corpus so the per-slot key space tracks n. Each further level
+    * multiplies postings ×4 and key space ×~2^9; a 10^9-doc corpus
+    * wanting a fourth level (~2^43 slots, 256 postings/doc) extends
+    * [[pigeonholeKeys]]'s recursion pattern unchanged. */
+  private[graft] def pigeonholeLevelsFor(n: Long): Int =
+    if (n > ThirdLevelMinDocs) 3 else 2
+
+  /** Generalized pigeonhole blocking keys for hamming ≤ 3 over the
+    * 60-bit hash, at 2 or 3 levels.
+    *
+    * Level 2 (16 postings/doc, ~2^27 key space/slot) is the round-9
+    * scheme documented above. Level 3 recurses once more: given the
+    * exact 15-bit chunk c AND the exact sub-chunk s of its 45-bit
+    * complement, the ≤3 errors all live in the REMAINING 33–34 bits
+    * (the other three sub-chunks, concatenated cyclically); pigeonhole
+    * over ITS four ~8–9-bit sub-sub-chunks gives ≥1 exact one. So
+    * every true pair shares a (c·16+s·4+t, chunk‖sub‖subsub) key —
+    * 64 postings/doc, key width 15+11..12+8..9 ≈ 35–36 bits, slot
+    * space ×~2^8–2^9 over level 2. Recall stays EXACT at every level:
+    * the candidate set is a superset of all hamming ≤ 3 pairs by
+    * construction (asserted per adversarial flip set in PipelineSpec),
+    * and the downstream exact-hamming filter makes the final result
+    * identical across levels — which is why the DuckDB oracles replay
+    * the simplest single-level form unchanged. */
+  private[graft] def pigeonholeKeys(h: Column, levels: Int): Column = {
+    require(levels == 2 || levels == 3, s"unsupported pigeonhole levels $levels")
     val chunks = (0 until 4).map(c =>
       shiftright(h, c * 15).bitwiseAND(lit(0x7FFFL)))
-    val entries = for { c <- 0 until 4; s <- 0 until 4 } yield {
+    val subW   = Seq(12, 11, 11, 11) // widths over the 45-bit complement
+    val subOff = Seq(0, 12, 23, 34)
+    val entries = for {
+      c <- 0 until 4; s <- 0 until 4
+      t <- if (levels == 2) Seq(-1) else 0 until 4
+    } yield {
       val o = (1 to 3).map(i => chunks((c + i) % 4))
       val comp = o(0).bitwiseOR(shiftleft(o(1), 15)).bitwiseOR(shiftleft(o(2), 30))
-      val sub = s match {
-        case 0 => comp.bitwiseAND(lit(0xFFFL))
-        case 1 => shiftright(comp, 12).bitwiseAND(lit(0x7FFL))
-        case 2 => shiftright(comp, 23).bitwiseAND(lit(0x7FFL))
-        case _ => shiftright(comp, 34).bitwiseAND(lit(0x7FFL))
+      val sub = shiftright(comp, subOff(s))
+        .bitwiseAND(lit((1L << subW(s)) - 1))
+      val level2Val = shiftleft(chunks(c), 12).bitwiseOR(sub)
+      if (t < 0)
+        struct(lit(c * 4 + s).as("chunk_idx"), level2Val.as("chunk_val"))
+      else {
+        // rest = the three OTHER sub-chunks of comp, cyclic order
+        val (rest, restW) = (1 to 3).map(i => (s + i) % 4)
+          .foldLeft((lit(0L), 0)) { case ((acc, w), j) =>
+            (acc.bitwiseOR(shiftleft(shiftright(comp, subOff(j))
+              .bitwiseAND(lit((1L << subW(j)) - 1)), w)), w + subW(j))
+          }
+        // partition rest (33 or 34 bits) into 4 sub-sub-chunks,
+        // remainder bits to the low slots
+        val ssW = (0 until 4).map(i => restW / 4 + (if (i < restW % 4) 1 else 0))
+        val ssOff = ssW.scanLeft(0)(_ + _)
+        val ss = shiftright(rest, ssOff(t)).bitwiseAND(lit((1L << ssW(t)) - 1))
+        struct(lit((c * 4 + s) * 4 + t).as("chunk_idx"),
+          shiftleft(level2Val, 9).bitwiseOR(ss).as("chunk_val"))
       }
-      struct(lit(c * 4 + s).as("chunk_idx"),
-        shiftleft(chunks(c), 12).bitwiseOR(sub).as("chunk_val"))
     }
     array(entries: _*)
   }
 
   /** Pigeonhole blocking frame for [[dedupSimhash]] — one row per
-    * (doc, two-level key); the (chunk_idx, chunk_val) equi-key bounds
-    * candidate generation ([[twoLevelKeys]]). */
-  private[graft] def simhashChunksOn(docs: DataFrame): DataFrame =
+    * (doc, pigeonhole key); the (chunk_idx, chunk_val) equi-key bounds
+    * candidate generation. The level count ADAPTS to corpus size
+    * ([[pigeonholeLevelsFor]]); the count() is an O(1) scalar probe
+    * (the sigBitsFor discipline — cardinality decides plan shape, like
+    * AQE stats; for parquet it is a footer-metadata job). Text
+    * simhashes are near-uniform so the 2-level margin is wide (r9
+    * SCALE10 measured ×11.6 at 10× — mildly superlinear already), and
+    * the same adaptive lever now covers this family too. */
+  private[graft] def simhashChunksOn(docs: DataFrame): DataFrame = {
+    val levels = pigeonholeLevelsFor(docs.count())
     simhashesOn(docs).select(col("doc_id"), col("simhash"),
-      explode(twoLevelKeys(col("simhash"))).as("k"))
+      explode(pigeonholeKeys(col("simhash"), levels)).as("k"))
       .select(col("doc_id"), col("simhash"),
         col("k.chunk_idx").as("chunk_idx"), col("k.chunk_val").as("chunk_val"))
+  }
 
   /** SimHash candidate pairs (distinct, pre-hamming-filter) — the
     * blocked candidate set the scale rehearsal measures. */

@@ -188,18 +188,30 @@ object MultimodalQueries {
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Pigeonhole blocking frame of [[mmDedupPhashOn]] — one row per
-    * (doc, two-level key) via
-    * [[graft.operators.DedupQueries.twoLevelKeys]] (exact 15-bit chunk
-    * + exact complement sub-chunk; the single-level 15-bit key space
-    * measurably saturated at 10× corpus — SCALE10.json). */
+    * (doc, pigeonhole key) via
+    * [[graft.operators.DedupQueries.pigeonholeKeys]], with the level
+    * count ADAPTING to corpus size
+    * ([[graft.operators.DedupQueries.pigeonholeLevelsFor]] — the
+    * key-width-∝-n lever). This family is the one that NEEDED the
+    * lever: pHash keys are narrowly distributed (DCT spectra of
+    * byte-grid content cluster), so the fixed 2-level 2^27 slot space
+    * measured ×43.8 candidate growth at 10× corpus in the round-9
+    * rehearsal (birthday collisions); the third level widens the exact
+    * key by ~9 bits once the corpus passes
+    * [[graft.operators.DedupQueries.ThirdLevelMinDocs]]. Recall stays
+    * exact at any level (pigeonhole superset + exact hamming filter),
+    * so the oracle's single-level replay is unchanged. The count() is
+    * the O(1) scalar cardinality probe (sigBitsFor discipline). */
   private[graft] def phashChunksOn(media: DataFrame): DataFrame = {
     graft.functions.VectorExpressions.register(media.sparkSession)
+    val levels = graft.operators.DedupQueries.pigeonholeLevelsFor(media.count())
     media
       .where(octet_length(col("data")) >= 1)
       .select(col("doc_id"),
         graft.functions.DctPhash.dct_phash(col("data")).as("phash"))
       .select(col("doc_id"), col("phash"),
-        explode(graft.operators.DedupQueries.twoLevelKeys(col("phash"))).as("k"))
+        explode(graft.operators.DedupQueries.pigeonholeKeys(col("phash"),
+          levels)).as("k"))
       .select(col("doc_id"), col("phash"),
         col("k.chunk_idx").as("chunk_idx"), col("k.chunk_val").as("chunk_val"))
   }

@@ -477,14 +477,62 @@ class PipelineSpec extends AnyFunSuite {
     val pairs = flipSets.map { fs =>
       (h0, fs.foldLeft(h0)((h, b) => h ^ (1L << b)), fs.mkString("+"))
     }.toDF("ha", "hb", "flips")
-    val overlap = pairs.select(col("flips"),
-      arrays_overlap(
-        operators.DedupQueries.twoLevelKeys(col("ha")),
-        operators.DedupQueries.twoLevelKeys(col("hb"))).as("shared"))
-      .collect()
-    overlap.foreach { r =>
-      assert(r.getBoolean(1), s"no shared two-level key for flips {${r.getString(0)}}")
+    for (levels <- Seq(2, 3)) {
+      val overlap = pairs.select(col("flips"),
+        arrays_overlap(
+          operators.DedupQueries.pigeonholeKeys(col("ha"), levels),
+          operators.DedupQueries.pigeonholeKeys(col("hb"), levels)).as("shared"))
+        .collect()
+      overlap.foreach { r =>
+        assert(r.getBoolean(1),
+          s"no shared $levels-level key for flips {${r.getString(0)}}")
+      }
     }
+  }
+
+  test("adaptive pigeonhole levels: 3-level blocked pairs == 2-level == " +
+    "brute-force hamming<=3 on a mixed hash set (exact recall at every " +
+    "width); selector switches on corpus size") {
+    import spark.implicits._
+    val D = operators.DedupQueries
+    assert(D.pigeonholeLevelsFor(D.ThirdLevelMinDocs) == 2)
+    assert(D.pigeonholeLevelsFor(D.ThirdLevelMinDocs + 1) == 3)
+    // mixed set: pseudo-random 60-bit hashes + planted near pairs at
+    // hamming 1/2/3 (flips spread across level-1 AND level-2 chunks)
+    // + one pair at hamming 4 that must NOT be emitted
+    val mask = (1L << 60) - 1
+    def rnd(seed: Long): Long =
+      (seed * 6364136223846793005L + 1442695040888963407L) & mask
+    val base = (1 to 40).map(i => (i.toLong, rnd(i * 7919L)))
+    val planted = Seq(
+      (101L, base(0)._2 ^ (1L << 3)),
+      (102L, base(1)._2 ^ (1L << 14) ^ (1L << 15)),
+      (103L, base(2)._2 ^ (1L << 0) ^ (1L << 20) ^ (1L << 40)),
+      (104L, base(3)._2 ^ (1L << 5) ^ (1L << 6) ^ (1L << 50)),
+      (105L, base(4)._2 ^ 0xF0L)) // hamming 4 — outside the radius
+    val hs = (base ++ planted).toDF("doc_id", "h")
+    def blockedPairs(levels: Int): Set[(Long, Long, Int)] = {
+      val keyed = hs.select(col("doc_id"), col("h"),
+        explode(D.pigeonholeKeys(col("h"), levels)).as("k"))
+      keyed.as("a").join(keyed.as("b"),
+          col("a.k.chunk_idx") === col("b.k.chunk_idx") &&
+            col("a.k.chunk_val") === col("b.k.chunk_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("d"))
+        .where(col("d") <= 3).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val brute = hs.as("a").crossJoin(hs.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("d"))
+      .where(col("d") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.size >= 4, s"fixture lost its planted pairs: $brute")
+    assert(!brute.exists(p => p._1 == 5L && p._2 == 105L))
+    assert(blockedPairs(2) == brute)
+    assert(blockedPairs(3) == brute)
   }
 
   test("substring spans: misaligned verbatim copy is detected (content-" +
