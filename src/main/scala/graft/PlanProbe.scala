@@ -28,7 +28,8 @@ object PlanProbe {
     "evt_window_users", "evt_anomaly_mad", "prof_cusum_drift",
     "agg_winsorized_mean", "smp_quality_weighted",
     // round 10
-    "mm_dedup_phash", "dedup_substring_spans", "txt_bpe_tokenize")
+    "mm_dedup_phash", "dedup_substring_spans", "txt_bpe_tokenize",
+    "dedup_incremental_near")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -90,6 +90,63 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** `dedup_incremental_near`: the NEAR-dup analog of
+    * [[dedupIncremental]] — production ingest needs both: the digest
+    * anti-join admits anything not byte-identical, so a lightly
+    * edited repost of existing corpus content sails through; this
+    * operator assigns the incoming batch's MinHash band keys against
+    * the EXISTING corpus's band postings (the sim_index_upsert
+    * discipline applied to LSH) and reports every admission-blocking
+    * near-dup match: (doc_id [incoming], match_id, match_src
+    * 'corpus'|'batch', jaccard ≥ 0.5). In-batch matches point the
+    * LATER doc at the earlier one (min-id-wins keeper direction).
+    *
+    * Scale: at 100 TB the existing side is a maintained BAND-POSTING
+    * STORE ((band, key, doc_id) rows, bucketed by key — appended each
+    * ingest, never recomputed from text); here both sides derive from
+    * the one documents table through a SINGLE signature aggregate
+    * split by the batch predicate, which is the same join shape: the
+    * batch side is small, candidates are posting-bounded, and the
+    * exact-Jaccard verify touches only candidate docs' shingle sets
+    * (8-byte hashes — text never shuffles). Fully oracled: signatures,
+    * band keys, both candidate joins, and the verify replay in DuckDB
+    * over the same md5 shingle hashes. */
+  val dedupIncrementalNear: Q = (spark, dir) =>
+    incrementalNearOn(Tables.documents(spark, dir))
+
+  /** Core of [[dedupIncrementalNear]] over an arbitrary (doc_id, text)
+    * frame — the spec plants a cross-batch near-dup that digest dedup
+    * provably misses, an in-batch near pair, and an unrelated
+    * incoming doc. */
+  private[graft] def incrementalNearOn(docs: DataFrame): DataFrame = {
+    val incoming = pmod(col("doc_id"), lit(5)) === 0
+    val bands = minhashBandsOn(docs)
+    val inB = bands.where(incoming)
+    val exB = bands.where(!incoming)
+    val cross = inB.as("a").join(exB.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"))
+      .distinct()
+      .withColumn("match_src", lit("corpus"))
+    val inBatch = inB.as("a").join(inB.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("doc_id"), col("a.doc_id").as("match_id"))
+      .distinct()
+      .withColumn("match_src", lit("batch"))
+    val sh = shingledMd5On(docs)
+    val cand = cross.unionByName(inBatch)
+    cand
+      .join(sh.select(col("doc_id").as("ia"), col("sh").as("sh_a")),
+        col("doc_id") === col("ia"))
+      .join(sh.select(col("doc_id").as("ib"), col("sh").as("sh_b")),
+        col("match_id") === col("ib"))
+      .select(col("doc_id"), col("match_id"), col("match_src"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy(col("doc_id"), col("match_src"), col("match_id"))
+  }
+
   /** Shingle-hash sets per document, with a 100-char length block key.
     *
     * Two plan-shape traps handled here (found via explain at sf0.1 —
@@ -805,6 +862,7 @@ object DedupQueries {
     "dedup_containment"   -> dedupContainment,
     "dedup_exact"         -> dedupExact,
     "dedup_incremental"   -> dedupIncremental,
+    "dedup_incremental_near" -> dedupIncrementalNear,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh"   -> dedupMinhashLsh,
     "dedup_simhash"       -> dedupSimhash,
@@ -1008,6 +1066,42 @@ object DedupQueries {
         |SELECT doc_id, text_hash FROM inc
         |WHERE text_hash NOT IN (SELECT text_hash FROM ex)
         |ORDER BY doc_id""".stripMargin,
+    // the dedup_minhash_lsh replay composed with the mod-5 base/delta
+    // split: batch->corpus band assignment + in-batch pairs, exact
+    // Jaccard verify on candidates
+    "dedup_incremental_near" ->
+      s"""$Md5ShinglePrefixSql,
+         |hf AS (SELECT unnest(range(0, $NumHashes)) AS i),
+         |sig AS (
+         |  SELECT doc_id, i,
+         |    MIN(((h % 2147483647) * (2*i + 1) + (7919*i + 1)) % 2147483647)
+         |      AS sig
+         |  FROM e CROSS JOIN hf GROUP BY 1, 2),
+         |band AS (
+         |  SELECT doc_id, i // $Rows AS band,
+         |    string_agg(CAST(sig AS VARCHAR), '_' ORDER BY i) AS key
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_id,
+         |    'corpus' AS match_src
+         |  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+         |  UNION
+         |  SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS match_id,
+         |    'batch' AS match_src
+         |  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+         |    AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0)
+         |SELECT cand.doc_id AS doc_id, match_id, match_src,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+         |    (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+         |    AS jaccard
+         |FROM cand
+         |JOIN sh sa ON cand.doc_id = sa.doc_id
+         |JOIN sh sb ON cand.match_id = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+         |    (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+         |ORDER BY cand.doc_id, match_src, match_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH tok AS (
          |  SELECT doc_id, n_chars // 100 AS len_bucket,

@@ -490,6 +490,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental NEAR-dup ingest: a cross-batch near-dup that digest " +
+    "dedup admits is flagged against the corpus band postings; in-batch " +
+    "near pair points later->earlier; unrelated incoming doc is clean") {
+    import spark.implicits._
+    val D = operators.DedupQueries
+    // 40 distinct tokens; the near-dup edits ONE mid-text token
+    def toks(seed: Int) = (0 until 40).map(i => f"t$seed%02dw$i%02d")
+    val base = toks(1).mkString(" ")
+    val near = toks(1).updated(20, "edited").mkString(" ")
+    val b2 = toks(2).mkString(" ")
+    val near2 = toks(2).updated(5, "changed").mkString(" ")
+    val docs = Seq(
+      1L -> base, // existing
+      2L -> toks(3).mkString(" "), // existing, unrelated
+      5L -> near, // incoming: near-dup of existing 1 (digest differs)
+      10L -> b2, 20L -> near2, // incoming in-batch near pair
+      30L -> toks(4).mkString(" ") // incoming, unrelated
+    ).toDF("doc_id", "text")
+    // digest dedup ADMITS doc 5 — the gap this operator closes
+    val admitted = D.incrementalOn(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted.contains(5L), "digest dedup should miss the near-dup")
+    val got = D.incrementalNearOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got.contains((5L, 1L, "corpus")),
+      s"cross-batch near-dup not flagged: ${got.mkString(", ")}")
+    assert(got.contains((20L, 10L, "batch")),
+      s"in-batch near pair not flagged: ${got.mkString(", ")}")
+    assert(!got.exists(_._1 == 30L), s"unrelated incoming doc flagged: $got")
+    // only incoming docs ever appear on the doc_id side
+    assert(got.forall(_._1 % 5 == 0), s"existing doc on the batch side: $got")
+  }
+
   test("adaptive pigeonhole levels: 3-level blocked pairs == 2-level == " +
     "brute-force hamming<=3 on a mixed hash set (exact recall at every " +
     "width); selector switches on corpus size") {
