@@ -163,6 +163,18 @@ object ScaleRehearsal {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
 
+    // fixed 250-char boilerplate block (~187 anchor windows, so the
+    // 1/16 content-defined selection keeps >=1 anchor with
+    // overwhelming margin; deterministic text either way)
+    val boilerBlock = (0 until 50).map(i => f"bp$i%03d").mkString(" ")
+      .substring(0, 250)
+    def withBoilerplate(docs: DataFrame): DataFrame =
+      docs.withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" " + boilerBlock)))
+            .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+
     def media(docs: DataFrame): DataFrame =
       docs.select(col("doc_id"), col("text").cast("binary").as("data"),
         col("source"), col("lang"))
@@ -191,8 +203,23 @@ object ScaleRehearsal {
       // volume); buckets = docs per anchor hash
       Fam("dedup_substring_spans",
         D.spanAnchorsOn,
-        D.substringSpansOn,
+        d => D.substringSpansOn(d),
         d => (Seq("h"), D.spanAnchorsOn(d))),
+      // spans with PLANTED BOILERPLATE: every 5th doc carries the same
+      // 250-char block (identical across replicas, so its anchor df
+      // grows with the corpus: 1k docs at x1 -> 10k at x10, crossing
+      // SpanDfCap). Buckets measure the postings that actually enter
+      // the back-join — the df cap must hold their max at <= cap while
+      // the boilerplate df explodes.
+      Fam("dedup_substring_spans_boiler",
+        d => D.spanAnchorsOn(withBoilerplate(d)),
+        d => D.substringSpansOn(withBoilerplate(d)),
+        d => {
+          val w = D.spanAnchorsOn(withBoilerplate(d))
+          (Seq("h"), w.join(
+            D.spanSpreadOn(w).where(col("nd") <= D.SpanDfCap).select("h"),
+            Seq("h")))
+        }),
       // SemDeDup in BOTH cluster-count regimes: candidates = unordered
       // within-cluster pairs (the verify-stage cost); out = dropped
       // vectors; buckets = cluster sizes. fixed_k demonstrates the

@@ -816,18 +816,24 @@ object DedupQueries {
     * copy (phase mismatch mod stride), which is exactly the failure
     * mode that makes naive sampling dishonest here.
     *
-    * Result: (doc_id, n_anchors, n_dup_anchors, dup_frac) — an
-    * unbiased 1/[[SpanSel]] sample of the doc's span-duplication
-    * rate. Documents selecting zero anchors (short docs, unlucky
-    * content) drop from the result in both engines alike.
+    * Result: (doc_id, n_anchors, n_dup_anchors, n_boiler_anchors,
+    * dup_frac) — an unbiased 1/[[SpanSel]] sample of the doc's
+    * span-duplication rate; anchors past the [[SpanDfCap]]
+    * document-frequency cap are classified boilerplate (counted,
+    * excluded from dup_frac's numerator). Documents selecting zero
+    * anchors (short docs, unlucky content) drop from the result in
+    * both engines alike.
     *
     * Scale: md5-per-position runs scan-side (one codegen'd pass over
     * text; no shuffle sees a window string — only selected 8-byte
     * anchor hashes travel). The spread aggregate shuffles (hash,
-    * doc_id) pairs at 1/16 window density; hot anchors (boilerplate
-    * spans) are the usual skew axis, bounded like the ngram posting
-    * lists. The whole result replays in DuckDB over the same md5
-    * window hashes. */
+    * doc_id) pairs at 1/16 window density with SALT-bounded reducer
+    * fan-in ([[spanSpreadOn]]), and the back-join's fan-in per anchor
+    * is capped at [[SpanDfCap]] docs (boilerplate postings never join
+    * — ScaleRehearsal plants a corpus-wide boilerplate span and
+    * measures the joined-side max posting staying ≤ cap at 10×). The
+    * whole result replays in DuckDB over the same md5 window
+    * hashes. */
   val dedupSubstringSpans: Q = (spark, dir) =>
     substringSpansOn(Tables.documents(spark, dir))
 
@@ -843,15 +849,46 @@ object DedupQueries {
     docs.select(col("doc_id"), explode(anchors).as("h"))
   }
 
-  private[graft] def substringSpansOn(docs: DataFrame): DataFrame = {
+  /** Document-frequency cap for span anchors: an anchor seen in more
+    * than this many documents is BOILERPLATE (site chrome, licence
+    * headers, navigation text) — reported per doc as
+    * `n_boiler_anchors`, never joined back with its full posting list.
+    * This bounds the skew axis the round-9 notes left open: a header
+    * shared by 10^9 documents would otherwise fan its entire posting
+    * list into one hash partition of the back-join. The same cap
+    * discipline as the n-gram family's heavy-hitter capacity. */
+  val SpanDfCap = 1000L
+
+  /** Exact anchor document-frequency with BOUNDED reducer fan-in: a
+    * two-level salted aggregation — distinct docs per (h, doc_id mod
+    * 32) then sum per h. Each doc lands in exactly one salt, so the
+    * sum is the exact distinct count, but the widest reducer row set
+    * per anchor is 32 rows instead of nd (the single-level
+    * count-distinct rewrite funnels all nd distinct (h, doc_id) pairs
+    * of a boilerplate anchor into one task — gigabytes at corpus
+    * scale). */
+  private[graft] def spanSpreadOn(win: DataFrame): DataFrame =
+    win.groupBy(col("h"), pmod(col("doc_id"), lit(32L)).as("sal"))
+      .agg(count_distinct(col("doc_id")).as("nd_s"))
+      .groupBy(col("h"))
+      .agg(sum(col("nd_s")).as("nd"))
+
+  private[graft] def substringSpansOn(docs: DataFrame,
+      cap: Long = SpanDfCap): DataFrame = {
     val win = spanAnchorsOn(docs)
-    val spread = win.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    win.join(spread, Seq("h"))
+    // LEFT join against the cap-filtered spread: anchors over the cap
+    // (and only those) come back with nd NULL — the boilerplate
+    // classification — so hot posting lists are never joined, the
+    // per-key fan-in of the back-join is ≤ cap docs, and the residual
+    // probe-side partition skew is ordinary AQE skew-join territory.
+    val spread = spanSpreadOn(win).where(col("nd") <= cap)
+    win.join(spread, Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_anchors"),
-        count(when(col("nd") > 1, 1)).as("n_dup_anchors"))
+        count(when(col("nd") > 1, 1)).as("n_dup_anchors"),
+        count(when(col("nd").isNull, 1)).as("n_boiler_anchors"))
       .select(col("doc_id"), col("n_anchors"), col("n_dup_anchors"),
+        col("n_boiler_anchors"),
         (col("n_dup_anchors").cast("double") / col("n_anchors").cast("double"))
           .as("dup_frac"))
       .orderBy(col("doc_id"))
@@ -967,8 +1004,11 @@ object DedupQueries {
          |spread AS (SELECT h, count(DISTINCT doc_id) AS nd FROM a GROUP BY h)
          |SELECT a.doc_id,
          |  count(*) AS n_anchors,
-         |  count(CASE WHEN s.nd > 1 THEN 1 END) AS n_dup_anchors,
-         |  CAST(count(CASE WHEN s.nd > 1 THEN 1 END) AS DOUBLE)
+         |  count(CASE WHEN s.nd > 1 AND s.nd <= $SpanDfCap THEN 1 END)
+         |    AS n_dup_anchors,
+         |  count(CASE WHEN s.nd > $SpanDfCap THEN 1 END) AS n_boiler_anchors,
+         |  CAST(count(CASE WHEN s.nd > 1 AND s.nd <= $SpanDfCap THEN 1 END)
+         |      AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS dup_frac
          |FROM a JOIN spread s USING (h)
          |GROUP BY a.doc_id

@@ -587,7 +587,7 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "n_chars")
     val res = operators.DedupQueries.substringSpansOn(docs)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
     assert(res.contains(1L) && res.contains(2L) && res.contains(3L))
     val (n1, d1, f1) = res(1L); val (n2, d2, _) = res(2L); val (n3, d3, f3) = res(3L)
     assert(d1 > 0, s"doc 1 shared span produced no dup anchors (n=$n1)")
@@ -595,6 +595,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(d3 == 0 && f3 == 0.0, s"unrelated doc 3 reports dup anchors: $d3")
     assert(d1 <= n1 && d2 <= n2 && d3 <= n3)
     assert(math.abs(f1 - d1.toDouble / n1) == 0.0)
+  }
+
+  test("substring spans boilerplate cap: an anchor above the df cap is " +
+    "counted as boilerplate, excluded from dup_frac, and its posting " +
+    "list never enters the back-join") {
+    import spark.implicits._
+    val D = operators.DedupQueries
+    def blob(seed: Int, n: Int): String =
+      (0 until n).map(i => f"x$seed%02d${i}%03d").mkString(" ")
+    // the SAME 100-char boilerplate block in ALL four docs (df 4);
+    // docs 1+2 additionally share a genuine 200-char span (df 2)
+    val boiler = blob(9, 20).substring(0, 100)
+    val shared = blob(8, 40).substring(0, 200)
+    val docs = Seq(
+      (1L, s"$boiler ${shared} ${blob(1, 60)}"),
+      (2L, s"${blob(2, 60)} $shared $boiler"),
+      (3L, s"$boiler ${blob(3, 60)}"),
+      (4L, s"${blob(4, 60)} $boiler"))
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val capped = D.substringSpansOn(docs, cap = 2L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // boilerplate (df 4 > cap 2) must surface as boiler anchors
+    assert(capped.values.map(_._3).sum > 0,
+      s"no boilerplate anchors detected: $capped")
+    // the df-2 shared span still counts as genuine duplication
+    assert(capped(1L)._2 > 0 && capped(2L)._2 > 0,
+      s"df-2 shared span lost under the cap: $capped")
+    // dup_frac excludes boiler from the numerator, keeps it in n_anchors
+    capped.values.foreach { case (n, d, b, f) =>
+      assert(f == d.toDouble / n && d + b <= n, s"count algebra: $capped")
+    }
+    // uncapped run folds the boilerplate back into dup counts
+    val uncapped = D.substringSpansOn(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(uncapped.values.forall(_._3 == 0L))
+    uncapped.foreach { case (id, (n, d, _)) =>
+      assert(n == capped(id)._1, "n_anchors must not depend on the cap")
+      assert(d == capped(id)._2 + capped(id)._3,
+        "uncapped dup = capped dup + boiler")
+    }
   }
 
   test("langid predicts a language for every doc; fingerprint is stable " +
