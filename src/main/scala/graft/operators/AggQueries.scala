@@ -265,9 +265,16 @@ object AggQueries {
     * total_quantity) frame — the spec plants a level shift mid-series
     * (detected at/after the shift day) and a stationary control
     * (no alarms), and asserts partition invariance. */
-  private[graft] def cusumOn(daily: org.apache.spark.sql.DataFrame)
+  /** Calibrated per-day CUSUM inputs (product, sale_date, x, n, s,
+    * mad, dev) — the frame both the closed-form windows ([[cusumOn]])
+    * and the O(1)-state streaming dual
+    * ([[graft.streaming.EventStreams.cusumStateful]]) fold over. In
+    * production the (n, s, mad) triple is the CALIBRATION snapshot a
+    * monitoring stream joins statically (the ml_stream_score serve
+    * shape); here both derive from the same frame so the duals are
+    * comparable row-for-row. */
+  private[graft] def cusumCalibratedOn(daily: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = daily.select(col("product"), col("sale_date"),
       col("total_quantity").cast("long").as("x"))
     val stats = base.groupBy(col("product"))
@@ -276,9 +283,15 @@ object AggQueries {
       .withColumn("dev", col("n") * col("x") - col("s"))
     val mad = d.groupBy(col("product"))
       .agg(percentile(abs(col("dev")), lit(0.5)).as("mad"))
+    d.join(mad, Seq("product"))
+  }
+
+  private[graft] def cusumOn(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("product")).orderBy(col("sale_date"))
     val wc = w.rowsBetween(Window.unboundedPreceding, 0)
-    val cum = d.join(mad, Seq("product"))
+    val cum = cusumCalibratedOn(daily)
       .withColumn("t", row_number().over(w))
       .withColumn("cal", sum(col("dev")).over(wc))
       .withColumn("cadj", col("cal").cast("double") - col("t") * col("mad"))

@@ -696,6 +696,78 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class CusumPoint(product: String, sale_date: java.sql.Date,
+      x: Long, n: Long, s: Long, mad: Double)
+  private case class CusumState(t: Long, cal: Long, minCadj: Double,
+      nAlarm: Long, maxExc: Double, firstAlarm: Option[java.sql.Date])
+  case class CusumOut(product: String, n_days: Long, mad_qty: Double,
+      n_alarm_days: Long, max_excursion_qty: Double,
+      first_alarm_date: Option[java.sql.Date])
+
+  /** Stateful CUSUM drift detection — the O(1)-state incremental dual
+    * of [[graft.operators.AggQueries.profCusumDrift]]'s closed form
+    * (prefix sum + running min windows). The round-9 skip reasoning
+    * ("the closed form needs unbounded running-min lookback")
+    * dissolves here: the recursion only ever needs the CURRENT prefix
+    * sum and its running minimum — (C_t, min-prefix C) per product,
+    * two scalars of state — because
+    * S_t = C_t − min_{i≤t} C_i is exactly the max(0,·) CUSUM
+    * recursion unrolled. The fold replays the IDENTICAL IEEE double
+    * ops as the batch windows (cal cast, t·mad product, subtraction,
+    * running min, 5·mad threshold), so StreamMlSpec asserts equality
+    * row-for-row on the planted level-shift fixture — including
+    * OUT-OF-ORDER arrival, handled like the other stateful duals by
+    * deterministic (sale_date) replay order within the group.
+    *
+    * Calibration (n, s, mad) rides each point (the stream-static
+    * serve-join shape of ml_stream_score — a monitoring deployment
+    * joins the calibration snapshot, then pages on alarm rows). State
+    * retention: NoTimeout like the funnel (a drift monitor must not
+    * forget its excursion), with the same documented
+    * ProcessingTimeTimeout trade for bounded stores. */
+  def cusumStateful(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[CusumOut] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def round6(v: Double): Double = math.floor(v * 1000000.0 + 0.5) / 1000000.0
+    def fn(product: String, pts: Iterator[CusumPoint],
+        state: GroupState[CusumState]): Iterator[CusumOut] = {
+      var st = state.getOption.getOrElse(
+        CusumState(0L, 0L, Double.PositiveInfinity, 0L, 0.0, None))
+      var madN: (Double, Long) = (0.0, 0L)
+      // deterministic replay order within the group: sale_date (unique
+      // per product at daily grain), so out-of-order arrival inside a
+      // batch folds identically to the sorted series
+      pts.toArray.sortBy(_.sale_date.getTime).foreach { p =>
+        madN = (p.mad, p.n)
+        val dev = p.n * p.x - p.s
+        val t = st.t + 1
+        val cal = st.cal + dev
+        val cadj = cal.toDouble - t * p.mad
+        val minC = math.min(st.minCadj, cadj)
+        val exc = cadj - minC
+        val alarm = exc > 5.0 * p.mad
+        st = CusumState(t, cal, minC,
+          st.nAlarm + (if (alarm) 1L else 0L),
+          math.max(st.maxExc, exc),
+          if (alarm && st.firstAlarm.isEmpty) Some(p.sale_date)
+          else st.firstAlarm)
+      }
+      state.update(st)
+      if (st.t == 0L) Iterator.empty
+      else Iterator.single(CusumOut(product, madN._2,
+        round6(madN._1 / madN._2), st.nAlarm,
+        round6(st.maxExc / madN._2), st.firstAlarm))
+    }
+    graft.operators.AggQueries.cusumCalibratedOn(daily)
+      .select(col("product"), col("sale_date"), col("x"), col("n"),
+        col("s"), col("mad"))
+      .as[CusumPoint]
+      .groupByKey(_.product)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** `evt_anomaly`: per-type 3σ outlier counts — the numeric-outlier
     * filter a training pipeline runs before trusting a value column.
     * Determinism across engines AND partitionings: the per-type

@@ -675,6 +675,40 @@ class StreamMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful CUSUM ≡ closed-form batch chart on the planted " +
+    "level-shift fixture (two scalars of carried state), including " +
+    "out-of-order arrival") {
+    import spark.implicits._
+    // the AnalyticsOpsSpec fixture: 50 days at 100 then 10 at 400
+    // (alarms from shift day 2) + a stationary control (never alarms)
+    val d0 = java.time.LocalDate.of(2026, 1, 1)
+    def date(i: Int) = java.sql.Date.valueOf(d0.plusDays(i.toLong))
+    val rows =
+      (0 until 60).map(i =>
+        ("shift", date(i), if (i < 50) 100.0 else 400.0)) ++
+      (0 until 60).map(i => ("flat", date(i), 100.0))
+    val df = rows.toDF("product", "sale_date", "total_quantity")
+    val batch = operators.AggQueries.cusumOn(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), Option(r.getDate(5))))).toMap
+    assert(batch("shift")._3 == 9L && batch("flat")._3 == 0L,
+      s"fixture lost its alarm structure: $batch")
+    def stateful(in: org.apache.spark.sql.DataFrame) =
+      streaming.EventStreams.cusumStateful(in).collect()
+        .map(o => o.product -> ((o.n_days, o.mad_qty, o.n_alarm_days,
+          o.max_excursion_qty, o.first_alarm_date))).toMap
+    assert(stateful(df) == batch, "stateful CUSUM diverged from the " +
+      "closed-form chart")
+    // OUT-OF-ORDER arrival: reversed + interleaved row order, odd
+    // partitioning — the per-product date replay must restore the fold
+    val shuffled = df.orderBy(
+        org.apache.spark.sql.functions.col("sale_date").desc,
+        org.apache.spark.sql.functions.col("product"))
+      .repartition(7)
+    assert(stateful(shuffled) == batch,
+      "stateful CUSUM is arrival-order-dependent")
+  }
+
   test("forecast: grid-searched model trains, persists, reloads, predicts " +
     "identically (sf0.001)") {
     val (model, scored) = ml.Forecast.trainBest(spark, sf)
