@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * that's the difference between shuffling kilobyte rows and petabyte
   * blobs.
   */
-object MultimodalQueries {
+object MultimodalQueries extends Serializable {
 
   /** Typed metadata extracted from a media blob. */
   case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
@@ -49,16 +49,47 @@ object MultimodalQueries {
       .select(col("doc_id"), col("text").cast("binary").as("data"),
         col("source"), col("lang"))
 
+  /** A REAL pure-JVM decoder for PNG headers only — the phase-2
+    * honesty probe for the decode seam: parses width/height from the
+    * 8-byte PNG signature + the IHDR chunk (big-endian at offsets
+    * 16/20 per the PNG spec), no codec library involved, and falls
+    * back to [[stubDecode]] for anything that is not a PNG stream.
+    * Dropping it in via [[decodeFrameWith]] touches NO caller — the
+    * claim the stub's scaladoc makes, proven by MultimodalDecodeSpec
+    * running the identical pipeline under both decoders. */
+  def pngHeaderDecode(docId: Long, data: Array[Byte]): MediaMeta = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    def be32(o: Int): Int =
+      ((data(o) & 0xFF) << 24) | ((data(o + 1) & 0xFF) << 16) |
+        ((data(o + 2) & 0xFF) << 8) | (data(o + 3) & 0xFF)
+    val isPng = data.length >= 24 &&
+      data.take(8).sameElements(sig) &&
+      new String(data.slice(12, 16), "US-ASCII") == "IHDR"
+    if (isPng)
+      MediaMeta(docId, data.length.toLong, be32(16), be32(20),
+        n_frames = 1, format = "png")
+    else stubDecode(docId, data)
+  }
+
   /** Partition-wise decode — the `mapPartitions` shape a real codec
     * needs (per-partition library init, batched I/O), typed end to end. */
-  def decodeAll(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+  def decodeAll(spark: SparkSession, dir: String): Dataset[MediaMeta] =
+    decodeFrameWith(mediaTable(spark, dir), stubDecode)
+
+  /** [[decodeAll]] over an explicit (doc_id, data) frame with an
+    * injectable decoder — the seam a production deployment points at
+    * its codec (and the spec points at [[pngHeaderDecode]]). */
+  def decodeFrameWith(media: DataFrame,
+      decoder: (Long, Array[Byte]) => MediaMeta): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
     import spark.implicits._
-    mediaTable(spark, dir)
+    media
       .select(col("doc_id"), col("data"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition codec init would go here
-        it.map { case (id, bytes) => stubDecode(id, bytes) }
+        it.map { case (id, bytes) => decoder(id, bytes) }
       }
   }
 

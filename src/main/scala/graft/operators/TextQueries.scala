@@ -57,7 +57,7 @@ object TextQueries {
   /** The [[txtQuality]] score as a reusable scalar over (text, tokens) —
     * term-identical to the query (and its oracle), so composed pipelines
     * (pipe_corpus_clean) filter on the exact same rounded value. */
-  private[operators] def qualityScoreCol(text: Column, t: Column): Column = {
+  private[graft] def qualityScoreCol(text: Column, t: Column): Column = {
     val nTokens  = size(t)
     val alphaRat = length(regexp_replace(text, "[^a-z]", "")).cast("double") /
       length(text)
@@ -70,7 +70,7 @@ object TextQueries {
 
   /** The [[txtLangid]] fixed-priority argmax as a reusable scalar over
     * a token array — same expression tree as the query/oracle. */
-  private[operators] def predictedLangCol(t: Column): Column = {
+  private[graft] def predictedLangCol(t: Column): Column = {
     val (sEn, sEs, sDe, sFr, sZh) =
       (stopwordCount(t, EN_STOP), stopwordCount(t, ES_STOP),
         stopwordCount(t, DE_STOP), stopwordCount(t, FR_STOP),
