@@ -652,25 +652,9 @@ object PipelineOps {
     * (file sizes + mtimes — filesystem metadata only, no scan), so a
     * regenerated corpus can never be served a stale vocabulary — the
     * round-9 stale-symlink advice applied to model artifacts. */
-  private[graft] def bpeStorePath(dir: String, k: Int): String = {
-    import java.nio.file.{Files, Path, Paths}
-    val src = Paths.get(s"$dir/documents.parquet")
-    def sigOf(p: Path): String =
-      s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
-    val fp = try {
-      val sig =
-        if (Files.isDirectory(src)) {
-          val s = Files.list(src)
-          try s.sorted().toArray.map(p => sigOf(p.asInstanceOf[Path]))
-            .mkString("|")
-          finally s.close()
-        } else sigOf(src)
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(sig.getBytes("UTF-8")).take(6)
-        .map(b => f"$b%02x").mkString
-    } catch { case _: java.io.IOException => "nofp" }
-    s"target/tmp/bpe_store/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_k${k}_$fp"
-  }
+  private[graft] def bpeStorePath(dir: String, k: Int): String =
+    s"target/tmp/bpe_store/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_k${k}_" +
+      graft.ArtifactStore.fingerprint(dir, "documents.parquet")
 
   /** Persist the trained state: the ordered merge table and the final
     * merged vocabulary frame, parquet like [[graft.ml.ModelStore]].
@@ -686,11 +670,13 @@ object PipelineOps {
       java.nio.file.Paths.get(s"$path/_GRAFT_BPE_OK"), Array.emptyByteArray)
   }
 
-  /** Load a previously saved state, or None when absent/incomplete. */
+  /** Load a previously saved state, or None when absent/incomplete
+    * (or when SPARK_GRAFT_NO_ARTIFACT_CACHE disables artifact loads —
+    * the ablation gates exercise the full training loop). */
   private[graft] def bpeLoadState(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[(org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame)] =
-    if (!java.nio.file.Files.exists(
+    if (graft.ArtifactStore.cacheDisabled || !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$path/_GRAFT_BPE_OK"))) None
     else Some((spark.read.parquet(s"$path/merges"),
       spark.read.parquet(s"$path/vocab")))
@@ -709,9 +695,12 @@ object PipelineOps {
     bpeLoadState(spark, store).getOrElse {
       import spark.implicits._
       val (ms, v) = bpeTrainState(docs, k)
-      bpeSaveState(
-        ms.toDF("merge_rank", "left_sym", "right_sym", "pair_count"), v, store)
-      bpeLoadState(spark, store).get
+      val mDf = ms.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      if (graft.ArtifactStore.cacheDisabled) (mDf, v)
+      else {
+        bpeSaveState(mDf, v, store)
+        bpeLoadState(spark, store).get
+      }
     }
   }
 
