@@ -112,15 +112,24 @@ object DedupQueries {
     * band keys, both candidate joins, and the verify replay in DuckDB
     * over the same md5 shingle hashes. */
   val dedupIncrementalNear: Q = (spark, dir) =>
-    incrementalNearOn(Tables.documents(spark, dir))
+    incrementalNearOfBands(Tables.documents(spark, dir),
+      minhashBands(spark, dir))
 
   /** Core of [[dedupIncrementalNear]] over an arbitrary (doc_id, text)
     * frame — the spec plants a cross-batch near-dup that digest dedup
     * provably misses, an in-batch near pair, and an unrelated
     * incoming doc. */
-  private[graft] def incrementalNearOn(docs: DataFrame): DataFrame = {
+  private[graft] def incrementalNearOn(docs: DataFrame): DataFrame =
+    incrementalNearOfBands(docs, minhashBandsOn(docs))
+
+  /** [[incrementalNearOn]] with the band postings supplied explicitly
+    * — the Q-level entry reads the SAME posting-store artifact as
+    * [[dedupMinhashLsh]] (one signature pass per corpus version, both
+    * consumers read it; the existing/batch split is a filter on the
+    * loaded postings, pushed to the parquet scan). */
+  private[graft] def incrementalNearOfBands(docs: DataFrame,
+      bands: DataFrame): DataFrame = {
     val incoming = pmod(col("doc_id"), lit(5)) === 0
-    val bands = minhashBandsOn(docs)
     val inB = bands.where(incoming)
     val exB = bands.where(!incoming)
     val cross = inB.as("a").join(exB.as("b"),
@@ -285,26 +294,52 @@ object DedupQueries {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** LSH candidate pairs (distinct, ordered doc_a < doc_b) BEFORE the
-    * exact-Jaccard verify — the frame whose cardinality must grow
-    * linearly with corpus size for the LSH scale claim to hold. */
-  private[graft] def minhashCandidatesOn(docs: DataFrame): DataFrame = {
-    val bands = minhashBandsOn(docs)
+  /** The corpus's LSH band-posting index as a MAINTAINED ARTIFACT —
+    * the store the incremental-ingest scaladoc describes, made real:
+    * (doc_id, band, key) rows derived once per corpus version through
+    * [[graft.ArtifactStore]] (fingerprinted, marker-gated, ablation
+    * kill-switch) and read by both [[dedupMinhashLsh]] and
+    * [[dedupIncrementalNear]]. In production this table is appended
+    * per ingest batch (only the batch is ever signed); here the
+    * signatures are deterministic (replayable md5 shingle hashes), so
+    * the loaded postings are bit-identical to a fresh derivation and
+    * every oracle replay is unaffected. */
+  private[graft] def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    ArtifactStore.cached(spark,
+      ArtifactStore.pathFor("minhash_bands", dir, "documents.parquet",
+        s"h${NumHashes}b$Bands")) {
+      minhashBandsOn(Tables.documents(spark, dir))
+    }
+
+  /** Candidate generation over an explicit band-posting frame. */
+  private[graft] def minhashCandidatesOfBands(bands: DataFrame): DataFrame =
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-  }
+
+  /** LSH candidate pairs (distinct, ordered doc_a < doc_b) BEFORE the
+    * exact-Jaccard verify — the frame whose cardinality must grow
+    * linearly with corpus size for the LSH scale claim to hold. */
+  private[graft] def minhashCandidatesOn(docs: DataFrame): DataFrame =
+    minhashCandidatesOfBands(minhashBandsOn(docs))
 
   /** LSH candidate generation + exact-Jaccard verification. Fully
     * oracled: signatures, band keys, candidate join, and the Jaccard
     * verify all replay in DuckDB over the same md5 shingle hashes (the
     * superset-recall property vs brute force is additionally
     * spec-asserted). */
-  private[graft] def minhashLshOn(docs: DataFrame): DataFrame = {
+  private[graft] def minhashLshOn(docs: DataFrame): DataFrame =
+    minhashLshOfBands(docs, minhashBandsOn(docs))
+
+  /** [[minhashLshOn]] with the band postings supplied explicitly —
+    * the Q-level entry reads them from the posting-store artifact,
+    * specs derive them in-memory. */
+  private[graft] def minhashLshOfBands(docs: DataFrame,
+      bands: DataFrame): DataFrame = {
     val sh = shingledMd5On(docs).select(col("doc_id"), col("sh"))
-    minhashCandidatesOn(docs)
+    minhashCandidatesOfBands(bands)
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -314,7 +349,8 @@ object DedupQueries {
   }
 
   val dedupMinhashLsh: Q = (spark, dir) =>
-    minhashLshOn(Tables.documents(spark, dir))
+    minhashLshOfBands(Tables.documents(spark, dir),
+      minhashBands(spark, dir))
 
   // ---- SimHash ------------------------------------------------------
 

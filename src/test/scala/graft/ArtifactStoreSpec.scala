@@ -33,6 +33,32 @@ class ArtifactStoreSpec extends AnyFunSuite {
       "incomplete save (no marker) was trusted")
   }
 
+  test("minhash band-posting store: loaded postings == fresh derivation " +
+    "row-for-row, and both lsh + incremental_near consumers produce " +
+    "identical results off the stored index") {
+    val D = operators.DedupQueries
+    val store = ArtifactStore.pathFor(
+      "minhash_bands", sf, "documents.parquet", "h64b16")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val docs = Tables.documents(spark, sf)
+    val fresh = D.minhashBandsOn(docs)
+      .orderBy(col("doc_id"), col("band")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val stored = D.minhashBands(spark, sf) // derives + saves
+      .orderBy(col("doc_id"), col("band")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(stored == fresh, "stored band postings diverged")
+    assert(new java.io.File(s"$store/_GRAFT_OK").exists)
+    val viaStore = D.dedupMinhashLsh(spark, sf).collect() // pure load now
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaFresh = D.minhashLshOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaStore == viaFresh, "lsh pairs differ through the store")
+    val nearStore = D.dedupIncrementalNear(spark, sf).collect().length
+    val nearFresh = D.incrementalNearOn(docs).collect().length
+    assert(nearStore == nearFresh)
+  }
+
   test("dedup_components through the store: fresh derivation == loaded " +
     "artifact row-for-row; consumers (keep_best) read the same labels") {
     val store = ArtifactStore.pathFor(
