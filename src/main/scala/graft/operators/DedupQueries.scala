@@ -180,7 +180,7 @@ object DedupQueries {
       .select(col("doc_id"), col("len_bucket"),
         shingleHashes(col("w")).as("sh"))
 
-  private def jaccard(a: Column, b: Column): Column =
+  private[graft] def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** N-gram (word-3-shingle) Jaccard near-dup pairs at ≥0.5, blocked by
@@ -265,6 +265,25 @@ object DedupQueries {
     * term. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSignaturesOn(Tables.documents(spark, dir))
+
+  /** ROW-LOCAL minhash signature array — the same 64 (a·s+b) mod p
+    * minima as [[minhashSignaturesOn]] computed by a single
+    * `aggregate` HOF traversal of the shingle array, no explode and no
+    * aggregation. This is the STREAMING-SAFE form: an append-mode
+    * stream cannot run the groupBy(doc_id) signature aggregate, but a
+    * per-row fold is just a projection ([[graft.streaming.EventStreams
+    * .incrementalNearStreamAppend]]). Equality with the batch
+    * signatures is spec-pinned (StreamMlSpec). The shingle column is
+    * referenced exactly ONCE (the fold's input) — the generator-
+    * inlining trap cannot multiply the tokenizer/md5 tree. */
+  private[graft] def minhashSigArray(sh: Column): Column =
+    aggregate(sh,
+      array_repeat(lit(Prime), NumHashes),
+      (acc, s) => zip_with(acc,
+        sequence(lit(0L), lit(NumHashes - 1L)),
+        (a, i) => least(a,
+          pmod(pmod(s, lit(Prime)) * (i * 2L + 1L) + (lit(7919L) * i + 1L),
+            lit(Prime)))))
 
   private[graft] def minhashSignaturesOn(docs: DataFrame): DataFrame = {
     val sigCols = (0 until NumHashes).map { i =>

@@ -404,6 +404,52 @@ object EventStreams {
       .withColumn("text_hash", md5(col("text")))
       .join(existingDigests, Seq("text_hash"), "left_anti")
 
+  /** Streaming NEAR-dup admission — the stream form of
+    * `dedup_incremental_near`, the sibling of
+    * [[incrementalDedupStreamAppend]]'s digest anti-join: each
+    * arriving doc is SIGNED IN-FLIGHT (row-local minhash fold,
+    * [[graft.operators.DedupQueries.minhashSigArray]] — an append
+    * stream cannot run the batch groupBy signature aggregate, a
+    * per-row projection it can), its band keys probe the STATIC
+    * corpus band-posting store (the [[graft.ArtifactStore]] table
+    * dedup_minhash_lsh maintains), and matches verify with exact
+    * Jaccard against the static shingle store — every join
+    * stream-static and STATELESS, nothing buffers. Emits one row per
+    * (doc_id, match_id, jaccard ≥ 0.5) band hit; compose with
+    * `dropDuplicatesWithinWatermark` to collapse multi-band hits,
+    * exactly as the digest form composes for in-stream repeats.
+    * StreamMlSpec pins: stream matches ≡ the batch operator's corpus
+    * matches on a planted near-dup batch, and the row-local
+    * signatures ≡ the batch aggregate's. */
+  def incrementalNearStreamAppend(docs: DataFrame, corpusBands: DataFrame,
+      corpusShingles: DataFrame): DataFrame = {
+    import graft.operators.{DedupQueries => D}
+    val signed = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingleHashesMd5(col("w")).as("sh"))
+      .where(size(col("sh")) >= 1)
+      .withColumn("sigs", D.minhashSigArray(col("sh")))
+    val bandStructs = array((0 until D.Bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("_", (0 until D.Rows).map(r =>
+          element_at(col("sigs"), bnd * D.Rows + r + 1).cast("string")): _*)
+          .as("key"))
+    }: _*)
+    signed
+      .select(col("doc_id"), col("sh"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("sh"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .join(corpusBands.select(col("band"), col("key"),
+        col("doc_id").as("match_id")), Seq("band", "key"))
+      .join(corpusShingles.select(col("doc_id").as("match_id"),
+        col("sh").as("match_sh")), Seq("match_id"))
+      .select(col("doc_id"), col("match_id"),
+        D.jaccard(col("sh"), col("match_sh")).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       value: Double)
   case class SessionState(sessionIdx: Long, lastTs: Long, n: Long,

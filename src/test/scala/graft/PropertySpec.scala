@@ -37,6 +37,27 @@ object PropertySpec extends Properties("graft") {
       roundTrip == expected
     }
 
+  private val hashFlipGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(30, for {
+      h <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+        .map(_ & ((1L << 60) - 1))
+      k <- Gen.chooseNum(0, 3)
+      bits <- Gen.pick(k, 0 until 60)
+    } yield (h, bits.foldLeft(h)((x, b) => x ^ (1L << b))))
+      .suchThat(_.nonEmpty)
+
+  property("pigeonhole blocking is recall-complete: ANY hamming<=3 pair " +
+    "shares a key at level 2 AND at level 3 (randomized flip sets)") =
+    forAll(hashFlipGen) { pairs =>
+      val df = pairs.toDF("ha", "hb")
+      Seq(2, 3).forall { lv =>
+        df.select(arrays_overlap(
+            operators.DedupQueries.pigeonholeKeys($"ha", lv),
+            operators.DedupQueries.pigeonholeKeys($"hb", lv)).as("s"))
+          .collect().forall(_.getBoolean(0))
+      }
+    }
+
   property("cents-sum is invariant under repartitioning") =
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(0.01, 99999.99))) { xs =>
       val df = xs.toDF("x")

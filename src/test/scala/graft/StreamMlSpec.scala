@@ -418,6 +418,56 @@ class StreamMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming NEAR-dup admission: in-flight row-local signatures == " +
+    "the batch aggregate's; stream-static band-store probe + Jaccard " +
+    "verify reproduces the batch operator's corpus matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val D = operators.DedupQueries
+    def toks(seed: Int) = (0 until 40).map(i => f"s$seed%02dw$i%02d")
+    // existing corpus (ids not divisible by 5), incoming batch (ids ≡ 0
+    // mod 5 — the batch operator's split convention, so the two forms
+    // are comparable): one near-dup of doc 1, one unrelated
+    val existing = Seq(1L -> toks(1).mkString(" "),
+      2L -> toks(2).mkString(" ")).toDF("doc_id", "text")
+    val incoming = Seq(5L -> toks(1).updated(7, "edited").mkString(" "),
+      10L -> toks(9).mkString(" "))
+    val all = (Seq(1L -> toks(1).mkString(" "),
+      2L -> toks(2).mkString(" ")) ++ incoming).toDF("doc_id", "text")
+
+    // row-local fold ≡ batch groupBy signatures, column for column
+    val viaFold = D.shingledMd5On(all)
+      .select($"doc_id", D.minhashSigArray($"sh").as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val viaAgg = D.minhashSignaturesOn(all)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 64).map(i => r.getLong(i)).toList).toMap
+    assert(viaFold == viaAgg, "row-local minhash fold diverged from the " +
+      "batch aggregate")
+
+    val corpusBands = D.minhashBandsOn(existing)
+    val corpusSh = D.shingledMd5On(existing)
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.EventStreams.incrementalNearStreamAppend(
+        src.toDF.toDF("doc_id", "text"), corpusBands, corpusSh)
+      .writeStream.format("memory").queryName("incnear_sink")
+      .outputMode("append").start()
+    try {
+      src.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("incnear_sink")
+        .select("doc_id", "match_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = D.incrementalNearOn(all)
+        .where($"match_src" === "corpus")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == Set((5L, 1L)), s"fixture lost its planted match: $batch")
+      assert(got == batch,
+        s"stream matches $got != batch corpus matches $batch")
+    } finally q.stop()
+  }
+
   test("ModelStore round-trips an all-numeric product catalog as strings " +
     "(partition-column inference would read \"0123\" back as \"123\")") {
     import spark.implicits._
