@@ -29,7 +29,7 @@ object PlanProbe {
     "agg_winsorized_mean", "smp_quality_weighted",
     // round 10
     "mm_dedup_phash", "dedup_substring_spans", "txt_bpe_tokenize",
-    "dedup_incremental_near")
+    "dedup_incremental_near", "sim_kmeans_iter")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -924,7 +924,66 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
+  /** `sim_kmeans_iter`: ONE Lloyd iteration over the embedding corpus
+    * — the clustering primitive the semantic-dedup / curriculum /
+    * mixture pipelines run to build their cluster structure (SemDeDup
+    * §3 runs exactly this loop to convergence). Init = the label
+    * means (the IVF coarse codebook, [[simLabelCentroids]]' aggregate);
+    * assignment = the PROVEN replayable argmax (cosine desc, cluster
+    * asc — the sim_knn_ivf / sim_index_upsert machinery); update =
+    * per-dim micro-unit means. Emits per surviving cluster:
+    * n_members, the new centroid's component sum, and the L1 centroid
+    * shift — the convergence statistic a driver loop tests.
+    *
+    * Exactness: both centroid generations live as EXACT integer
+    * micro-sums; the shift Σ_d |new_d − old_d| is computed from the
+    * integer numerators |s_n·n_o − s_o·n_n| (longs, overflow-safe at
+    * corpus scale: ≤ n·m·10^6 per dim) with ONE division by
+    * (10^6·n·m) at the end — add-order-invariant, bit-replayable in
+    * DuckDB. Scale: one codebook collect (catalog discipline), one
+    * vector scan for assignment, per-dim hash aggregates — vectors
+    * shuffle once on the cluster key; the loop this iterates is
+    * bounded by k·dims per round, corpus-independent state. */
+  val simKmeansIter: Q = (spark, dir) =>
+    kmeansIterOn(Tables.embeddings(spark, dir))
+
+  /** [[simKmeansIter]] over an explicit (vec_id, embedding, label)
+    * frame — the spec plants a mislabeled vector that must flip
+    * cluster in one iteration, moving both centroids. */
+  private[graft] def kmeansIterOn(embRaw: DataFrame): DataFrame = {
+    val centroids = centroidCodebookOf(embRaw)
+    val assigned = withNorm(embRaw, "embedding")
+      .select(col("vec_id"), col("vec"), col("norm"))
+      .withColumn("best",
+        array_max(centroidScoresFor(centroids, col("vec"), col("norm"))))
+      .select(col("vec_id"), col("vec"),
+        (-col("best.neg_cluster")).as("cluster"))
+    val nd = assigned
+      .select(col("cluster"), posexplode(col("vec")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(sum(floor(col("x") * 1000000.0 + 0.5)).as("s_n"),
+        count(lit(1)).as("n_n"))
+    val od = embRaw
+      .select(col("label").as("cluster"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(sum(floor(col("x") * 1000000.0 + 0.5)).as("s_o"),
+        count(lit(1)).as("n_o"))
+    nd.join(od, Seq("cluster", "dim"))
+      .groupBy(col("cluster"))
+      .agg(max(col("n_n")).as("n_members"),
+        Tables.round6(sum(col("s_n")) / lit(1000000.0) / max(col("n_n")))
+          .as("centroid_sum"),
+        Tables.round6(
+          sum(abs(col("s_n") * col("n_o") - col("s_o") * col("n_n")))
+            / (lit(1000000.0) * max(col("n_n")) * max(col("n_o"))))
+          .as("shift_l1"))
+      .orderBy(col("cluster"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "sim_kmeans_iter"     -> simKmeansIter,
     "sim_knn_brute"       -> simKnnBrute,
     "sim_knn_native"      -> simKnnNative,
     "sim_knn_lsh"         -> simKnnLsh,
@@ -990,6 +1049,55 @@ object SimilarityQueries {
          |        * 1000000.0 + 0.5) / 1000000.0 AS growth_pct
          |FROM b FULL OUTER JOIN d ON b.cluster = d.cluster
          |ORDER BY cluster""".stripMargin) +
+    // One Lloyd iteration: the sim_index_upsert assignment replay
+    // without the cut (codebook = label means over ALL vectors),
+    // then per-dim micro-sums of the NEW assignment joined against
+    // the OLD label sums; shift from exact integer numerators.
+    ("sim_kmeans_iter" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS norm
+         |  FROM embeddings),
+         |x AS (
+         |  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         |    generate_subscripts(embedding, 1) - 1 AS dim
+         |  FROM embeddings),
+         |cm AS (
+         |  SELECT label AS cluster, dim,
+         |    SUM(floor(x * 1000000.0 + 0.5)) AS s_o, count(*) AS n_o
+         |  FROM x GROUP BY 1, 2),
+         |cb AS (
+         |  SELECT cluster,
+         |    list(s_o / 1000000.0 / n_o ORDER BY dim) AS cvec
+         |  FROM cm GROUP BY 1),
+         |cbn AS (
+         |  SELECT cluster, cvec, sqrt(list_dot_product(cvec, cvec)) AS cn
+         |  FROM cb),
+         |cs AS (
+         |  SELECT e.vec_id, cbn.cluster,
+         |    list_dot_product(e.vec, cbn.cvec) / (e.norm * cbn.cn) AS csim
+         |  FROM e CROSS JOIN cbn),
+         |assigned AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cluster) AS rn FROM cs) t
+         |  WHERE rn = 1),
+         |nd AS (
+         |  SELECT a.cluster, x.dim,
+         |    SUM(floor(x.x * 1000000.0 + 0.5)) AS s_n, count(*) AS n_n
+         |  FROM assigned a JOIN x ON a.vec_id = x.vec_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT nd.cluster, nd.dim, nd.s_n, nd.n_n, cm.s_o, cm.n_o
+         |  FROM nd JOIN cm ON nd.cluster = cm.cluster AND nd.dim = cm.dim)
+         |SELECT cluster, MAX(n_n) AS n_members,
+         |  floor(SUM(s_n) / 1000000.0 / MAX(n_n) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS centroid_sum,
+         |  floor(SUM(ABS(s_n * n_o - s_o * n_n))
+         |      / (1000000.0 * MAX(n_n) * MAX(n_o)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS shift_l1
+         |FROM j GROUP BY cluster ORDER BY cluster""".stripMargin) +
     // Exact micro-unit power sums as HUGEINT (≙ Spark Decimal(38,0)),
     // identical variance/mean expression trees cast to DOUBLE at the
     // same points.

@@ -490,6 +490,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans iteration: a mislabeled vector flips cluster in one Lloyd " +
+    "step (both centroids shift); a perfectly-labeled corpus is a fixed " +
+    "point (zero shift)") {
+    import spark.implicits._
+    val S = operators.SimilarityQueries
+    // two well-separated directions; vec 4 is LABELED 0 but lies on
+    // cluster 1's axis — one assignment pass must move it
+    val mislabeled = Seq(
+      (1L, Seq(1.0, 0.0, 0.1), 0), (2L, Seq(0.9, 0.1, 0.0), 0),
+      (3L, Seq(0.0, 1.0, 0.1), 1), (4L, Seq(0.1, 0.9, 0.0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = S.kmeansIterOn(mislabeled).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got(0)._1 == 2L && got(1)._1 == 2L,
+      s"vector 4 did not flip to cluster 1: $got")
+    assert(got(0)._2 > 0 && got(1)._2 > 0,
+      s"centroids must shift when membership changes: $got")
+    // fixed point: labels already == nearest centroid → shift exactly 0
+    val clean = Seq(
+      (1L, Seq(1.0, 0.0, 0.1), 0), (2L, Seq(0.9, 0.1, 0.0), 0),
+      (3L, Seq(0.0, 1.0, 0.1), 1), (4L, Seq(0.1, 0.9, 0.0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val fp = S.kmeansIterOn(clean).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(fp == Map(0 -> ((2L, 0.0)), 1 -> ((2L, 0.0))),
+      s"clean labeling must be a Lloyd fixed point: $fp")
+  }
+
   test("incremental NEAR-dup ingest: a cross-batch near-dup that digest " +
     "dedup admits is flagged against the corpus band postings; in-batch " +
     "near pair points later->earlier; unrelated incoming doc is clean") {
