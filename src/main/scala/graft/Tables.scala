@@ -111,6 +111,11 @@ object Tables {
   def round6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
 
+  /** Scala-value form of [[round6]] — for driver-side catalog math
+    * (collected codebooks, loop statistics). */
+  def round6Val(x: Double): Double =
+    math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
   /** Oracle-SQL fragment matching [[round6]]. */
   def round6Sql(expr: String): String =
     s"floor(($expr) * 1000000.0 + 0.5) / 1000000.0"

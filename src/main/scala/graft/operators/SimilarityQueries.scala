@@ -982,8 +982,79 @@ object SimilarityQueries {
       .orderBy(col("cluster"))
   }
 
+  /** `sim_kmeans_train`: Lloyd's loop to convergence — the full
+    * k-means training [[simKmeansIter]] is one step of, run until the
+    * L1 centroid shift drops under tolerance or the iteration budget
+    * is spent. Emits the converged per-cluster summary plus the
+    * iteration count and final shift (the numbers a pipeline logs per
+    * clustering job).
+    *
+    * Scale: the corpus is scanned once per iteration (assignment +
+    * per-dim micro-mean aggregate); everything collected is the
+    * k·dims codebook (catalog metadata, the BPE/codebook discipline),
+    * so driver state is corpus-independent and the loop count bounds
+    * total work. Determinism: the argmax tie-break and integer
+    * micro-unit means make every iteration partition-invariant, so
+    * the trajectory — not just the fixed point — is reproducible.
+    * Rows-only BY CONTRACT (the iterative loop has no SQL replay —
+    * the BPE-training category), anchored by the fully-oracled
+    * [[simKmeansIter]] and a planted-clusters convergence spec. */
+  val simKmeansTrain: Q = (spark, dir) =>
+    kmeansTrainOn(Tables.embeddings(spark, dir), maxIter = 5, tolL1 = 1e-4)
+
+  /** [[simKmeansTrain]] over an explicit frame with injectable
+    * iteration budget / tolerance — the spec plants separable
+    * clusters under adversarial labels and asserts convergence to the
+    * ideal partition with shift exactly 0. */
+  private[graft] def kmeansTrainOn(embRaw: DataFrame, maxIter: Int,
+      tolL1: Double): DataFrame = {
+    val spark = embRaw.sparkSession
+    val emb = withNorm(embRaw, "embedding")
+      .select(col("vec_id"), col("vec"), col("norm"))
+    def assignedWith(cb: Array[(Int, Seq[Double], Double)]): DataFrame =
+      emb.withColumn("best", array_max(centroidScoresFor(cb, col("vec"), col("norm"))))
+        .select(col("vec_id"), col("vec"), (-col("best.neg_cluster")).as("cluster"))
+    def meansOf(assigned: DataFrame): Array[(Int, Seq[Double], Long)] =
+      assigned
+        .select(col("cluster"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(floor(col("x") * 1000000.0 + 0.5)).as("s"),
+          count(lit(1)).as("n"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"),
+            (col("s") / 1000000.0 / col("n")).as("cx")))), e => e("cx"))
+          .as("cvec"), max(col("n")).as("n"))
+        .collect() // k·dims codebook — catalog metadata
+        .map(r => (r.getAs[Number](0).intValue, r.getSeq[Double](1),
+          r.getLong(2)))
+        .sortBy(_._1)
+    var cb = centroidCodebookOf(embRaw)
+    var iter = 0
+    var shift = Double.MaxValue
+    var members: Array[(Int, Seq[Double], Long)] = Array.empty
+    while (iter < maxIter && shift > tolL1) {
+      val nm = meansOf(assignedWith(cb))
+      val old = cb.map(c => c._1 -> c._2).toMap
+      shift = nm.iterator.map { case (c, v, _) =>
+        old.get(c).map(o => v.zip(o).map { case (a, b) =>
+          math.abs(a - b) }.sum).getOrElse(0.0)
+      }.sum
+      members = nm
+      cb = nm.map { case (c, v, _) =>
+        (c, v, math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x)))
+      }
+      iter += 1
+    }
+    import spark.implicits._
+    members.map { case (c, v, n) =>
+      (c, n, Tables.round6Val(v.sum), iter.toLong, Tables.round6Val(shift))
+    }.toSeq.toDF("cluster", "n_members", "centroid_sum", "n_iter",
+      "final_shift").orderBy(col("cluster"))
+  }
+
   def queries: Map[String, Q] = Map(
     "sim_kmeans_iter"     -> simKmeansIter,
+    "sim_kmeans_train"    -> simKmeansTrain,
     "sim_knn_brute"       -> simKnnBrute,
     "sim_knn_native"      -> simKnnNative,
     "sim_knn_lsh"         -> simKnnLsh,

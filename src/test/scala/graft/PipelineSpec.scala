@@ -518,6 +518,37 @@ class PipelineSpec extends AnyFunSuite {
       s"clean labeling must be a Lloyd fixed point: $fp")
   }
 
+  test("kmeans training: separable clusters recovered from adversarially " +
+    "swapped labels within the budget, terminating at a true fixed point " +
+    "(final shift 0); trajectory is partition-invariant") {
+    import spark.implicits._
+    val S = operators.SimilarityQueries
+    // three orthogonal cluster axes, three vectors each; one label per
+    // cluster swapped — label-mean init is perturbed but axis-dominated
+    def v(axis: Int, j: Int): Seq[Double] =
+      Seq.tabulate(3)(d => (if (d == axis) 1.0 else 0.0) + j * 0.01)
+    val rows = for {
+      axis <- 0 until 3; j <- 0 until 3
+    } yield {
+      val id = axis * 3 + j + 1L
+      val label = if (j == 2) (axis + 1) % 3 else axis // one swap each
+      (id, v(axis, j), label)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    def run(in: org.apache.spark.sql.DataFrame) =
+      S.kmeansTrainOn(in, maxIter = 5, tolL1 = 1e-9).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getDouble(4))).toList
+    val got = run(df)
+    assert(got.map(_._2) == List(3L, 3L, 3L),
+      s"clusters not recovered at 3 members each: $got")
+    assert(got.forall(_._5 == 0.0),
+      s"loop must terminate at a fixed point (shift 0): $got")
+    assert(got.head._4 <= 5, s"did not converge in budget: $got")
+    assert(run(df.repartition(7)) == got,
+      "kmeans trajectory is partition-variant")
+  }
+
   test("incremental NEAR-dup ingest: a cross-batch near-dup that digest " +
     "dedup admits is flagged against the corpus band postings; in-batch " +
     "near pair points later->earlier; unrelated incoming doc is clean") {
