@@ -139,6 +139,30 @@ object ScaleRehearsal {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
       .split(",").map(_.trim.toInt).toSeq
+    // The two ADAPTIVE-pigeonhole families additionally rehearse (a)
+    // both sides of the 2→3-level switch (ThirdLevelMinDocs = 20k docs
+    // = x4 of the 5k sf0.1 base: x3 = 15k runs 2-level, x5 = 25k runs
+    // 3-level — candidate counts may STEP at the switch but must never
+    // jump superlinear) and (b) x30 = 150k docs, 3× past the largest
+    // previously-certified point, so the 3-level margin is measured
+    // deep into the regime the switch exists for.
+    val adaptiveScales = sys.env.getOrElse("SPARK_GRAFT_ADAPTIVE_SCALES",
+        "1,3,5,10,30")
+      .split(",").map(_.trim.toInt).toSeq
+    val adaptiveFams = Set("dedup_simhash", "mm_dedup_phash")
+    def scalesFor(fam: String): Seq[Int] =
+      if (adaptiveFams(fam)) adaptiveScales else scales
+    // SPARK_GRAFT_FAMILIES=f1,f2 filters to named families while
+    // iterating (default: all). Filtered runs still write SCALE10.json
+    // — restore the committed artifact after local iteration.
+    val famFilter = sys.env.get("SPARK_GRAFT_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def famActive(name: String): Boolean = famFilter.forall(_.contains(name))
+    // generate only the scales some ACTIVE family will measure
+    val allScales = (scales.filter(_ => famFilter.forall(_.exists(f =>
+        !adaptiveFams(f)))) ++
+      adaptiveScales.filter(_ => famFilter.forall(_.exists(adaptiveFams))))
+      .distinct.sorted
     val outRoot = "/tmp/graft_scale"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -150,7 +174,7 @@ object ScaleRehearsal {
     GraftConf(spark)
 
     // deterministic corpus generation, one parquet dir per scale
-    for (k <- scales) {
+    for (k <- allScales) {
       val dir = s"$outRoot/x$k"
       scaled(Tables.documents(spark, baseDir), k, docReplica)
         .repartition(8 * k)
@@ -241,14 +265,9 @@ object ScaleRehearsal {
 
     def j(d: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(d))
 
-    // SPARK_GRAFT_FAMILIES=f1,f2 filters to named families while
-    // iterating (default: all). Filtered runs still write SCALE10.json
-    // — restore the committed artifact after local iteration.
-    val famFilter = sys.env.get("SPARK_GRAFT_FAMILIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val activeFams = docFams.filter(f => famFilter.forall(_.contains(f.name)))
+    val activeFams = docFams.filter(f => famActive(f.name))
 
-    val rows = for (fam <- activeFams; k <- scales) yield {
+    val rows = for (fam <- activeFams; k <- scalesFor(fam.name)) yield {
       val dir = s"$outRoot/x$k"
       val input =
         if (fam.name == "dedup_entity_block") Tables.customer(spark, dir)
@@ -287,6 +306,7 @@ object ScaleRehearsal {
 
     val line =
       s"""{"metric":"scale_rehearsal","scales":[${scales.mkString(",")}],""" +
+        s""""adaptive_scales":[${adaptiveScales.mkString(",")}],""" +
         s""""base":"$baseDir","cpus":$cpus,"families":{$famJson}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE10.json"),
       (line + "\n").getBytes("UTF-8"))

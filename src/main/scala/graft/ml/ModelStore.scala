@@ -45,6 +45,9 @@ object ModelStore {
       family match {
         case "rf"  => LocalTrees.RfModel(ts)
         case "gbt" => LocalTrees.GbtModel(f0, shrinkage, ts)
+        // OLS day-trend winner: (b0, b1) ride the two scalar slots,
+        // zero trees — doubles round-trip parquet bit-exactly here too
+        case "ols" => LocalTrees.OlsModel(f0, shrinkage)
       }
     }
   }
@@ -85,6 +88,9 @@ object ModelStore {
     case LocalTrees.GbtModel(f0, shrinkage, trees) =>
       ProductModel(w.product, w.family, w.config, w.val_mape, w.n_test,
         w.test_mape, w.rmse, f0, shrinkage, trees.map(flatten).toSeq)
+    case LocalTrees.OlsModel(b0, b1) =>
+      ProductModel(w.product, w.family, w.config, w.val_mape, w.n_test,
+        w.test_mape, w.rmse, f0 = b0, shrinkage = b1, trees = Seq.empty)
   }
 
   def save(models: Dataset[ProductModel], path: String): Unit =

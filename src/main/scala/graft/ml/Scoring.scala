@@ -63,8 +63,15 @@ object Scoring {
         it.map { case (f, pm) =>
           val (family, m) = memo.getOrElseUpdate(pm.product,
             (pm.family, pm.model))
-          ScoredRow(f.product, f.sale_date, f.label, family,
-            m.predict(f.x.toArray))
+          val pred = m match {
+            // the OLS day-trend winner is DAY-aware: it reads the
+            // row's date, not its lag vector (same epoch-day axis the
+            // grid fit it on)
+            case o: LocalTrees.OlsModel =>
+              o.predictDay(f.sale_date.toLocalDate.toEpochDay.toDouble)
+            case t => t.predict(f.x.toArray)
+          }
+          ScoredRow(f.product, f.sale_date, f.label, family, pred)
         }
       }
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{ArtifactStore, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -300,8 +300,9 @@ object SimilarityQueries {
     }: _*)
 
   private def ivfScored(spark: SparkSession, dir: String,
-      probe: Either[Int, (Int, Int)]): DataFrame =
-    ivfCandidateFrame(spark, dir, probe)
+      probe: Either[Int, (Int, Int)],
+      codebook: Option[Array[(Int, Seq[Double], Double)]] = None): DataFrame =
+    ivfCandidateFrame(spark, dir, probe, codebook)
       .select(col("query_id"), col("vec_id"), col("label"),
         Tables.round6(dot(col("vec"), col("qvec")) /
           (col("norm") * col("qnorm"))).as("cos_sim"))
@@ -311,10 +312,11 @@ object SimilarityQueries {
     * sides' vectors/norms: [[ivfScored]] scores it with exact cosine
     * (sim_knn_ivf); [[simKnnIvfPq]] scores it with PQ ADC instead. */
   private def ivfCandidateFrame(spark: SparkSession, dir: String,
-      probe: Either[Int, (Int, Int)]): DataFrame = {
+      probe: Either[Int, (Int, Int)],
+      codebook: Option[Array[(Int, Seq[Double], Double)]] = None): DataFrame = {
     val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
       .select(col("vec_id"), col("label"), col("vec"), col("norm"))
-    val centroids = centroidCodebook(spark, dir)
+    val centroids = codebook.getOrElse(centroidCodebook(spark, dir))
     def centroidScores(vec: Column, norm: Column): Column =
       centroidScoresFor(centroids, vec, norm)
     // map-side argmax assignment of every corpus vector — a projection
@@ -1002,15 +1004,37 @@ object SimilarityQueries {
   val simKmeansTrain: Q = (spark, dir) =>
     kmeansTrainOn(Tables.embeddings(spark, dir), maxIter = 5, tolL1 = 1e-4)
 
-  /** [[simKmeansTrain]] over an explicit frame with injectable
-    * iteration budget / tolerance — the spec plants separable
-    * clusters under adversarial labels and asserts convergence to the
-    * ideal partition with shift exactly 0. */
-  private[graft] def kmeansTrainOn(embRaw: DataFrame, maxIter: Int,
-      tolL1: Double): DataFrame = {
-    val spark = embRaw.sparkSession
+  /** Converged training outcome of [[kmeansFitOn]]: the final codebook
+    * (with norms — ready for [[centroidScoresFor]]), per-cluster
+    * membership stats, iterations run, and the last L1 shift. */
+  private[graft] final case class KmeansFit(
+      codebook: Array[(Int, Seq[Double], Double)],
+      members: Array[(Int, Seq[Double], Long)],
+      nIter: Int, finalShift: Double)
+
+  /** Lloyd's loop to convergence — the core [[simKmeansTrain]] reports
+    * on and [[trainedCodebook]] persists.
+    *
+    * The normalized vector frame is `persist()`ed for the duration of
+    * the loop and unpersisted after (round-11 advice: each iteration
+    * re-scanned the un-cached projection — correct, but on a real
+    * cluster you pin the loop's working set; the codebook collected
+    * per iteration stays k·dims catalog metadata either way).
+    *
+    * A cluster that loses every member VANISHES from the new
+    * generation; such an iteration counts as an INFINITE shift
+    * (round-11 advice: summing movement only over surviving clusters
+    * let a discontinuous codebook change read as "converged" when the
+    * survivors happened to sit still). The loop therefore always runs
+    * at least one more iteration after a vanish, and a final_shift of
+    * Infinity in the output makes an at-budget vanish visible instead
+    * of silent; convergence at the REDUCED k is then an honest
+    * fixed-point of the surviving clusters. */
+  private[graft] def kmeansFitOn(embRaw: DataFrame, maxIter: Int,
+      tolL1: Double): KmeansFit = {
     val emb = withNorm(embRaw, "embedding")
       .select(col("vec_id"), col("vec"), col("norm"))
+      .persist() // pinned for the Lloyd loop; released below
     def assignedWith(cb: Array[(Int, Seq[Double], Double)]): DataFrame =
       emb.withColumn("best", array_max(centroidScoresFor(cb, col("vec"), col("norm"))))
         .select(col("vec_id"), col("vec"), (-col("best.neg_cluster")).as("cluster"))
@@ -1028,33 +1052,100 @@ object SimilarityQueries {
         .map(r => (r.getAs[Number](0).intValue, r.getSeq[Double](1),
           r.getLong(2)))
         .sortBy(_._1)
-    var cb = centroidCodebookOf(embRaw)
-    var iter = 0
-    var shift = Double.MaxValue
-    var members: Array[(Int, Seq[Double], Long)] = Array.empty
-    while (iter < maxIter && shift > tolL1) {
-      val nm = meansOf(assignedWith(cb))
-      val old = cb.map(c => c._1 -> c._2).toMap
-      shift = nm.iterator.map { case (c, v, _) =>
-        old.get(c).map(o => v.zip(o).map { case (a, b) =>
-          math.abs(a - b) }.sum).getOrElse(0.0)
-      }.sum
-      members = nm
-      cb = nm.map { case (c, v, _) =>
-        (c, v, math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x)))
+    try {
+      var cb = centroidCodebookOf(embRaw)
+      var iter = 0
+      var shift = Double.MaxValue
+      var members: Array[(Int, Seq[Double], Long)] = Array.empty
+      while (iter < maxIter && shift > tolL1) {
+        val nm = meansOf(assignedWith(cb))
+        val old = cb.map(c => c._1 -> c._2).toMap
+        val vanished = old.keySet -- nm.iterator.map(_._1).toSet
+        shift =
+          if (vanished.nonEmpty) Double.PositiveInfinity
+          else nm.iterator.map { case (c, v, _) =>
+            old.get(c).map(o => v.zip(o).map { case (a, b) =>
+              math.abs(a - b) }.sum).getOrElse(0.0)
+          }.sum
+        members = nm
+        cb = nm.map { case (c, v, _) =>
+          (c, v, math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x)))
+        }
+        iter += 1
       }
-      iter += 1
-    }
+      KmeansFit(cb, members, iter, shift)
+    } finally emb.unpersist()
+  }
+
+  /** [[simKmeansTrain]] over an explicit frame with injectable
+    * iteration budget / tolerance — the spec plants separable
+    * clusters under adversarial labels and asserts convergence to the
+    * ideal partition with shift exactly 0, plus a vanishing-cluster
+    * fixture that must NOT read as converged in the vanish
+    * iteration. */
+  private[graft] def kmeansTrainOn(embRaw: DataFrame, maxIter: Int,
+      tolL1: Double): DataFrame = {
+    val spark = embRaw.sparkSession
+    val fit = kmeansFitOn(embRaw, maxIter, tolL1)
     import spark.implicits._
-    members.map { case (c, v, n) =>
-      (c, n, Tables.round6Val(v.sum), iter.toLong, Tables.round6Val(shift))
+    fit.members.map { case (c, v, n) =>
+      (c, n, Tables.round6Val(v.sum), fit.nIter.toLong,
+        Tables.round6Val(fit.finalShift))
     }.toSeq.toDF("cluster", "n_members", "centroid_sum", "n_iter",
       "final_shift").orderBy(col("cluster"))
   }
 
+  /** The CONVERGED k-means codebook as a corpus artifact — round 11's
+    * "train → index → assign" production loop closed: until now
+    * sim_kmeans_train's output went nowhere; this persists the
+    * converged (cluster, cvec) rows through [[graft.ArtifactStore]]
+    * (corpus-fingerprinted, pruned, ablation kill-switch) so index
+    * consumers quantize against TRAINED centroids instead of label
+    * means. The store variant embeds the training parameters (the
+    * components-key discipline); norms are recomputed on load with
+    * the same ascending fold every call site uses — bit-identical to
+    * the fresh fit's. Training is deterministic end to end (micro-
+    * unit means, tie-broken argmax), so the loaded codebook equals
+    * the in-memory one row-for-row (spec-pinned). */
+  private[graft] def trainedCodebookDf(spark: SparkSession,
+      dir: String): DataFrame =
+    ArtifactStore.cached(spark,
+      ArtifactStore.pathFor("kmeans_codebook", dir, "embeddings.parquet",
+        "lloyd_i5_tol1em4_v1")) {
+      import spark.implicits._
+      kmeansFitOn(Tables.embeddings(spark, dir), maxIter = 5, tolL1 = 1e-4)
+        .codebook.map { case (c, v, _) => (c, v) }.toSeq
+        .toDF("cluster", "cvec")
+    }
+
+  private[graft] def trainedCodebook(spark: SparkSession,
+      dir: String): Array[(Int, Seq[Double], Double)] =
+    trainedCodebookDf(spark, dir).collect().map { r =>
+      val cv = r.getSeq[Double](1)
+      // same left-fold accumulation order as centroidCodebookOf
+      (r.getAs[Number](0).intValue, cv,
+        math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x)))
+    }.sortBy(_._1)
+
+  /** `sim_knn_ivf_trained`: the adaptive IVF retrieval of
+    * [[simKnnIvf]] running against the TRAINED codebook artifact —
+    * the production loop (train → persist codebook → build index →
+    * serve) rather than the label-mean coarse quantizer. Same plan
+    * shape: collected codebook inlined as literals, map-side argmax
+    * assignment, mass-targeted probes, exact cosine on probed
+    * clusters. Rows-only BY CONTRACT (the Lloyd loop upstream has no
+    * SQL replay — the sim_kmeans_train category), anchored by the
+    * fully-oracled [[simKmeansIter]] step, the ArtifactStore
+    * round-trip spec, and the RecallFloorSpec floor (≥ the same 0.9
+    * the label-mean IVF must clear on the planted fixture). */
+  val simKnnIvfTrained: Q = (spark, dir) =>
+    ivfRank(ivfScored(spark, dir, Right((MassTargetBp, MaxProbe)),
+      Some(trainedCodebook(spark, dir))))
+
   def queries: Map[String, Q] = Map(
     "sim_kmeans_iter"     -> simKmeansIter,
     "sim_kmeans_train"    -> simKmeansTrain,
+    "sim_knn_ivf_trained" -> simKnnIvfTrained,
     "sim_knn_brute"       -> simKnnBrute,
     "sim_knn_native"      -> simKnnNative,
     "sim_knn_lsh"         -> simKnnLsh,

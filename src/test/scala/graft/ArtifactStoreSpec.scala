@@ -3,18 +3,23 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Contract of the generalized corpus-artifact store and its
-  * dedup_components consumer: load-or-derive serves the reloaded
-  * artifact bit-identically, never re-derives once saved, and rejects
-  * incomplete saves. */
+/** Contract of the generalized corpus-artifact store and its dedup
+  * consumers: load-or-derive serves the reloaded artifact
+  * bit-identically, never re-derives once saved, rejects incomplete
+  * saves, APPENDS ingest deltas without re-signing the base (round 11),
+  * prunes stale sibling versions, and never caches an unfingerprintable
+  * source. */
 class ArtifactStoreSpec extends AnyFunSuite {
   import TestSpark._
+
+  private def rmStore(path: String): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
 
   test("cached(): derives once, serves the reloaded parquet afterwards " +
     "(poison-pill derive), rejects marker-less artifacts") {
     import spark.implicits._
     val path = "target/tmp/test_artifact_store/cc"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    rmStore(path)
     val df = Seq((1L, 10L), (2L, 10L), (3L, 3L)).toDF("doc_id", "component_id")
     var derives = 0
     def derive() = { derives += 1; df }
@@ -27,28 +32,106 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(second == first, "reloaded artifact differs from the fresh frame")
 
     val broken = "target/tmp/test_artifact_store/broken"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(broken))
+    rmStore(broken)
     df.write.mode("overwrite").parquet(s"$broken/data")
     assert(ArtifactStore.load(spark, broken).isEmpty,
       "incomplete save (no marker) was trusted")
   }
 
-  test("minhash band-posting store: loaded postings == fresh derivation " +
-    "row-for-row, and both lsh + incremental_near consumers produce " +
-    "identical results off the stored index") {
+  test("appendedCached(): append(store(base), batch) == derive(base ∪ batch) " +
+    "row-for-row; the delta artifact holds ONLY the batch's rows with a " +
+    "lineage pointer; once chained, NEITHER side re-derives") {
+    import spark.implicits._
+    val root = "target/tmp/test_artifact_store"
+    val parent = s"$root/bands_src_v1_aaaaaaaaaaaa" // store-format basename
+    val child = ArtifactStore.childPathFor(parent, "ingestT")
+    rmStore(parent); rmStore(child)
+    val base = Seq((1L, 0, "k1"), (2L, 0, "k1"), (3L, 1, "k9"))
+      .toDF("doc_id", "band", "key")
+    val batch = Seq((5L, 0, "k1"), (10L, 1, "k9"))
+      .toDF("doc_id", "band", "key")
+    def sortAll(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id"), col("band")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+
+    val appended = ArtifactStore.appendedCached(spark, parent, "ingestT")(
+      base)(batch)
+    assert(sortAll(appended) == sortAll(base.unionByName(batch)),
+      "append(store(base), batch) != derive(base ∪ batch)")
+    // the delta holds only the batch's rows — no base row was rewritten
+    assert(sortAll(spark.read.parquet(s"$child/data")) == sortAll(batch),
+      "delta artifact is not batch-only")
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$child/_GRAFT_PARENT")), "UTF-8")
+    assert(ptr == new java.io.File(parent).getName, "lineage pointer wrong")
+
+    // chained serve: neither side may execute its derivation again
+    val served = ArtifactStore.appendedCached(spark, parent, "ingestT")(
+      { fail("base re-derived despite existing store"); base })(
+      { fail("batch re-signed despite existing delta"); batch })
+    assert(sortAll(served) == sortAll(appended))
+  }
+
+  test("save() prunes stale sibling versions: same kind/source/variant, " +
+    "different fingerprint — old corpus versions are not hoarded") {
+    import spark.implicits._
+    val root = new java.io.File("target/tmp/artifact_store")
+    val oldV = s"${root.getPath}/prunekind_src_v1_000000000000"
+    val newV = s"${root.getPath}/prunekind_src_v1_111111111111"
+    val other = s"${root.getPath}/prunekind_src_v2_000000000000"
+    Seq(oldV, newV, other).foreach(rmStore)
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    ArtifactStore.save(df, oldV)
+    ArtifactStore.save(df, other)
+    assert(new java.io.File(s"$oldV/_GRAFT_OK").exists)
+    ArtifactStore.save(df, newV) // same prune key as oldV
+    assert(!new java.io.File(oldV).exists,
+      "stale sibling version survived a save")
+    assert(new java.io.File(s"$newV/_GRAFT_OK").exists)
+    assert(new java.io.File(s"$other/_GRAFT_OK").exists,
+      "different variant was wrongly pruned")
+    Seq(oldV, newV, other).foreach(rmStore)
+  }
+
+  test("unfingerprintable source: key is UNCACHEABLE — never saved, " +
+    "never served, every access a fresh derivation") {
+    import spark.implicits._
+    val path = ArtifactStore.pathFor("k", "/nonexistent/dir",
+      "documents.parquet", "v1")
+    assert(path.contains(ArtifactStore.Uncacheable))
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    var derives = 0
+    def run() = ArtifactStore.cached(spark, path) { derives += 1; df }
+    run().collect(); run().collect()
+    assert(derives == 2, "uncacheable path was cached")
+    assert(!new java.io.File(path).exists, "uncacheable path was written")
+  }
+
+  test("minhash shingle + band-posting stores: appended store == fresh " +
+    "derivation row-for-row; base is NOT re-derived once stored; both " +
+    "lsh + incremental_near consumers identical off the stored index") {
     val D = operators.DedupQueries
-    val store = ArtifactStore.pathFor(
-      "minhash_bands", sf, "documents.parquet", "h64b16")
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val shBase = ArtifactStore.pathFor("shingles_md5", sf,
+      "documents.parquet", "w3")
+    val bandBase = ArtifactStore.pathFor("minhash_bands", sf,
+      "documents.parquet", "h64b16")
+    Seq(shBase, ArtifactStore.childPathFor(shBase, D.IngestBatchTag),
+      bandBase, ArtifactStore.childPathFor(bandBase, D.IngestBatchTag))
+      .foreach(rmStore)
     val docs = Tables.documents(spark, sf)
     val fresh = D.minhashBandsOn(docs)
       .orderBy(col("doc_id"), col("band")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
-    val stored = D.minhashBands(spark, sf) // derives + saves
+    val stored = D.minhashBands(spark, sf) // derives base + delta, saves
       .orderBy(col("doc_id"), col("band")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
-    assert(stored == fresh, "stored band postings diverged")
-    assert(new java.io.File(s"$store/_GRAFT_OK").exists)
+    assert(stored == fresh, "appended band postings diverged from full derive")
+    assert(new java.io.File(s"$bandBase/_GRAFT_OK").exists)
+    assert(new java.io.File(
+      s"${ArtifactStore.childPathFor(bandBase, D.IngestBatchTag)}/_GRAFT_PARENT")
+      .exists, "band delta carries no lineage")
+    assert(new java.io.File(s"$shBase/_GRAFT_OK").exists,
+      "shingle store not persisted")
     val viaStore = D.dedupMinhashLsh(spark, sf).collect() // pure load now
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val viaFresh = D.minhashLshOn(docs).collect()
@@ -57,13 +140,20 @@ class ArtifactStoreSpec extends AnyFunSuite {
     val nearStore = D.dedupIncrementalNear(spark, sf).collect().length
     val nearFresh = D.incrementalNearOn(docs).collect().length
     assert(nearStore == nearFresh)
+    // simhash rides the same shingle store
+    val simStore = D.dedupSimhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val simFresh = D.simhashPairsOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(simStore == simFresh, "simhash pairs differ through the store")
   }
 
   test("dedup_components through the store: fresh derivation == loaded " +
     "artifact row-for-row; consumers (keep_best) read the same labels") {
     val store = ArtifactStore.pathFor(
-      "components", sf, "documents.parquet", "ngram")
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      "components", sf, "documents.parquet",
+      operators.DedupQueries.ComponentsVariant)
+    rmStore(store)
     def run() = operators.DedupQueries.dedupComponents(spark, sf)
       .orderBy(col("doc_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq

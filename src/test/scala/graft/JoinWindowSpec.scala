@@ -136,8 +136,21 @@ class JoinWindowSpec extends AnyFunSuite {
     "the hamming radius") {
     val df = operators.MultimodalQueries.mmDedupPhash(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
-      s"phash blocking fell back to a non-equi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"phash blocking fell back to a cartesian:\n$plan")
+    // the CANDIDATE join must be an equi hash join on the pigeonhole
+    // keys; the only nested-loop sites allowed are the round-11 lazy
+    // cardinality probes (1-row count broadcasts choosing the adaptive
+    // level — each BNLJ's build side must be that zero-key count)
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[chunk_idx".r
+      .findFirstIn(plan).isDefined,
+      s"candidate join is not an equi join on the chunk keys:\n$plan")
+    val bnlj = plan.split("BroadcastNestedLoopJoin").length - 1
+    val probeAggs = plan.split(
+      java.util.regex.Pattern.quote("HashAggregate(keys=[], functions=[count("))
+      .length - 1
+    assert(bnlj <= probeAggs,
+      s"nested-loop joins beyond the 1-row cardinality probes:\n$plan")
     assert(df.collect().forall(_.getInt(2) <= 3))
   }
 

@@ -549,6 +549,31 @@ class PipelineSpec extends AnyFunSuite {
       "kmeans trajectory is partition-variant")
   }
 
+  test("kmeans training: a vanished cluster is an infinite shift, not " +
+    "convergence — the loop runs past the vanish iteration and settles " +
+    "at the reduced k (round-11 advice fixture)") {
+    import spark.implicits._
+    val S = operators.SimilarityQueries
+    // both vectors identical; labels split them, so the label-mean
+    // centroids are identical too. The tie-broken argmax sends BOTH to
+    // cluster 0 in iteration 1: cluster 1 vanishes while the survivor's
+    // centroid does not move — the exact case where movement-of-
+    // survivors == 0 used to read as "converged" at the vanish.
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), 0), (2L, Seq(1.0, 0.0, 0.0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = S.kmeansTrainOn(df, maxIter = 5, tolL1 = 1e-9).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+      .toList
+    assert(got.map(t => (t._1, t._2)) == List((0, 2L)),
+      s"expected the two vectors to settle in cluster 0 alone: $got")
+    assert(got.head._3 == 2,
+      s"vanish iteration must not terminate the loop (needs a second, " +
+        s"genuinely-converged iteration): $got")
+    assert(got.head._4 == 0.0,
+      s"reduced-k fixed point should report zero final shift: $got")
+  }
+
   test("incremental NEAR-dup ingest: a cross-batch near-dup that digest " +
     "dedup admits is flagged against the corpus band postings; in-batch " +
     "near pair points later->earlier; unrelated incoming doc is clean") {

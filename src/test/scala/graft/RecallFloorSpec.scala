@@ -119,6 +119,25 @@ class RecallFloorSpec extends AnyFunSuite {
     assert(r >= 0.9, s"int8 rerank recall=$r")
   }
 
+  test("trained-codebook IVF (sim_knn_ivf_trained): recall >= 0.9 on the " +
+    "planted fixture — the Lloyd-trained coarse quantizer must not lose " +
+    "to the label-mean floor — and the persisted codebook round-trips " +
+    "bit-identically to the fresh fit") {
+    val S = operators.SimilarityQueries
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      ArtifactStore.pathFor("kmeans_codebook", plantedDir,
+        "embeddings.parquet", "lloyd_i5_tol1em4_v1")))
+    val r = (brute & pairs(S.simKnnIvfTrained(spark, plantedDir))).size
+      .toDouble / brute.size
+    assert(r >= 0.9, s"trained-codebook IVF recall=$r")
+    val loaded = S.trainedCodebook(spark, plantedDir) // pure store load now
+      .map { case (c, v, _) => (c, v) }.toSeq
+    val fresh = S.kmeansFitOn(
+      Tables.embeddings(spark, plantedDir), maxIter = 5, tolL1 = 1e-4)
+      .codebook.map { case (c, v, _) => (c, v) }.toSeq
+    assert(loaded == fresh, "persisted codebook diverged from fresh fit")
+  }
+
   test("adaptive IVF dominates fixed-probe on a SKEWED corpus: equal " +
     "recall at strictly fewer scored candidates (the contract that " +
     "motivates the mass-targeted stop rule)") {
