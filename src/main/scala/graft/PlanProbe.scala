@@ -29,7 +29,12 @@ object PlanProbe {
     "agg_winsorized_mean", "smp_quality_weighted",
     // round 10
     "mm_dedup_phash", "dedup_substring_spans", "txt_bpe_tokenize",
-    "dedup_incremental_near", "sim_kmeans_iter")
+    "dedup_incremental_near", "sim_kmeans_iter",
+    // round 11 — the two new queries plus the store-fed near-dup pair
+    // (their scans should be store-parquet reads when the artifact
+    // exists, full derivations otherwise)
+    "mm_decode_png", "sim_knn_ivf_trained", "dedup_simhash",
+    "dedup_minhash_lsh")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -70,7 +70,12 @@ object RecallProbe {
     val reranked = for ((key, df) <- Seq(
         "pq_rerank"   -> operators.SimilarityQueries.simKnnPq(spark, dir),
         "int8_rerank" -> operators.SimilarityQueries.simKnnRerank(spark, dir),
-        "ivfpq"       -> operators.SimilarityQueries.simKnnIvfPq(spark, dir)))
+        "ivfpq"       -> operators.SimilarityQueries.simKnnIvfPq(spark, dir),
+        // round 11: the Lloyd-trained coarse quantizer vs the label-mean
+        // codebook (same adaptive probe setting) — the train→index→serve
+        // loop's recorded quality point
+        "ivf_trained" -> operators.SimilarityQueries
+          .simKnnIvfTrained(spark, dir)))
       yield {
         val r = (brute & pairs(df)).size.toDouble / brute.size
         println(f"[probe] $key recall=$r%.3f")

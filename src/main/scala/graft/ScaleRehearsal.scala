@@ -297,9 +297,16 @@ object ScaleRehearsal {
       val perScale = rs.map { case (_, k, nIn, cand, out, maxB, nB, sec) =>
         val candRatio = if (base._4 == 0) 0.0 else cand.toDouble / base._4
         val inRatio = nIn.toDouble / base._3
+        // out_ratio: growth of the TRUE result set. For hamming-radius
+        // families on narrow key distributions (pHash) genuine matches
+        // themselves grow superlinearly (birthday collisions are real
+        // pairs); the blocking-quality metric is cand_ratio RELATIVE
+        // to out_ratio, not to input_ratio alone.
+        val outRatio = if (base._5 == 0) 0.0 else out.toDouble / base._5
         s""""x$k":{"n_input":$nIn,"candidates":$cand,"out_pairs":$out,""" +
           s""""max_bucket":$maxB,"n_buckets":$nB,"sec":${j(sec)},""" +
-          s""""input_ratio":${j(inRatio)},"cand_ratio":${j(candRatio)}}"""
+          s""""input_ratio":${j(inRatio)},"cand_ratio":${j(candRatio)},""" +
+          s""""out_ratio":${j(outRatio)}}"""
       }.mkString(",")
       s""""${fam.name}":{$perScale}"""
     }.mkString(",")

@@ -477,10 +477,16 @@ object SimilarityQueries {
   /** Cluster-assigned corpus of [[pipeSemDedup]]: every vector with its
     * argmax cluster and rounded centroid similarity — exposed so the
     * scale rehearsal can measure cluster-size (bucket) statistics. */
-  private[graft] def semDedupAssignedOn(embRaw: DataFrame): DataFrame = {
+  private[graft] def semDedupAssignedOn(embRaw: DataFrame): DataFrame =
+    semDedupAssignedWith(embRaw, centroidCodebookOf(embRaw))
+
+  /** [[semDedupAssignedOn]] with the codebook supplied explicitly —
+    * the trained-quantizer variant passes the persisted Lloyd
+    * codebook. */
+  private[graft] def semDedupAssignedWith(embRaw: DataFrame,
+      centroids: Array[(Int, Seq[Double], Double)]): DataFrame = {
     val emb = withNorm(embRaw, "embedding")
       .select(col("vec_id"), col("vec"), col("norm"))
-    val centroids = centroidCodebookOf(embRaw)
     emb
       .withColumn("best",
         array_max(centroidScoresFor(centroids, col("vec"), col("norm"))))
@@ -501,8 +507,10 @@ object SimilarityQueries {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
   }
 
-  private[graft] def semDedupOn(embRaw: DataFrame): DataFrame = {
-    val assigned = semDedupAssignedOn(embRaw)
+  private[graft] def semDedupOn(embRaw: DataFrame): DataFrame =
+    semDedupOfAssigned(semDedupAssignedOn(embRaw))
+
+  private[graft] def semDedupOfAssigned(assigned: DataFrame): DataFrame = {
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -1142,7 +1150,23 @@ object SimilarityQueries {
     ivfRank(ivfScored(spark, dir, Right((MassTargetBp, MaxProbe)),
       Some(trainedCodebook(spark, dir))))
 
+  /** `pipe_semdedup_trained`: [[pipeSemDedup]] quantizing against the
+    * TRAINED codebook artifact instead of label means — the other
+    * consumer of the round-11 train → index → serve loop (SemDeDup's
+    * published form clusters with k-means, not labels; the label-mean
+    * registered query stays the fully-oracled anchor). Same plan:
+    * collected codebook as literals, map-side argmax, one
+    * cluster-keyed shuffle, within-cluster dominance. Rows-only BY
+    * CONTRACT (Lloyd loop upstream), anchored by the fully-oracled
+    * pipe_semdedup + sim_kmeans_iter and the codebook round-trip spec;
+    * the planted-duplicate keeper property is re-asserted under the
+    * trained quantizer in PipelineSpec. */
+  val pipeSemDedupTrained: Q = (spark, dir) =>
+    semDedupOfAssigned(semDedupAssignedWith(
+      Tables.embeddings(spark, dir), trainedCodebook(spark, dir)))
+
   def queries: Map[String, Q] = Map(
+    "pipe_semdedup_trained" -> pipeSemDedupTrained,
     "sim_kmeans_iter"     -> simKmeansIter,
     "sim_kmeans_train"    -> simKmeansTrain,
     "sim_knn_ivf_trained" -> simKnnIvfTrained,

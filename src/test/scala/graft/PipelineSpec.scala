@@ -147,6 +147,32 @@ class PipelineSpec extends AnyFunSuite {
       s"near-dup pair must keep the cluster-edge member: $got")
   }
 
+  test("SemDeDup under the TRAINED quantizer: the keeper properties " +
+    "survive a Lloyd-converged codebook (round-11 trained variant), " +
+    "and the trained assignment is the converged partition") {
+    import spark.implicits._
+    val S = operators.SimilarityQueries
+    // same fixture as above; labels are already the ideal partition,
+    // so the converged codebook equals the label means and the trained
+    // variant must reproduce the oracled query's verdicts exactly
+    val docs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0), 0),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0), 0),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0), 0),
+      (4L, Seq(0.0, 0.0, 1.0, 0.0), 1),
+      (5L, Seq(0.0, 0.0, 0.9, 0.1), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val trained = S.kmeansFitOn(docs, maxIter = 5, tolL1 = 1e-9).codebook
+    val got = S.semDedupOfAssigned(S.semDedupAssignedWith(docs, trained))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("cluster"), r.getAs[Int]("is_kept"))).toMap
+    val baseline = S.semDedupOn(docs).collect().map(r => r.getLong(0) ->
+      (r.getAs[Int]("cluster"), r.getAs[Int]("is_kept"))).toMap
+    assert(got == baseline,
+      s"trained-quantizer verdicts diverged at the fixed point: " +
+        s"$got vs $baseline")
+  }
+
   test("index upsert: the delta batch is assigned with the BASE codebook " +
     "— a planted delta lands in its NEAREST base cluster regardless of " +
     "its own label, and no base posting moves") {
