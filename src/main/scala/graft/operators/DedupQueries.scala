@@ -579,13 +579,63 @@ object DedupQueries {
     // count pattern — a constant-key equi join folds back to this
     // anyway): plans as a BNLJ whose build side is one row, which the
     // family plan specs permit by name while still requiring the
-    // CANDIDATE join itself to be equi on the chunk keys
+    // CANDIDATE join itself to be equi on the chunk keys.
+    //
+    // The key construction is STAGED through materialized intermediate
+    // columns (__ch/__comp/__l2/__rest) instead of inlining
+    // [[pigeonholeKeys]]' full trees into the generator: the monolithic
+    // 16+64-struct CASE WHEN repeated the ~30-op complement arithmetic
+    // per entry and blew the generated `generate_doConsume` past
+    // Janino's 64 KB method limit — a SILENT fall-back to interpreted
+    // evaluation that cost +1.9 s on dedup_simhash and +2.7 s on
+    // mm_dedup_phash at sf0.1 (the round-6 PqEncode lesson again).
+    // Multiple references to each non-cheap alias keep CollapseProject
+    // from re-inlining them. Equality with the reference
+    // [[pigeonholeKeys]] form is spec-pinned at BOTH levels
+    // (PipelineSpec), so the two constructions cannot drift.
     val n = counted.agg(count(lit(1)).as("n_docs"))
-    hashes.crossJoin(broadcast(n))
+    val subW   = Seq(12, 11, 11, 11) // widths over the 45-bit complement
+    val subOff = Seq(0, 12, 23, 34)
+    def ch(c: Int)    = element_at(col("__ch"), c + 1)
+    def comp(c: Int)  = element_at(col("__comp"), c + 1)
+    def l2(cs: Int)   = element_at(col("__l2"), cs + 1)
+    def rest(cs: Int) = element_at(col("__rest"), cs + 1)
+    val staged = hashes.crossJoin(broadcast(n))
+      .withColumn("__ch", array((0 until 4).map(c =>
+        shiftright(col(hashCol), c * 15).bitwiseAND(lit(0x7FFFL))): _*))
+      .withColumn("__comp", array((0 until 4).map { c =>
+        val o = (1 to 3).map(i => element_at(col("__ch"), (c + i) % 4 + 1))
+        o(0).bitwiseOR(shiftleft(o(1), 15)).bitwiseOR(shiftleft(o(2), 30))
+      }: _*))
+      .withColumn("__l2", array((for { c <- 0 until 4; s <- 0 until 4 } yield {
+        val sub = shiftright(comp(c), subOff(s))
+          .bitwiseAND(lit((1L << subW(s)) - 1))
+        shiftleft(ch(c), 12).bitwiseOR(sub)
+      }): _*))
+      .withColumn("__rest", array((for { c <- 0 until 4; s <- 0 until 4 } yield {
+        (1 to 3).map(i => (s + i) % 4)
+          .foldLeft((lit(0L), 0)) { case ((acc, w), j) =>
+            (acc.bitwiseOR(shiftleft(shiftright(comp(c), subOff(j))
+              .bitwiseAND(lit((1L << subW(j)) - 1)), w)), w + subW(j))
+          }._1
+      }): _*))
+    val keys2 = array((for { c <- 0 until 4; s <- 0 until 4 } yield
+      struct(lit(c * 4 + s).as("chunk_idx"),
+        l2(c * 4 + s).as("chunk_val"))): _*)
+    val keys3 = array((for { c <- 0 until 4; s <- 0 until 4; t <- 0 until 4 }
+      yield {
+        val restW = 45 - subW(s)
+        val ssW = (0 until 4).map(i => restW / 4 + (if (i < restW % 4) 1 else 0))
+        val ssOff = ssW.scanLeft(0)(_ + _)
+        val ss = shiftright(rest(c * 4 + s), ssOff(t))
+          .bitwiseAND(lit((1L << ssW(t)) - 1))
+        struct(lit((c * 4 + s) * 4 + t).as("chunk_idx"),
+          shiftleft(l2(c * 4 + s), 9).bitwiseOR(ss).as("chunk_val"))
+      }): _*)
+    staged
       .select(col("doc_id"), col(hashCol),
-        explode(when(col("n_docs") > lit(ThirdLevelMinDocs),
-            pigeonholeKeys(col(hashCol), 3))
-          .otherwise(pigeonholeKeys(col(hashCol), 2))).as("k"))
+        explode(when(col("n_docs") > lit(ThirdLevelMinDocs), keys3)
+          .otherwise(keys2)).as("k"))
       .select(col("doc_id"), col(hashCol),
         col("k.chunk_idx").as("chunk_idx"), col("k.chunk_val").as("chunk_val"))
   }

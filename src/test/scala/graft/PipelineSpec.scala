@@ -516,6 +516,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("staged adaptive chunk construction == explode(pigeonholeKeys) at " +
+    "BOTH levels (the codegen-sized form cannot drift from the reference " +
+    "expression)") {
+    import spark.implicits._
+    val D = operators.DedupQueries
+    // adversarial bit patterns: all-ones, alternating, single bits at
+    // chunk boundaries, pseudo-random
+    val hs = Seq(0L, (1L << 60) - 1, 0x555555555555555L, 1L << 14,
+      1L << 15, 1L << 44, 1L << 59, 0x123456789ABCDEL, 0xFEDCBA987654L)
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val hashes = hs.toDF("doc_id", "h")
+    for ((counted, levels) <- Seq(
+        spark.range(10).toDF() -> 2, spark.range(20001).toDF() -> 3)) {
+      val got = D.adaptiveChunksOf(hashes, "h", counted)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_val"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sorted
+      val want = hashes
+        .select(col("doc_id"), explode(D.pigeonholeKeys(col("h"), levels))
+          .as("k"))
+        .select(col("doc_id"), col("k.chunk_idx"), col("k.chunk_val"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(got == want, s"staged form diverged at $levels levels")
+    }
+  }
+
   test("kmeans iteration: a mislabeled vector flips cluster in one Lloyd " +
     "step (both centroids shift); a perfectly-labeled corpus is a fixed " +
     "point (zero shift)") {
