@@ -90,24 +90,28 @@ object ArtifactStore {
     * path — corpus fingerprint included — so a regenerated corpus
     * invalidates parent and child together. */
   def childPathFor(parentPath: String, batchTag: String): String =
-    s"${parentPath}__$batchTag"
+    s"$parentPath--$batchTag"
 
   private[graft] def isUncacheable(path: String): Boolean =
     path.contains(Uncacheable)
 
   /** Prune key of a store basename: the name minus its 12-hex-char
-    * fingerprint segment (`kind_dir_variant` + any `__batchTag`
+    * fingerprint segment (`kind_dir_variant` + any `--batchTag`
     * suffix). None for names not in store format. */
   private[graft] def pruneKeyOf(basename: String): Option[String] = {
     val m = java.util.regex.Pattern
-      .compile("^(.*)_([0-9a-f]{12})((?:__.+)?)$").matcher(basename)
+      .compile("^(.*)_([0-9a-f]{12})((?:--.+)?)$").matcher(basename)
     if (m.matches) Some(m.group(1) + m.group(3)) else None
   }
 
   /** Delete sibling artifact versions of `path` — same prune key,
     * different fingerprint — so regenerating a corpus does not hoard
-    * its predecessors' artifacts. (A concurrent process still reading
-    * a pruned version would have to re-derive — acceptable in this
+    * its predecessors' artifacts. Saving a BASE artifact additionally
+    * sweeps the dead corpus version's DELTAS (prune keys extending the
+    * base's with a `--tag`): a delta can never be served against a
+    * different base fingerprint anyway, so once its base version is
+    * superseded it is garbage. (A concurrent process still reading a
+    * pruned version would have to re-derive — acceptable in this
     * single-host environment, and impossible to hit for a corpus that
     * no longer exists on disk.) */
   private def pruneSiblings(path: String): Unit = {
@@ -117,7 +121,10 @@ object ArtifactStore {
       key <- pruneKeyOf(f.getName)
       sibs <- Option(parent.listFiles())
       s <- sibs
-      if s.getName != f.getName && pruneKeyOf(s.getName).contains(key)
+      sKey <- pruneKeyOf(s.getName)
+      if s.getName != f.getName &&
+        (sKey == key || (!key.contains("--") && sKey.startsWith(key + "--")))
+      if !s.getName.startsWith(f.getName + "--") // never this version's own deltas
     } org.apache.commons.io.FileUtils.deleteQuietly(s)
   }
 
@@ -158,14 +165,34 @@ object ArtifactStore {
     else None
   }
 
+  /** Every completed, lineage-verified delta of `parentPath`, sorted
+    * by directory name for a deterministic resolve order (consumers
+    * aggregate, so order is semantics-free — determinism is for plan
+    * stability). */
+  private def deltasOf(parentPath: String): Seq[String] = {
+    val f = new java.io.File(parentPath)
+    val prefix = f.getName + "--"
+    Option(f.getParentFile.listFiles()).toSeq.flatten
+      .filter(s => s.getName.startsWith(prefix))
+      .map(_.getPath).sorted
+      .filter(p => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$p/_GRAFT_OK")) &&
+        parentPointer(p).contains(f.getName))
+  }
+
   /** Incremental maintenance — the append path the 100 TB ingest story
     * requires: the expensive derivation (a signature pass over TEXT)
     * runs over the ingest batch ALONE; the base corpus's artifact is a
     * parquet read. The delta is persisted under
     * [[childPathFor]]`(parentPath, batchTag)` with a lineage pointer,
-    * and consumers are served parent ∪ delta. Writing only the delta
-    * is the local stand-in for a partition append to one physical
-    * table — no base row is ever rewritten, let alone re-signed.
+    * and consumers are served parent ∪ ALL of the parent's completed
+    * deltas — so REPEATED ingest (a new `batchTag` per batch) chains:
+    * append(append(store(b0), b1), b2) resolves to b0 ∪ b1 ∪ b2 with
+    * each batch signed exactly once (spec-pinned). Writing only the
+    * delta is the local stand-in for a partition append to one
+    * physical table — no base row is ever rewritten, let alone
+    * re-signed. `parentPath` must be the BASE artifact (appending onto
+    * a delta path would orphan its siblings — rejected loudly).
     *
     * First-ever run (no parent artifact) derives and saves the base
     * too — that is the initial index build, after which every run
@@ -176,13 +203,19 @@ object ArtifactStore {
   def appendedCached(spark: SparkSession, parentPath: String,
       batchTag: String)(deriveParent: => DataFrame)
       (deriveBatch: => DataFrame): DataFrame = {
+    require(!new java.io.File(parentPath).getName.contains("--"),
+      s"append parent must be a base artifact, not a delta: $parentPath")
     val childPath = childPathFor(parentPath, batchTag)
+    def resolve(parent: DataFrame): DataFrame =
+      deltasOf(parentPath).foldLeft(parent) { (acc, d) =>
+        acc.unionByName(spark.read.parquet(s"$d/data"))
+      }
     val served = for {
       parent <- load(spark, parentPath)
-      delta <- load(spark, childPath)
+      _ <- load(spark, childPath)
       ptr <- parentPointer(childPath)
       if ptr == new java.io.File(parentPath).getName
-    } yield parent.unionByName(delta)
+    } yield resolve(parent)
     served.getOrElse {
       val parent = cached(spark, parentPath)(deriveParent)
       val delta = deriveBatch
@@ -192,7 +225,7 @@ object ArtifactStore {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$childPath/_GRAFT_PARENT"),
           new java.io.File(parentPath).getName.getBytes("UTF-8"))
-        parent.unionByName(load(spark, childPath).get)
+        resolve(parent)
       }
     }
   }

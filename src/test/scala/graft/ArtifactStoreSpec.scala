@@ -46,6 +46,7 @@ class ArtifactStoreSpec extends AnyFunSuite {
     val parent = s"$root/bands_src_v1_aaaaaaaaaaaa" // store-format basename
     val child = ArtifactStore.childPathFor(parent, "ingestT")
     rmStore(parent); rmStore(child)
+    rmStore(ArtifactStore.childPathFor(parent, "ingestU")) // later chain step
     val base = Seq((1L, 0, "k1"), (2L, 0, "k1"), (3L, 1, "k9"))
       .toDF("doc_id", "band", "key")
     val batch = Seq((5L, 0, "k1"), (10L, 1, "k9"))
@@ -70,6 +71,48 @@ class ArtifactStoreSpec extends AnyFunSuite {
       { fail("base re-derived despite existing store"); base })(
       { fail("batch re-signed despite existing delta"); batch })
     assert(sortAll(served) == sortAll(appended))
+
+    // REPEATED ingest: a second batch under a new tag chains — the
+    // resolve is base ∪ delta1 ∪ delta2 with each batch signed once
+    val batch2 = Seq((7L, 1, "k9")).toDF("doc_id", "band", "key")
+    rmStore(ArtifactStore.childPathFor(parent, "ingestU"))
+    val chained = ArtifactStore.appendedCached(spark, parent, "ingestU")(
+      { fail("base re-derived on second append"); base })(batch2)
+    assert(sortAll(chained) ==
+      sortAll(base.unionByName(batch).unionByName(batch2)),
+      "second append must resolve base ∪ both deltas")
+    val rechained = ArtifactStore.appendedCached(spark, parent, "ingestU")(
+      { fail("base re-derived"); base })(
+      { fail("batch2 re-signed"); batch2 })
+    assert(sortAll(rechained) == sortAll(chained))
+    // appending onto a delta path is rejected loudly (it would orphan
+    // the other deltas of the chain)
+    intercept[IllegalArgumentException] {
+      ArtifactStore.appendedCached(spark,
+        ArtifactStore.childPathFor(parent, "ingestT"), "x")(base)(batch)
+    }
+  }
+
+  test("pruning a regenerated corpus's BASE also sweeps its stale " +
+    "deltas; the new version's own deltas survive") {
+    import spark.implicits._
+    val root = new java.io.File("target/tmp/artifact_store")
+    val oldBase = s"${root.getPath}/chainkind_src_v1_000000000000"
+    val newBase = s"${root.getPath}/chainkind_src_v1_111111111111"
+    val oldDelta = ArtifactStore.childPathFor(oldBase, "t1")
+    val newDelta = ArtifactStore.childPathFor(newBase, "t1")
+    Seq(oldBase, newBase, oldDelta, newDelta).foreach(rmStore)
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    ArtifactStore.save(df, oldBase)
+    ArtifactStore.save(df, oldDelta)
+    ArtifactStore.save(df, newDelta) // same-tag save prunes oldDelta
+    assert(!new java.io.File(oldDelta).exists,
+      "same-tag delta of the old version survived")
+    ArtifactStore.save(df, newBase) // base save sweeps the old version
+    assert(!new java.io.File(oldBase).exists, "stale base survived")
+    assert(new java.io.File(s"$newDelta/_GRAFT_OK").exists,
+      "the new version's own delta was wrongly swept")
+    Seq(oldBase, newBase, oldDelta, newDelta).foreach(rmStore)
   }
 
   test("save() prunes stale sibling versions: same kind/source/variant, " +
