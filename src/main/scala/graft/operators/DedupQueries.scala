@@ -67,27 +67,65 @@ object DedupQueries {
     * text_hash) rows.
     *
     * This is the shape that matters in production: the historical
-    * corpus is never re-scanned as text — at 100 TB the existing side
-    * is a digest STORE (16-byte hashes + ids, bucketed by digest
-    * prefix so the anti-join is co-located and shuffle-free), appended
-    * each ingest. Here both sides derive from the one documents table;
-    * only digests transit the shuffle either way. */
-  val dedupIncremental: Q = (spark, dir) =>
-    incrementalOn(Tables.documents(spark, dir))
+    * corpus is never re-scanned as text — the existing side is the
+    * maintained [[digestStore]] artifact (16-byte hashes + ids;
+    * appended each ingest via the round-11 chain path; at 100 TB it is
+    * additionally bucketed by digest prefix so the anti-join is
+    * co-located and shuffle-free). The incoming batch is digested
+    * IN-FLIGHT — it is exactly what is being signed — and only digests
+    * transit the shuffle either way. */
+  val dedupIncremental: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    incrementalOfDigests(
+      docs.where(isIngestBatch)
+        .select(col("doc_id"), md5(col("text")).as("text_hash")),
+      digestStore(spark, dir).where(!isIngestBatch))
+  }
 
-  /** Core of [[dedupIncremental]] over an arbitrary (doc_id, text)
-    * frame — exposed so specs can plant fixtures (an incoming doc
-    * duplicating the existing corpus, an in-batch duplicate pair). */
-  private[graft] def incrementalOn(docs: DataFrame): DataFrame = {
-    val digests = docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
-    val incoming = digests.where(pmod(col("doc_id"), lit(5)) === 0)
+  /** The corpus's content-digest set as a MAINTAINED, APPENDED
+    * ARTIFACT — [[dedupIncremental]]'s scaladoc promise made real (the
+    * round-11 store discipline applied to the EXACT-dedup family, the
+    * last incremental-ingest operator still re-deriving its historical
+    * side inline): (doc_id, text_hash) rows, base = the existing
+    * corpus, delta = the ingest batch signed alone. md5 is
+    * deterministic and row-local, so append(store(base), batch) ≡
+    * derive(base ∪ batch) holds row-for-row and the oracle replay is
+    * unaffected by which path served the frame. */
+  private[graft] def digestStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def digestsOf(d: DataFrame) =
+      d.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    ArtifactStore.appendedCached(spark,
+      ArtifactStore.pathFor("text_digests", dir, "documents.parquet", "md5"),
+      IngestBatchTag)(
+      digestsOf(docs.where(!isIngestBatch)))(
+      digestsOf(docs.where(isIngestBatch)))
+  }
+
+  /** Core of [[dedupIncremental]] over arbitrary digest frames — the
+    * admission rule alone (in-batch min-id keeper per digest + anti
+    * join against the existing digests), shared by the store-fed
+    * query, the text-deriving [[incrementalOn]] spec form, and the
+    * oracle's replay semantics. */
+  private[graft] def incrementalOfDigests(incomingDigests: DataFrame,
+      existingDigests: DataFrame): DataFrame = {
+    val incoming = incomingDigests
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
-    val existing = digests.where(pmod(col("doc_id"), lit(5)) =!= 0)
-      .select(col("text_hash"))
-    incoming.join(existing, Seq("text_hash"), "left_anti")
+    incoming.join(existingDigests.select(col("text_hash")),
+        Seq("text_hash"), "left_anti")
       .select(col("doc_id"), col("text_hash"))
       .orderBy(col("doc_id"))
+  }
+
+  /** [[dedupIncremental]] over an arbitrary (doc_id, text) frame — the
+    * spec form (plants an incoming doc duplicating the existing
+    * corpus, an in-batch duplicate pair), deriving both sides from
+    * text. */
+  private[graft] def incrementalOn(docs: DataFrame): DataFrame = {
+    val digests = docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    incrementalOfDigests(digests.where(isIngestBatch),
+      digests.where(!isIngestBatch))
   }
 
   /** `dedup_incremental_near`: the NEAR-dup analog of

@@ -860,10 +860,89 @@ object SimilarityQueries {
     * Scale: assignment is the same map-side literal-codebook argmax as
     * [[simKnnIvf]] (zero shuffle); counts are a |clusters|-row hash
     * aggregate. A 100 TB index absorbs a batch by scanning ONLY the
-    * batch. FULLY oracled: base-only codebook, both assignments, and
-    * the count algebra replay in DuckDB. */
+    * batch — made literal in round 11: the registered query serves
+    * the codebook AND base posting counts from the persisted
+    * [[ivfCatalogStore]], so the serving plan's one corpus scan is
+    * the delta assignment (plan-asserted). FULLY oracled: base-only
+    * codebook, both assignments, and the count algebra replay in
+    * DuckDB — unaffected by which path supplies the catalog, since
+    * the persisted doubles/longs round-trip bit-exactly. */
   val simIndexUpsert: Q = (spark, dir) =>
-    indexUpsertOn(Tables.embeddings(spark, dir))
+    indexUpsertOfCatalog(Tables.embeddings(spark, dir),
+      ivfCatalogStore(spark, dir))
+
+  /** The IVF index CATALOG (coarse codebook + posting-list lengths) as
+    * a maintained artifact — round 11 makes the "absorbs a batch by
+    * scanning ONLY the batch" claim literal: the base corpus's
+    * centroids AND per-cluster posting counts persist once per index
+    * version ((cluster, cvec, n_base) rows, zero-count clusters kept
+    * so the codebook is complete), and the serving path reads them
+    * back instead of re-deriving from a base scan. Doubles round-trip
+    * parquet bit-exactly, counts are longs — the served upsert is
+    * bit-identical to the fresh derivation (spec-pinned; oracle
+    * replay unaffected). */
+  private[graft] def ivfCatalogStore(spark: SparkSession,
+      dir: String): DataFrame =
+    ArtifactStore.cached(spark,
+      ArtifactStore.pathFor("ivf_catalog", dir, "embeddings.parquet",
+        s"labelmeans_base$UpsertDeltaPct")) {
+      val embRaw = Tables.embeddings(spark, dir)
+      val cutDf = embRaw.agg(
+        expr(s"(count(1) * $UpsertDeltaPct) div 100").as("cut"))
+      val base = embRaw.crossJoin(cutDf)
+        .where(col("vec_id") < col("cut")).drop("cut")
+      val centroids = centroidCodebookOf(base)
+      val counts = withNorm(base, "embedding")
+        .select(col("vec_id"), col("vec"), col("norm"))
+        .withColumn("best",
+          array_max(centroidScoresFor(centroids, col("vec"), col("norm"))))
+        .select((-col("best.neg_cluster")).as("cluster"))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_base"))
+      import spark.implicits._
+      centroids.map { case (c, v, _) => (c, v) }.toSeq
+        .toDF("cluster", "cvec")
+        .join(counts, Seq("cluster"), "left")
+        .select(col("cluster"), col("cvec"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"))
+    }
+
+  /** [[simIndexUpsert]] serving from the persisted catalog: the
+    * codebook and base posting counts are catalog reads, the
+    * delta-batch boundary is Σ n_base (a 1-row catalog aggregate —
+    * every base vector is assigned exactly once), and the ONLY corpus
+    * scan in the plan is the delta assignment (plan-asserted in
+    * ArtifactStoreSpec). Base posting counts restrict to n_base > 0 so
+    * the output row set is identical to the fresh derivation's
+    * full-join semantics. */
+  private[graft] def indexUpsertOfCatalog(embRaw: DataFrame,
+      catalog: DataFrame): DataFrame = {
+    val centroids = catalog.select(col("cluster"), col("cvec")).collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1)
+        // same left-fold accumulation order as centroidCodebookOf
+        (r.getAs[Number](0).intValue, cv,
+          math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x)))
+      }.sortBy(_._1)
+    val cutDf = catalog.agg(sum(col("n_base")).as("cut"))
+    val delta = embRaw.crossJoin(cutDf)
+      .where(col("vec_id") >= col("cut")).drop("cut")
+    val deltaCounts = withNorm(delta, "embedding")
+      .select(col("vec_id"), col("vec"), col("norm"))
+      .withColumn("best",
+        array_max(centroidScoresFor(centroids, col("vec"), col("norm"))))
+      .select((-col("best.neg_cluster")).as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_added"))
+    val baseCounts = catalog.where(col("n_base") > 0)
+      .select(col("cluster"), col("n_base"))
+    baseCounts.join(deltaCounts, Seq("cluster"), "full")
+      .select(col("cluster"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"))
+      .withColumn("n_total", col("n_base") + col("n_added"))
+      .withColumn("growth_pct",
+        Tables.round6(col("n_added").cast("double") / col("n_total")))
+      .orderBy(col("cluster"))
+  }
 
   /** [[simIndexUpsert]] over an explicit (vec_id, embedding, label)
     * frame — the spec plants a delta vector nearest to a base centroid

@@ -191,6 +191,48 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(simStore == simFresh, "simhash pairs differ through the store")
   }
 
+  test("exact-dedup digest store: dedup_incremental off the appended " +
+    "digest artifact == the text-deriving form, on derive AND load " +
+    "paths (the existing corpus is never re-scanned as text)") {
+    val D = operators.DedupQueries
+    val base = ArtifactStore.pathFor("text_digests", sf,
+      "documents.parquet", "md5")
+    rmStore(base); rmStore(ArtifactStore.childPathFor(base, D.IngestBatchTag))
+    def run() = D.dedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val fresh = D.incrementalOn(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(run() == fresh, "store-fed admission diverged (derive path)")
+    assert(new java.io.File(s"$base/_GRAFT_OK").exists,
+      "digest store not persisted")
+    assert(run() == fresh, "store-fed admission diverged (load path)")
+  }
+
+  test("IVF catalog store: sim_index_upsert off the persisted catalog == " +
+    "the fresh derivation row-for-row (derive AND load paths), and the " +
+    "load-path plan scans the corpus parquet exactly ONCE (the delta " +
+    "assignment — 'absorbs a batch by scanning only the batch', literal)") {
+    val S = operators.SimilarityQueries
+    val store = ArtifactStore.pathFor("ivf_catalog", sf,
+      "embeddings.parquet", s"labelmeans_base${S.UpsertDeltaPct}")
+    rmStore(store)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val fresh = rows(S.indexUpsertOn(Tables.embeddings(spark, sf)))
+    assert(rows(S.simIndexUpsert(spark, sf)) == fresh,
+      "catalog-served upsert diverged (derive path)")
+    assert(new java.io.File(s"$store/_GRAFT_OK").exists)
+    val served = S.simIndexUpsert(spark, sf) // pure catalog load now
+    assert(rows(served) == fresh, "catalog-served upsert diverged (load)")
+    val formatted = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val nCorpusScans = formatted.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("embeddings.parquet"))
+    assert(nCorpusScans == 1,
+      s"load path must scan the corpus once (delta only), saw $nCorpusScans")
+  }
+
   test("dedup_components through the store: fresh derivation == loaded " +
     "artifact row-for-row; consumers (keep_best) read the same labels") {
     val store = ArtifactStore.pathFor(
