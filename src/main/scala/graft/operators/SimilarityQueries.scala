@@ -889,7 +889,7 @@ object SimilarityQueries {
       val embRaw = Tables.embeddings(spark, dir)
       val cutDf = embRaw.agg(
         expr(s"(count(1) * $UpsertDeltaPct) div 100").as("cut"))
-      val base = embRaw.crossJoin(cutDf)
+      val base = embRaw.crossJoin(broadcast(cutDf))
         .where(col("vec_id") < col("cut")).drop("cut")
       val centroids = centroidCodebookOf(base)
       val counts = withNorm(base, "embedding")
@@ -916,7 +916,8 @@ object SimilarityQueries {
     * full-join semantics. */
   private[graft] def indexUpsertOfCatalog(embRaw: DataFrame,
       catalog: DataFrame): DataFrame = {
-    val centroids = catalog.select(col("cluster"), col("cvec")).collect()
+    val centroids = catalog.select(col("cluster"), col("cvec"))
+      .collect() // |clusters| rows — catalog metadata, the codebook discipline
       .map { r =>
         val cv = r.getSeq[Double](1)
         // same left-fold accumulation order as centroidCodebookOf
@@ -924,7 +925,7 @@ object SimilarityQueries {
           math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x)))
       }.sortBy(_._1)
     val cutDf = catalog.agg(sum(col("n_base")).as("cut"))
-    val delta = embRaw.crossJoin(cutDf)
+    val delta = embRaw.crossJoin(broadcast(cutDf))
       .where(col("vec_id") >= col("cut")).drop("cut")
     val deltaCounts = withNorm(delta, "embedding")
       .select(col("vec_id"), col("vec"), col("norm"))
@@ -956,9 +957,9 @@ object SimilarityQueries {
     // collect — bounded catalog metadata by the codebook discipline.)
     val cutDf = embRaw.agg(
       expr(s"(count(1) * $UpsertDeltaPct) div 100").as("cut"))
-    val base = embRaw.crossJoin(cutDf)
+    val base = embRaw.crossJoin(broadcast(cutDf))
       .where(col("vec_id") < col("cut")).drop("cut")
-    val delta = embRaw.crossJoin(cutDf)
+    val delta = embRaw.crossJoin(broadcast(cutDf))
       .where(col("vec_id") >= col("cut")).drop("cut")
     // codebook from the BASE only — the existing index's quantizer
     val centroids = centroidCodebookOf(base)
@@ -1207,7 +1208,9 @@ object SimilarityQueries {
 
   private[graft] def trainedCodebook(spark: SparkSession,
       dir: String): Array[(Int, Seq[Double], Double)] =
-    trainedCodebookDf(spark, dir).collect().map { r =>
+    trainedCodebookDf(spark, dir)
+      .collect() // k·dims codebook — catalog metadata
+      .map { r =>
       val cv = r.getSeq[Double](1)
       // same left-fold accumulation order as centroidCodebookOf
       (r.getAs[Number](0).intValue, cv,
