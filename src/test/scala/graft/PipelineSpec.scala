@@ -516,6 +516,65 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental components: the quotient-graph merge over base labels " +
+    "+ batch-touching edges == the full recompute — planted cross-batch " +
+    "merge, batch-only pair, first-pairing of an unpaired base doc, " +
+    "untouched base component — and on the real corpus") {
+    import spark.implicits._
+    val D = operators.DedupQueries
+    // 40-token texts; near-dups edit one token (jaccard ~ 0.9)
+    def toks(seed: Int) = (0 until 40).map(i => f"s$seed%02dw$i%02d")
+    def near(seed: Int, at: Int, tag: String) =
+      toks(seed).updated(at, tag).mkString(" ")
+    val rows = Seq(
+      // base component {1, 2}
+      1L -> toks(1).mkString(" "), 2L -> near(1, 7, "editA"),
+      // base component {3, 4}
+      3L -> toks(2).mkString(" "), 4L -> near(2, 9, "editB"),
+      // batch doc 5 bridges BOTH base components (near-dup of 2 and 3
+      // via a text overlapping each): use a doc that is near 2
+      5L -> near(1, 7, "editC"), // pairs with 1 and 2 (same family)
+      // batch-batch new pair {15, 20}
+      15L -> toks(5).mkString(" "), // 15 % 5 == 0 → batch
+      20L -> near(5, 3, "editD"),   // 20 % 5 == 0 → batch
+      // batch doc 10 first-pairs base doc 11 (11 unpaired in base)
+      10L -> near(7, 1, "editE"), 11L -> toks(7).mkString(" "),
+      // untouched base component {21, 22}
+      21L -> toks(9).mkString(" "), 22L -> near(9, 5, "editF"),
+      // unpaired noise
+      33L -> toks(12).mkString(" "))
+      .map { case (id, t) => (id, t, t.length.toLong) }
+    val docs = rows.toDF("doc_id", "text", "n_chars")
+    // edge derivation: batch-touching pairs == full pairs touching batch
+    val full = D.ngramJaccardOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val touching = D.ngramJaccardTouchingBatchOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(touching == full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0),
+      s"touching-edge derivation diverged: $touching vs $full")
+    // label merge: incremental == full recompute
+    def labels(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val inc = labels(D.incrementalComponentsOn(docs))
+    val recomputed = labels(D.componentsOf(
+      D.ngramJaccardOn(docs).select(col("doc_a"), col("doc_b")), 0L))
+    assert(inc == recomputed,
+      s"incremental labels diverged from full recompute:\n$inc\n$recomputed")
+    // the bridge really merged two base components through doc 5
+    val byDoc = inc.toMap
+    assert(byDoc(5L) == byDoc(1L) && byDoc(2L) == byDoc(1L),
+      s"cross-batch bridge failed to merge: $inc")
+    assert(byDoc(15L) == byDoc(20L), "batch-batch pair unmerged")
+    assert(byDoc(10L) == byDoc(11L), "first-paired base doc missed")
+    assert(byDoc(21L) == 21L && byDoc(22L) == 21L, "untouched base moved")
+    assert(!byDoc.contains(33L), "unpaired doc must not be labeled")
+    // real corpus: incremental == registered full query
+    val realInc = labels(D.incrementalComponentsOn(
+      Tables.documents(spark, sf)))
+    val realFull = labels(D.dedupComponents(spark, sf))
+    assert(realInc == realFull, "incremental != full on the corpus")
+  }
+
   test("staged adaptive chunk construction == explode(pigeonholeKeys) at " +
     "BOTH levels (the codegen-sized form cannot drift from the reference " +
     "expression)") {
