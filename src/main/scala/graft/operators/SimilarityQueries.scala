@@ -875,9 +875,14 @@ object SimilarityQueries {
     * a maintained artifact — round 11 makes the "absorbs a batch by
     * scanning ONLY the batch" claim literal: the base corpus's
     * centroids AND per-cluster posting counts persist once per index
-    * version ((cluster, cvec, n_base) rows, zero-count clusters kept
-    * so the codebook is complete), and the serving path reads them
-    * back instead of re-deriving from a base scan. Doubles round-trip
+    * version ((cluster, cvec, n_base, cut) rows, zero-count clusters
+    * kept so the codebook is complete), and the serving path reads
+    * them back instead of re-deriving from a base scan. The CUT (the
+    * base/delta vec_id boundary) is persisted explicitly (round-11
+    * advice: reconstructing it as Σ n_base equals the count-based cut
+    * only when vec_ids are dense from 0 — with gapped or 1-based ids
+    * the catalog-served split would silently shift relative to the
+    * fresh derivation and the oracle). Doubles round-trip
     * parquet bit-exactly, counts are longs — the served upsert is
     * bit-identical to the fresh derivation (spec-pinned; oracle
     * replay unaffected). */
@@ -885,7 +890,7 @@ object SimilarityQueries {
       dir: String): DataFrame =
     ArtifactStore.cached(spark,
       ArtifactStore.pathFor("ivf_catalog", dir, "embeddings.parquet",
-        s"labelmeans_base$UpsertDeltaPct")) {
+        s"labelmeans_base${UpsertDeltaPct}_cut")) {
       val embRaw = Tables.embeddings(spark, dir)
       val cutDf = embRaw.agg(
         expr(s"(count(1) * $UpsertDeltaPct) div 100").as("cut"))
@@ -902,18 +907,20 @@ object SimilarityQueries {
       centroids.map { case (c, v, _) => (c, v) }.toSeq
         .toDF("cluster", "cvec")
         .join(counts, Seq("cluster"), "left")
+        .crossJoin(broadcast(cutDf))
         .select(col("cluster"), col("cvec"),
-          coalesce(col("n_base"), lit(0L)).as("n_base"))
+          coalesce(col("n_base"), lit(0L)).as("n_base"), col("cut"))
     }
 
   /** [[simIndexUpsert]] serving from the persisted catalog: the
     * codebook and base posting counts are catalog reads, the
-    * delta-batch boundary is Σ n_base (a 1-row catalog aggregate —
-    * every base vector is assigned exactly once), and the ONLY corpus
-    * scan in the plan is the delta assignment (plan-asserted in
-    * ArtifactStoreSpec). Base posting counts restrict to n_base > 0 so
-    * the output row set is identical to the fresh derivation's
-    * full-join semantics. */
+    * delta-batch boundary is the PERSISTED cut (a 1-row catalog
+    * aggregate over the constant cut column — round-11 advice: the
+    * previous Σ n_base reconstruction was only id-density-correct),
+    * and the ONLY corpus scan in the plan is the delta assignment
+    * (plan-asserted in ArtifactStoreSpec). Base posting counts
+    * restrict to n_base > 0 so the output row set is identical to the
+    * fresh derivation's full-join semantics. */
   private[graft] def indexUpsertOfCatalog(embRaw: DataFrame,
       catalog: DataFrame): DataFrame = {
     val centroids = catalog.select(col("cluster"), col("cvec"))
@@ -924,7 +931,7 @@ object SimilarityQueries {
         (r.getAs[Number](0).intValue, cv,
           math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x)))
       }.sortBy(_._1)
-    val cutDf = catalog.agg(sum(col("n_base")).as("cut"))
+    val cutDf = catalog.agg(max(col("cut")).as("cut"))
     val delta = embRaw.crossJoin(broadcast(cutDf))
       .where(col("vec_id") >= col("cut")).drop("cut")
     val deltaCounts = withNorm(delta, "embedding")

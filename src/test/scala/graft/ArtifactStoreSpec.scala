@@ -289,7 +289,7 @@ class ArtifactStoreSpec extends AnyFunSuite {
     "assignment — 'absorbs a batch by scanning only the batch', literal)") {
     val S = operators.SimilarityQueries
     val store = ArtifactStore.pathFor("ivf_catalog", sf,
-      "embeddings.parquet", s"labelmeans_base${S.UpsertDeltaPct}")
+      "embeddings.parquet", s"labelmeans_base${S.UpsertDeltaPct}_cut")
     rmStore(store)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
