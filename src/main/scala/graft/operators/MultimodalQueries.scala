@@ -209,14 +209,67 @@ object MultimodalQueries extends Serializable {
     * pairs at sf0.1 (verified non-trivially: the integer DCT, median
     * threshold, and blocking all replay bit-for-bit in DuckDB). */
   val mmDedupPhash: Q = (spark, dir) =>
-    mmDedupPhashOn(mediaTable(spark, dir))
+    phashPairsOfChunks(phashChunksStored(spark, dir))
 
   /** Core of [[mmDedupPhash]] over any frame with (doc_id, data) —
     * exposed so specs can plant noisy/unrelated blob pairs. */
   private[graft] def mmDedupPhashOn(media: DataFrame): DataFrame =
-    phashCandidatesOn(media)
+    phashPairsOfChunks(phashChunksOn(media))
+
+  private[graft] def phashPairsOfChunks(chunks: DataFrame): DataFrame =
+    phashCandidatesOfChunks(chunks)
       .where(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** (doc_id, phash) of every non-empty blob — the expensive
+    * scan-stage collapse of each blob to 8 bytes. */
+  private[graft] def phashesOn(media: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(media.sparkSession)
+    media
+      .where(octet_length(col("data")) >= 1)
+      .select(col("doc_id"),
+        graft.functions.DctPhash.dct_phash(col("data")).as("phash"))
+  }
+
+  private[graft] def phashStorePath(dir: String): String =
+    graft.ArtifactStore.pathFor("phash_hashes", dir, "documents.parquet",
+      "dct_v1")
+
+  /** The corpus's perceptual hashes as a maintained, APPENDED artifact
+    * (round 12 — the hamming family joins the incremental-ingest
+    * roster): the existing corpus's (doc_id, phash) rows are an
+    * artifact read; an ingest batch's blobs are hashed ALONE and
+    * appended as a fingerprint-chained delta — no base blob is ever
+    * re-decoded. The pigeonhole LEVEL comes from the store's row-count
+    * metadata, so the serving plan emits fixed-level keys with no
+    * cardinality probe (the hash is row-local and key construction is
+    * level-pure, so stored ≡ fresh row-for-row at any single level —
+    * and the level is fixed per corpus fingerprint). Falls back to the
+    * lazy adaptive probe (counted over the pre-filter media frame, the
+    * population the round-10 switch measured) when the cache is off or
+    * the source is unfingerprintable — final pairs identical either
+    * way. */
+  private[graft] def phashChunksStored(spark: SparkSession,
+      dir: String): DataFrame = {
+    val D = graft.operators.DedupQueries
+    val media = mediaTable(spark, dir)
+    val path = phashStorePath(dir)
+    val hashes = graft.ArtifactStore.appendedCached(spark, path,
+      D.IngestBatchTag)(
+      phashesOn(media.where(!D.isIngestBatch)))(
+      phashesOn(media.where(D.isIngestBatch)))
+    graft.ArtifactStore.storedRowCount(path) match {
+      case Some(n) =>
+        D.chunksAtLevel(hashes, "phash", D.pigeonholeLevelsFor(n))
+      case None => D.adaptiveChunksOf(hashes, "phash", media)
+    }
+  }
+
+  /** Fixed-level chunks for a corpus of known size — the scale
+    * rehearsal's form (same plan shape as the store-served path). */
+  private[graft] def phashChunksForN(media: DataFrame, n: Long): DataFrame =
+    graft.operators.DedupQueries.chunksAtLevel(phashesOn(media), "phash",
+      graft.operators.DedupQueries.pigeonholeLevelsFor(n))
 
   /** Pigeonhole blocking frame of [[mmDedupPhashOn]] — one row per
     * (doc, pigeonhole key) via
@@ -237,20 +290,13 @@ object MultimodalQueries extends Serializable {
     * advice: the eager count() here made plan-only probes execute a
     * full corpus job), counted over the pre-filter media frame — the
     * same population the round-10 switch measured. */
-  private[graft] def phashChunksOn(media: DataFrame): DataFrame = {
-    graft.functions.VectorExpressions.register(media.sparkSession)
+  private[graft] def phashChunksOn(media: DataFrame): DataFrame =
     graft.operators.DedupQueries.adaptiveChunksOf(
-      media
-        .where(octet_length(col("data")) >= 1)
-        .select(col("doc_id"),
-          graft.functions.DctPhash.dct_phash(col("data")).as("phash")),
-      "phash", media)
-  }
+      phashesOn(media), "phash", media)
 
   /** pHash candidate pairs (distinct, pre-hamming-filter) — the scale
     * rehearsal's measured frame for this family. */
-  private[graft] def phashCandidatesOn(media: DataFrame): DataFrame = {
-    val chunks = phashChunksOn(media)
+  private[graft] def phashCandidatesOfChunks(chunks: DataFrame): DataFrame =
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
@@ -258,7 +304,9 @@ object MultimodalQueries extends Serializable {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
       .distinct()
-  }
+
+  private[graft] def phashCandidatesOn(media: DataFrame): DataFrame =
+    phashCandidatesOfChunks(phashChunksOn(media))
 
   /** Hex image of the planted 29-byte PNG stream for `doc_id`'s
     * synthetic image: 8-byte signature, IHDR length 13, "IHDR",

@@ -233,8 +233,11 @@ class ArtifactStoreSpec extends AnyFunSuite {
       "documents.parquet", "w3")
     val bandBase = ArtifactStore.pathFor("minhash_bands", sf,
       "documents.parquet", "h64b16")
+    val chunkBase = ArtifactStore.pathFor("simhash_chunks", sf,
+      "documents.parquet", "v1")
     Seq(shBase, ArtifactStore.childPathFor(shBase, D.IngestBatchTag),
-      bandBase, ArtifactStore.childPathFor(bandBase, D.IngestBatchTag))
+      bandBase, ArtifactStore.childPathFor(bandBase, D.IngestBatchTag),
+      chunkBase, ArtifactStore.childPathFor(chunkBase, D.IngestBatchTag))
       .foreach(rmStore)
     val docs = Tables.documents(spark, sf)
     val fresh = D.minhashBandsOn(docs)
@@ -258,12 +261,42 @@ class ArtifactStoreSpec extends AnyFunSuite {
     val nearStore = D.dedupIncrementalNear(spark, sf).collect().length
     val nearFresh = D.incrementalNearOn(docs).collect().length
     assert(nearStore == nearFresh)
-    // simhash rides the same shingle store
-    val simStore = D.dedupSimhash(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // simhash reads its own POSTING store (derived off the shingle
+    // store, appended per ingest batch) — derive AND load paths
     val simFresh = D.simhashPairsOn(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val simStore = D.dedupSimhash(spark, sf).collect() // derives + saves
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(simStore == simFresh, "simhash pairs differ through the store")
+    assert(new java.io.File(s"$chunkBase/_GRAFT_OK").exists,
+      "simhash posting store not persisted")
+    val simLoaded = D.dedupSimhash(spark, sf) // pure posting-store load
+    assert(simLoaded.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == simFresh, "simhash pairs differ on the load path")
+    // the SERVING plan is posting-store-only: no text scan (the corpus
+    // parquet never appears) and no cardinality probe (the level is a
+    // metadata constant — no 1-row broadcast join stage)
+    val simPlan = simLoaded.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!simPlan.contains("documents.parquet"),
+      "simhash load path re-scanned the corpus")
+    assert(!simPlan.contains("BroadcastNestedLoopJoin"),
+      "simhash load path still carries the lazy count probe")
+    // incremental admission off the same posting store == the
+    // text-deriving spec form, derive AND load paths
+    def incRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .toSeq
+    val incFresh = incRows(D.incrementalSimhashOn(docs))
+    assert(incRows(D.dedupSimhashIncremental(spark, sf)) == incFresh,
+      "incremental simhash diverged through the store")
+    val incLoaded = D.dedupSimhashIncremental(spark, sf)
+    assert(incRows(incLoaded) == incFresh,
+      "incremental simhash diverged on the load path")
+    assert(!incLoaded.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      .contains("documents.parquet"),
+      "incremental simhash load path re-scanned the corpus")
   }
 
   test("exact-dedup digest store: dedup_incremental off the appended " +

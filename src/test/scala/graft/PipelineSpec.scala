@@ -14,6 +14,24 @@ class PipelineSpec extends AnyFunSuite {
     df.select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** Evaluate `f` with codegen fully disabled. The level-4 REFERENCE
+    * pigeonhole form ([[graft.operators.DedupQueries.pigeonholeKeys]])
+    * inlines ~20k ops into ONE Generate — Janino's quadratic
+    * local-variable bookkeeping cannot compile it (8 GB heap OOM
+    * observed). That form exists only as the spec's ground truth; the
+    * production STAGED form stays codegen'd and is pinned equal to
+    * this interpreted evaluation. */
+  private def interpretedOnly[T](f: => T): T = {
+    val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+    val fm = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try f finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", ws)
+      spark.conf.set("spark.sql.codegen.factoryMode", fm)
+    }
+  }
+
   test("MinHash-LSH finds a superset of the confident blocked brute-force " +
     "pairs and every reported pair really clears the Jaccard threshold") {
     // Superset is asserted only for pairs comfortably above the 0.5
@@ -503,7 +521,7 @@ class PipelineSpec extends AnyFunSuite {
     val pairs = flipSets.map { fs =>
       (h0, fs.foldLeft(h0)((h, b) => h ^ (1L << b)), fs.mkString("+"))
     }.toDF("ha", "hb", "flips")
-    for (levels <- Seq(2, 3)) {
+    for (levels <- Seq(2, 3, 4)) {
       val overlap = pairs.select(col("flips"),
         arrays_overlap(
           operators.DedupQueries.pigeonholeKeys(col("ha"), levels),
@@ -586,19 +604,32 @@ class PipelineSpec extends AnyFunSuite {
       1L << 15, 1L << 44, 1L << 59, 0x123456789ABCDEL, 0xFEDCBA987654L)
       .zipWithIndex.map { case (h, i) => (i.toLong, h) }
     val hashes = hs.toDF("doc_id", "h")
+    def reference(levels: Int) = hashes
+      .select(col("doc_id"), explode(D.pigeonholeKeys(col("h"), levels))
+        .as("k"))
+      .select(col("doc_id"), col("k.chunk_idx"), col("k.chunk_val"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq.sorted
     for ((counted, levels) <- Seq(
         spark.range(10).toDF() -> 2, spark.range(20001).toDF() -> 3)) {
       val got = D.adaptiveChunksOf(hashes, "h", counted)
         .select(col("doc_id"), col("chunk_idx"), col("chunk_val"))
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
         .toSeq.sorted
-      val want = hashes
-        .select(col("doc_id"), explode(D.pigeonholeKeys(col("h"), levels))
-          .as("k"))
-        .select(col("doc_id"), col("k.chunk_idx"), col("k.chunk_val"))
+      assert(got == reference(levels), s"staged form diverged at $levels levels")
+    }
+    // the FIXED-level staged form (store-served / rehearsal path) at
+    // every level, including 4 (no lazy variant exists for 4)
+    for (levels <- Seq(2, 3, 4)) {
+      val got = D.chunksAtLevel(hashes, "h", levels)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_val"))
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
         .toSeq.sorted
-      assert(got == want, s"staged form diverged at $levels levels")
+      val want =
+        if (levels == 4) interpretedOnly(reference(levels))
+        else reference(levels)
+      assert(got == want,
+        s"fixed-level staged form diverged at $levels levels")
     }
   }
 
@@ -719,13 +750,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(_._1 % 5 == 0), s"existing doc on the batch side: $got")
   }
 
-  test("adaptive pigeonhole levels: 3-level blocked pairs == 2-level == " +
-    "brute-force hamming<=3 on a mixed hash set (exact recall at every " +
-    "width); selector switches on corpus size") {
+  test("adaptive pigeonhole levels: 4-level == 3-level == 2-level blocked " +
+    "pairs == brute-force hamming<=3 on a mixed hash set (exact recall at " +
+    "every width); selector switches on corpus size") {
     import spark.implicits._
     val D = operators.DedupQueries
     assert(D.pigeonholeLevelsFor(D.ThirdLevelMinDocs) == 2)
     assert(D.pigeonholeLevelsFor(D.ThirdLevelMinDocs + 1) == 3)
+    assert(D.pigeonholeLevelsFor(D.FourthLevelMinDocs) == 3)
+    assert(D.pigeonholeLevelsFor(D.FourthLevelMinDocs + 1) == 4)
     // mixed set: pseudo-random 60-bit hashes + planted near pairs at
     // hamming 1/2/3 (flips spread across level-1 AND level-2 chunks)
     // + one pair at hamming 4 that must NOT be emitted
@@ -762,6 +795,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(!brute.exists(p => p._1 == 5L && p._2 == 105L))
     assert(blockedPairs(2) == brute)
     assert(blockedPairs(3) == brute)
+    assert(interpretedOnly(blockedPairs(4)) == brute)
+  }
+
+  test("incremental simhash admission: cross-batch near-dup flagged as " +
+    "'corpus', in-batch pair points the later doc at the earlier one, " +
+    "hamming-4 neighbor and unrelated incoming hash stay silent; " +
+    "incremental == full pairs restricted to batch-touching (direction-" +
+    "mapped)") {
+    import spark.implicits._
+    val D = operators.DedupQueries
+    val mask = (1L << 60) - 1
+    def rnd(seed: Long): Long =
+      (seed * 6364136223846793005L + 1442695040888963407L) & mask
+    val hs = Seq(
+      // existing corpus
+      1L -> rnd(1), 2L -> rnd(2), 3L -> rnd(3),
+      // batch doc 5: near-dup of existing 1 at hamming 2
+      5L -> (rnd(1) ^ (1L << 4) ^ (1L << 33)),
+      // in-batch near pair {10, 20} at hamming 3 (flips across chunks)
+      10L -> rnd(10), 20L -> (rnd(10) ^ (1L << 0) ^ (1L << 16) ^ (1L << 59)),
+      // batch doc 15: hamming 4 from existing 2 — outside the radius
+      15L -> (rnd(2) ^ 0xF000L),
+      // unrelated incoming
+      30L -> rnd(30)
+    ).toDF("doc_id", "simhash")
+    val got = D.incrementalSimhashOfHashes(hs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .toSeq
+    assert(got.contains((5L, 1L, "corpus", 2)),
+      s"cross-batch near-dup not flagged: $got")
+    assert(got.contains((20L, 10L, "batch", 3)),
+      s"in-batch near pair not flagged or misdirected: $got")
+    assert(!got.exists(_._1 == 15L), s"hamming-4 neighbor admitted: $got")
+    assert(!got.exists(_._1 == 30L), s"unrelated incoming flagged: $got")
+    // only incoming docs on the doc_id side
+    assert(got.forall(_._1 % 5 == 0), s"existing doc on the batch side: $got")
+    // equivalence with the full pair derivation: incremental == every
+    // full hamming<=3 pair touching the batch, direction-mapped
+    // (batch side first; in-batch pairs later-at-earlier)
+    val chunks = D.adaptiveChunksOf(hs, "simhash", hs)
+    val full = D.simhashPairsOfChunks(chunks).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val expected = full.flatMap { case (a, b, ham) =>
+      val (aB, bB) = (a % 5 == 0, b % 5 == 0)
+      if (aB && bB) Some((b, a, "batch", ham)) // later doc at earlier
+      else if (aB) Some((a, b, "corpus", ham))
+      else if (bB) Some((b, a, "corpus", ham))
+      else None
+    }.toSet
+    assert(got.toSet == expected,
+      s"incremental diverged from batch-touching full pairs:\n$got\n$expected")
   }
 
   test("substring spans: misaligned verbatim copy is detected (content-" +
