@@ -44,6 +44,16 @@ object RecallProbe {
       println(f"[probe] IVF nProbe=$np recall=$r%.3f")
       (s"ivf_probe$np", r)
     }
+    // the TRAINED codebook on the SAME probe grid (round 12): trained
+    // retrieval decay is diffable round-over-round like the label-mean
+    // family, and the trained-vs-label-mean margin is visible per probe
+    // setting, not just at the one adaptive point
+    val ivfTrainedGrid = for (np <- Seq(1, 2, 3, 4, 5, 6, 7, 8)) yield {
+      val r = (brute & pairs(operators.SimilarityQueries
+        .simKnnIvfTrainedWith(spark, dir, np))).size.toDouble / brute.size
+      println(f"[probe] IVF trained nProbe=$np recall=$r%.3f")
+      (s"ivf_trained_probe$np", r)
+    }
     // fixed-vs-adaptive frontier: recall AND candidate volume per
     // setting, so RECALL.json records which form dominates (the
     // adaptive stop rule should match fixed-probe recall at equal or
@@ -91,7 +101,8 @@ object RecallProbe {
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val json = (Seq("\"sf_dir\": \"" + dir + "\"",
       s""""brute_pairs": ${brute.size}""") ++
-      (lsh ++ ivf ++ reranked).map { case (k, v) => s""""$k": ${num(v)}""" } ++
+      (lsh ++ ivf ++ ivfTrainedGrid ++ reranked)
+        .map { case (k, v) => s""""$k": ${num(v)}""" } ++
       ivfCand.map { case (k, c) => s""""$k": $c""" } ++
       ivfAdapt.flatMap { case (k, r, c) =>
         Seq(s""""$k": ${num(r)}""", s""""${k}_cand": $c""") })

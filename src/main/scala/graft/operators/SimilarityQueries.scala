@@ -240,6 +240,15 @@ object SimilarityQueries {
       maxProbe: Int): DataFrame =
     ivfRank(ivfScored(spark, dir, Right((massBp, maxProbe))))
 
+  /** Fixed-probe form against the TRAINED codebook artifact (round 12:
+    * the trained family joins RecallProbe's per-round sweep grid, so
+    * trained-codebook retrieval decay is diffable round-over-round
+    * exactly like the label-mean family). */
+  def simKnnIvfTrainedWith(spark: SparkSession, dir: String,
+      nProbe: Int): DataFrame =
+    ivfRank(ivfScored(spark, dir, Left(nProbe),
+      Some(trainedCodebook(spark, dir))))
+
   /** Candidate-pair count of an IVF setting (recall probe's cost axis:
     * rows scored BEFORE the top-k cut). */
   private[graft] def ivfCandidates(spark: SparkSession, dir: String,
