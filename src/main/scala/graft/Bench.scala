@@ -16,9 +16,25 @@ object Bench {
     try new java.io.File("/proc").listFiles.count(_.getName.forall(_.isDigit))
     catch { case _: Throwable => -1 }
 
+  /** Artifact-store temperature at bench start — capture provenance
+    * (round-12 judge item: the r11 clean capture ran warm-store, making
+    * its headline not like-for-like with r10's cold one). "cold" =
+    * no completed artifact exists, so every derivation is paid in this
+    * capture; "warm" = at least one artifact will be served. The clean
+    * capture convention is COLD (wipe target/tmp/artifact_store first,
+    * matching the gate battery); a warm capture is the serve-path
+    * number and must be labeled as such in BENCH_NOTES. */
+  private def storeState(): String = {
+    val root = new java.io.File("target/tmp/artifact_store")
+    val anyComplete = Option(root.listFiles()).toSeq.flatten
+      .exists(d => new java.io.File(d, "_GRAFT_OK").exists)
+    if (anyComplete) "warm" else "cold"
+  }
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
     val nprocStart = nProcs()
+    val storeStateStart = storeState()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // local-iteration filter: comma-separated query names; unset = all
@@ -105,7 +121,7 @@ object Bench {
       .map(s => s""","only":"${s.toSeq.sorted.mkString(",")}"""")
       .getOrElse("")
     val fullMapFile = if (only.isDefined) "BENCH_ONLY.json" else "BENCH_FULL.json"
-    val loadFields = f""","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"nproc_start":$nprocStart,"nproc_end":$nprocEnd"""
+    val loadFields = f""","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"nproc_start":$nprocStart,"nproc_end":$nprocEnd,"store_state":"$storeStateStart""""
     def line(qs: String, extra: String) =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$nErr,"families":$fams,"queries":$qs$extra$onlyField$loadFields,"sf":"$sfDir"}"""
     // The full ~100-entry query map is ~2.6 KB — longer than the
