@@ -913,10 +913,20 @@ object DedupQueries {
 
   /** Core of [[dedupSimhashIncremental]] over an explicit posting
     * frame. */
-  private[graft] def incrementalSimhashOfChunks(chunks: DataFrame): DataFrame = {
+  private[graft] def incrementalSimhashOfChunks(chunks: DataFrame): DataFrame =
+    incrementalHammingOfChunks(chunks, "simhash")
+
+  /** Incremental hamming-family admission over ANY pigeonhole posting
+    * frame (doc_id, `hashCol`, chunk_idx, chunk_val) — shared by
+    * dedup_simhash_incremental and mm_dedup_phash_incremental: the
+    * ingest batch's postings probe the existing corpus's postings plus
+    * the in-batch postings, candidates are exact-hamming verified, and
+    * in-batch matches point the LATER doc at the earlier one. */
+  private[graft] def incrementalHammingOfChunks(chunks: DataFrame,
+      hashCol: String): DataFrame = {
     val inC = chunks.where(isIngestBatch)
     val exC = chunks.where(!isIngestBatch)
-    def ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    def ham = bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol")))
     val cross = inC.as("a").join(exC.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val"))

@@ -216,6 +216,34 @@ object MultimodalQueries extends Serializable {
   private[graft] def mmDedupPhashOn(media: DataFrame): DataFrame =
     phashPairsOfChunks(phashChunksOn(media))
 
+  /** `mm_dedup_phash_incremental`: incremental ingest admission for the
+    * IMAGE hamming family — completes the incremental roster
+    * (dedup_incremental exact / _near minhash / components ngram /
+    * simhash landed earlier; pHash was the one near-dup family still
+    * recomputing per corpus version). The ingest batch's blobs are
+    * hashed ALONE (appended to the [[phashStorePath]] artifact as a
+    * fingerprint-chained delta — no base blob is ever re-decoded), the
+    * batch's pigeonhole postings probe the existing corpus's persisted
+    * postings plus the in-batch postings, and candidates are
+    * exact-hamming verified: (doc_id [incoming], match_id, match_src
+    * 'corpus'|'batch', hamming ≤ 3), in-batch matches pointing the
+    * LATER doc at the earlier one. At 100 TB this is the admission
+    * check an image-ingest pipeline runs per batch: the expensive
+    * decode+DCT touches only new blobs, the existing side is an 8-byte-
+    * per-image posting read, and the join is equi on pigeonhole keys.
+    * FULLY oracled: the mm_dedup_phash integer-DCT replay composed with
+    * the mod-5 base/batch split — level-invisible by the same
+    * exact-recall superset + hamming-filter argument. */
+  val mmDedupPhashIncremental: Q = (spark, dir) =>
+    graft.operators.DedupQueries.incrementalHammingOfChunks(
+      phashChunksStored(spark, dir), "phash")
+
+  /** [[mmDedupPhashIncremental]] over an explicit (doc_id, data) frame
+    * (no store) — the planted-fixture spec form. */
+  private[graft] def incrementalPhashOn(media: DataFrame): DataFrame =
+    graft.operators.DedupQueries.incrementalHammingOfChunks(
+      phashChunksOn(media), "phash")
+
   private[graft] def phashPairsOfChunks(chunks: DataFrame): DataFrame =
     phashCandidatesOfChunks(chunks)
       .where(col("hamming") <= 3)
@@ -351,56 +379,64 @@ object MultimodalQueries extends Serializable {
     "mm_resize_plan"   -> mmResizePlan,
     "mm_patch_grid"    -> mmPatchGrid,
     "mm_dedup_phash"   -> mmDedupPhash,
+    "mm_dedup_phash_incremental" -> mmDedupPhashIncremental,
   )
 
+  /** Shared DuckDB replay of the integer DCT pHash through the
+    * single-level pigeonhole chunk frame `ch` — the common prefix of
+    * the mm_dedup_phash and mm_dedup_phash_incremental oracles.
+    * Replays the REAL DCT pHash end-to-end in exact integer
+    * arithmetic: pixel(i) = byte (i mod n) of the blob — the corpus
+    * is ASCII (asserted: a non-ASCII char would make ord() a code
+    * point, not a byte, and the existing CAST(text AS BLOB) oracles
+    * would already ERROR), so ord(substring(text,...)) IS the byte;
+    * the wt CTE embeds the SAME 256 quantized cosine integers the
+    * Spark expression uses (DctPhash.sqlWeightRows — no libm call in
+    * either engine); separable row/column integer DCT; threshold =
+    * ascending coefficient rank 31 of 60 (a VALUE, tie-safe); chunks
+    * at level 1 (4×15-bit) — level-invisible downstream by the
+    * exact-recall superset + hamming-filter argument. */
+  private val PhashReplayPrefixSql: String =
+    s"""WITH wt AS (
+       |  SELECT * FROM (VALUES ${graft.functions.DctPhash.sqlWeightRows})
+       |    AS t(k, j, w)),
+       |px AS (
+       |  SELECT doc_id, CAST(i AS INT) AS i,
+       |    ord(substring(text, (CAST(i AS INT) % length(text)) + 1, 1)) AS p
+       |  FROM documents, range(0, 1024) t(i)
+       |  WHERE length(text) >= 1),
+       |t1 AS (
+       |  SELECT doc_id, (i // 32) AS r, w.j AS v,
+       |    SUM(p * w.w) AS tv
+       |  FROM px JOIN wt w ON w.k = (i % 32)
+       |  GROUP BY 1, 2, 3),
+       |c2 AS (
+       |  SELECT t1.doc_id, w.j AS u, t1.v,
+       |    CAST(SUM(tv * w.w) AS BIGINT) AS cv
+       |  FROM t1 JOIN wt w ON w.k = t1.r
+       |  GROUP BY 1, 2, 3),
+       |cf AS (
+       |  SELECT doc_id, u * 8 + v AS m, cv FROM c2
+       |  WHERE u * 8 + v BETWEEN 1 AND 60),
+       |thr AS (
+       |  SELECT doc_id, cv AS thr FROM (
+       |    SELECT doc_id, cv,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY cv) AS rn
+       |    FROM cf) t WHERE rn = 31),
+       |ph AS (
+       |  SELECT cf.doc_id,
+       |    CAST(SUM(CASE WHEN cf.cv > thr.thr
+       |      THEN (CAST(1 AS BIGINT) << CAST(cf.m - 1 AS INT)) ELSE 0 END)
+       |      AS BIGINT) AS phash
+       |  FROM cf JOIN thr USING (doc_id) GROUP BY 1),
+       |ch AS (
+       |  SELECT doc_id, phash, c,
+       |    (phash >> CAST(c * 15 AS INT)) & 32767 AS val
+       |  FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS c) t)""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    // Replays the REAL DCT pHash end-to-end in exact integer
-    // arithmetic: pixel(i) = byte (i mod n) of the blob — the corpus
-    // is ASCII (asserted below: a non-ASCII char would make ord() a
-    // code point, not a byte, and the existing CAST(text AS BLOB)
-    // oracles would already ERROR), so ord(substring(text,...)) IS
-    // the byte; the wt CTE embeds the SAME 256 quantized cosine
-    // integers the Spark expression uses (DctPhash.sqlWeightRows —
-    // no libm call in either engine); separable row/column integer
-    // DCT; threshold = ascending coefficient rank 31 of 60 (a VALUE,
-    // tie-safe); then the unchanged 4×15-bit pigeonhole block join.
     "mm_dedup_phash" ->
-      s"""WITH wt AS (
-         |  SELECT * FROM (VALUES ${graft.functions.DctPhash.sqlWeightRows})
-         |    AS t(k, j, w)),
-         |px AS (
-         |  SELECT doc_id, CAST(i AS INT) AS i,
-         |    ord(substring(text, (CAST(i AS INT) % length(text)) + 1, 1)) AS p
-         |  FROM documents, range(0, 1024) t(i)
-         |  WHERE length(text) >= 1),
-         |t1 AS (
-         |  SELECT doc_id, (i // 32) AS r, w.j AS v,
-         |    SUM(p * w.w) AS tv
-         |  FROM px JOIN wt w ON w.k = (i % 32)
-         |  GROUP BY 1, 2, 3),
-         |c2 AS (
-         |  SELECT t1.doc_id, w.j AS u, t1.v,
-         |    CAST(SUM(tv * w.w) AS BIGINT) AS cv
-         |  FROM t1 JOIN wt w ON w.k = t1.r
-         |  GROUP BY 1, 2, 3),
-         |cf AS (
-         |  SELECT doc_id, u * 8 + v AS m, cv FROM c2
-         |  WHERE u * 8 + v BETWEEN 1 AND 60),
-         |thr AS (
-         |  SELECT doc_id, cv AS thr FROM (
-         |    SELECT doc_id, cv,
-         |      row_number() OVER (PARTITION BY doc_id ORDER BY cv) AS rn
-         |    FROM cf) t WHERE rn = 31),
-         |ph AS (
-         |  SELECT cf.doc_id,
-         |    CAST(SUM(CASE WHEN cf.cv > thr.thr
-         |      THEN (CAST(1 AS BIGINT) << CAST(cf.m - 1 AS INT)) ELSE 0 END)
-         |      AS BIGINT) AS phash
-         |  FROM cf JOIN thr USING (doc_id) GROUP BY 1),
-         |ch AS (
-         |  SELECT doc_id, phash, c,
-         |    (phash >> CAST(c * 15 AS INT)) & 32767 AS val
-         |  FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS c) t),
+      s"""$PhashReplayPrefixSql,
          |p AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    bit_count(xor(a.phash, b.phash)) AS hamming
@@ -408,6 +444,28 @@ object MultimodalQueries extends Serializable {
          |    ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming FROM p
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // the mm_dedup_phash replay composed with the mod-5 base/batch
+    // split: batch->corpus blocked candidates + in-batch pairs, exact
+    // hamming on candidates (the dedup_simhash_incremental shape).
+    "mm_dedup_phash_incremental" ->
+      s"""$PhashReplayPrefixSql,
+         |cr AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_id,
+         |    'corpus' AS match_src,
+         |    bit_count(xor(a.phash, b.phash)) AS hamming
+         |  FROM ch a JOIN ch b ON a.c = b.c AND a.val = b.val
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+         |ib AS (
+         |  SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS match_id,
+         |    'batch' AS match_src,
+         |    bit_count(xor(a.phash, b.phash)) AS hamming
+         |  FROM ch a JOIN ch b
+         |    ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0)
+         |SELECT doc_id, match_id, match_src, hamming
+         |FROM (SELECT * FROM cr UNION ALL SELECT * FROM ib) u
+         |WHERE hamming <= 3
+         |ORDER BY doc_id, match_src, match_id""".stripMargin,
     // Replays BOTH arms of mm_decode_png independently: parsed
     // width/height from the doc_id arithmetic directly (a parser
     // offset/byte-order bug cannot match), and the full hex image of

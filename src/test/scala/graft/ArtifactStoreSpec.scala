@@ -299,6 +299,41 @@ class ArtifactStoreSpec extends AnyFunSuite {
       "incremental simhash load path re-scanned the corpus")
   }
 
+  test("phash hash store: incremental admission off the appended " +
+    "(doc_id, phash) artifact == the fresh blob-deriving form on derive " +
+    "AND load paths; the hash store is complete (one row per non-empty " +
+    "blob); the load path never re-decodes the corpus") {
+    val MQ = operators.MultimodalQueries
+    val D = operators.DedupQueries
+    val base = MQ.phashStorePath(sf)
+    rmStore(base); rmStore(ArtifactStore.childPathFor(base, D.IngestBatchTag))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .toSeq
+    val media = MQ.mediaTable(spark, sf)
+    val fresh = rows(MQ.incrementalPhashOn(media))
+    assert(rows(MQ.mmDedupPhashIncremental(spark, sf)) == fresh,
+      "store-fed phash admission diverged (derive path)")
+    assert(new java.io.File(s"$base/_GRAFT_OK").exists,
+      "phash hash store not persisted")
+    // completeness: the persisted base + delta cover every non-empty blob
+    val stored = ArtifactStore.appendedCached(spark, base, D.IngestBatchTag)(
+      fail("base must load, not re-derive"))(
+      fail("delta must load, not re-derive"))
+    assert(stored.count() ==
+      media.where(octet_length(col("data")) >= 1).count(),
+      "phash store row count != non-empty blob count")
+    val loaded = MQ.mmDedupPhashIncremental(spark, sf) // pure store load
+    assert(rows(loaded) == fresh,
+      "store-fed phash admission diverged (load path)")
+    // the serving plan reads postings derived from the 8-byte hash
+    // store — the blob column never loads, the corpus is not re-decoded
+    assert(!loaded.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      .contains("documents.parquet"),
+      "phash incremental load path re-scanned the corpus blobs")
+  }
+
   test("exact-dedup digest store: dedup_incremental off the appended " +
     "digest artifact == the text-deriving form, on derive AND load " +
     "paths (the existing corpus is never re-scanned as text)") {

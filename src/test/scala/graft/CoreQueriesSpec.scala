@@ -71,7 +71,7 @@ class CoreQueriesSpec extends AnyFunSuite {
     // hash-verified against the oracle's full DCT replay, and
     // JoinWindowSpec's planted-fixture tests prove the operator finds
     // near-dups when they exist. Everything else must return rows.
-    val emptyOkAtTinySf = Set("mm_dedup_phash")
+    val emptyOkAtTinySf = Set("mm_dedup_phash", "mm_dedup_phash_incremental")
     SparkEntry.queries.foreach { case (name, q) =>
       val df = q(spark, sf)
       assert(df.columns.nonEmpty, s"$name has no columns")

@@ -189,6 +189,53 @@ class JoinWindowSpec extends AnyFunSuite {
     assert(viaExpr == DctPhash.compute(base))
   }
 
+  test("incremental phash admission: cross-batch exact copy flagged as " +
+    "'corpus' at hamming 0, noisy batch blob matches both the corpus " +
+    "original and its in-batch sibling (later doc at the earlier one), " +
+    "unrelated batch blob stays silent; incremental == full pairs " +
+    "restricted to batch-touching (direction-mapped)") {
+    import spark.implicits._
+    val MQ = operators.MultimodalQueries
+    def blob(seed: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => (((i + 1) * (seed + 7919) * 2654435761L
+        % 1000000007L) % 199L).toByte)
+    val base = blob(1L, 400)
+    val noisy = base.clone()
+    for (k <- 0 until 400 by 40) noisy(k) = (noisy(k) + 1).toByte
+    val media = Seq(
+      1L -> base,         // existing corpus
+      3L -> blob(2L, 400), // existing, unrelated
+      5L -> base.clone(),  // batch: exact copy of corpus doc 1
+      10L -> noisy,        // batch: near-dup of 1 AND of in-batch 5
+      15L -> blob(3L, 400) // batch: unrelated
+    ).toDF("doc_id", "data")
+    val got = MQ.incrementalPhashOn(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .toSeq
+    assert(got.contains((5L, 1L, "corpus", 0)),
+      s"cross-batch exact copy not flagged: $got")
+    assert(got.exists(t => t._1 == 10L && t._2 == 1L && t._3 == "corpus"
+      && t._4 <= 3), s"noisy cross-batch near-dup lost: $got")
+    assert(got.exists(t => t._1 == 10L && t._2 == 5L && t._3 == "batch"
+      && t._4 <= 3), s"in-batch near pair lost or misdirected: $got")
+    assert(!got.exists(t => t._1 == 15L || t._2 == 15L),
+      s"unrelated batch blob matched: $got")
+    assert(got.forall(_._1 % 5 == 0), s"existing doc on the batch side: $got")
+    // equivalence with the full pair derivation: incremental == every
+    // full hamming<=3 pair touching the batch, direction-mapped
+    val full = MQ.mmDedupPhashOn(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val expected = full.flatMap { case (a, b, ham) =>
+      val (aB, bB) = (a % 5 == 0, b % 5 == 0)
+      if (aB && bB) Some((b, a, "batch", ham))
+      else if (aB) Some((a, b, "corpus", ham))
+      else if (bB) Some((b, a, "corpus", ham))
+      else None
+    }.toSet
+    assert(got.toSet == expected,
+      s"incremental diverged from batch-touching full pairs:\n$got\n$expected")
+  }
+
   test("heap top-k ≡ window top-k row-for-row, with NO Window node — " +
     "partial aggregation bounds the shuffle to k entries per group per " +
     "partition") {
