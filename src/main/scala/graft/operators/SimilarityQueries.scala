@@ -441,6 +441,110 @@ object SimilarityQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // ---- incremental embedding ingest --------------------------------
+
+  /** Ingest-batch predicate for the VECTOR corpus — the same mod-5
+    * convention as [[operators.DedupQueries.isIngestBatch]], keyed on
+    * vec_id. */
+  private[graft] def isIngestBatchVec: Column =
+    pmod(col("vec_id"), lit(5)) === 0
+
+  /** (vec_id, table_id, sig) LSH signature postings of a vector frame
+    * at a FIXED signature width — the row-local projection both the
+    * full dedup and the incremental admission derive from. */
+  private def embSigsOf(emb: DataFrame, bits: Int, dim: Int): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(array((0 until DedupTables).map(t =>
+        signatureOf(t, col("vec"), bits, dim)): _*)).as(Seq("table_id", "sig")))
+
+  private[graft] def embSigStorePath(dir: String): String =
+    ArtifactStore.pathFor("emb_sigs", dir, "embeddings.parquet",
+      s"rp${DedupTables}t_v1")
+
+  /** The corpus's LSH signature postings as a maintained, APPENDED
+    * artifact — the embedding family joins the incremental-ingest
+    * roster (the [[operators.DedupQueries]] discipline): the existing
+    * corpus's signatures are an artifact read; an ingest batch's
+    * vectors are projected ALONE and appended as a fingerprint-chained
+    * delta — no base vector is ever re-projected against the
+    * hyperplanes. The signature width is [[sigBitsFor]] of the FULL
+    * corpus count (the same width the full query and its oracle use —
+    * width is fixed per corpus fingerprint, so base and delta rows are
+    * mutually consistent and append ≡ full derivation row-for-row);
+    * the width/dim probes sit INSIDE the by-name derive thunks, so the
+    * load path runs neither. */
+  private[graft] def embSigsStored(spark: SparkSession,
+      dir: String): DataFrame = {
+    def sigs(pred: Column): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      embSigsOf(emb.where(pred), sigBitsFor(emb.count()), vecDim(emb))
+    }
+    ArtifactStore.appendedCached(spark, embSigStorePath(dir),
+      DedupQueries.IngestBatchTag)(
+      sigs(!isIngestBatchVec))(sigs(isIngestBatchVec))
+  }
+
+  /** `dedup_embedding_incremental`: incremental ingest admission for
+    * the vector-space near-dup family — with this, EVERY near-dup
+    * family has an incremental form (exact digests, minhash bands,
+    * ngram components, simhash, phash, and now embedding cosine). The
+    * ingest batch's signature postings probe the existing corpus's
+    * persisted postings plus the in-batch postings; candidates are
+    * exact-cosine verified at the family's 0.3 threshold; output is
+    * (vec_id [incoming], match_id, match_src 'corpus'|'batch',
+    * cos_sim), in-batch matches pointing the LATER vector at the
+    * earlier one. At 100 TB: the existing side is the maintained
+    * posting store (ids + 16 signatures per vector — never the
+    * vectors), the batch alone is projected against the hyperplanes,
+    * the candidate join is equi on (table_id, sig), and full vectors
+    * join back only for the ≤O(candidates) verifications. FULLY
+    * oracled: the dedup_embedding_cosine integer-hyperplane replay
+    * composed with the mod-5 base/batch split. */
+  val dedupEmbIncremental: Q = (spark, dir) => {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    incrementalEmbOfSigs(embSigsStored(spark, dir), emb)
+  }
+
+  /** Core of [[dedupEmbIncremental]] over explicit posting + vector
+    * frames — the planted-fixture spec form. */
+  private[graft] def incrementalEmbOfSigs(sigs: DataFrame,
+      emb: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions.cosine_similarity
+    val inS = sigs.where(isIngestBatchVec)
+    val exS = sigs.where(!isIngestBatchVec)
+    val onKeys = col("a.table_id") === col("b.table_id") &&
+      col("a.sig") === col("b.sig")
+    val cross = inS.as("a").join(exS.as("b"), onKeys)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("match_id"),
+        lit("corpus").as("match_src"))
+    val inBatch = inS.as("a").join(inS.as("b"),
+        onKeys && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("match_id"),
+        lit("batch").as("match_src"))
+    cross.unionByName(inBatch).distinct()
+      .join(emb.select(col("vec_id"), col("vec").as("va")), Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("match_id"), col("vec").as("vb")),
+        Seq("match_id"))
+      .select(col("vec_id"), col("match_id"), col("match_src"),
+        Tables.round6(cosine_similarity(col("va"), col("vb"))).as("cos_sim"))
+      .where(col("cos_sim") >= 0.3)
+      .orderBy(col("vec_id"), col("match_src"), col("match_id"))
+  }
+
+  /** [[dedupEmbIncremental]] over an explicit (vec_id, embedding)
+    * frame (no store) — the planted-fixture spec form: signature width
+    * from the frame's own count, matching the store-fed path. */
+  private[graft] def incrementalEmbOn(embRaw: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(embRaw.sparkSession)
+    val emb = embRaw
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    incrementalEmbOfSigs(
+      embSigsOf(emb, sigBitsFor(emb.count()), vecDim(emb)), emb)
+  }
+
   /** SemDeDup duplicate threshold. This fixture has no true duplicate
     * vectors (max pairwise cosine ≈ 0.47), so τ is calibrated to its
     * within-cluster tail (~p99.8) to exercise the drop path; a
@@ -1276,6 +1380,7 @@ object SimilarityQueries {
     "sim_quantize_int8"   -> simQuantizeInt8,
     "sim_label_centroids" -> simLabelCentroids,
     "dedup_embedding_cosine" -> dedupEmbCosine,
+    "dedup_embedding_incremental" -> dedupEmbIncremental,
     "sim_knn_rerank"      -> simKnnRerank,
     "pipe_semdedup"       -> pipeSemDedup,
     "prof_embedding_stats" -> profEmbeddingStats,
@@ -1795,31 +1900,40 @@ object SimilarityQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cos_sim DESC, vec_id) AS rank FROM ex)
          |SELECT query_id, vec_id, label, cos_sim, rank FROM r WHERE rank <= $K
-         |ORDER BY query_id, rank""".stripMargin) +
-    // Replays the full blocking rule: bits = min k in [4,31] with 4^k ≥ n
-    // (exact shift arithmetic, matching sigBitsFor bit-for-bit at any n),
-    // weight(t,b,d) = (((s²%P)·s)%P)%10⁴/10⁴ − 0.5 with s=(t·1009+b)·7919+d
-    // and P=1e9+7 — pure int64 arithmetic, bit-identical to the Spark side.
+         |ORDER BY query_id, rank""".stripMargin) ++
+    embeddingDedupOracles
+
+  /** Shared DuckDB replay of the random-hyperplane signature postings
+    * (`e` → `sigs`) — the common prefix of the dedup_embedding_cosine
+    * and dedup_embedding_incremental oracles. Replays the full blocking
+    * rule: bits = min k in [4,31] with 4^k ≥ n (exact shift arithmetic,
+    * matching sigBitsFor bit-for-bit at any n), weight(t,b,d) =
+    * (((s²%P)·s)%P)%10⁴/10⁴ − 0.5 with s=(t·1009+b)·7919+d and P=1e9+7
+    * — pure int64 arithmetic, bit-identical to the Spark side. */
+  private lazy val EmbSigReplayPrefixSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |p AS (SELECT coalesce(min(k), 31) AS bits
+       |      FROM range(4, 32) r(k), (SELECT count(*) AS n FROM e) c
+       |      WHERE (CAST(1 AS BIGINT) << CAST(2*k AS INT)) >= c.n),
+       |tb AS (SELECT gt.t AS t, ub.b AS b
+       |       FROM generate_series(0, ${DedupTables - 1}) gt(t), p,
+       |            unnest(range(0, p.bits)) ub(b)),
+       |proj AS (
+       |  SELECT e.vec_id, tb.t, tb.b,
+       |    list_dot_product(e.vec,
+       |      list_transform(range(0, len(e.vec)),
+       |        d -> ((((((tb.t * 1009 + tb.b) * 7919 + d) * ((tb.t * 1009 + tb.b) * 7919 + d)) % 1000000007)
+       |               * ((tb.t * 1009 + tb.b) * 7919 + d)) % 1000000007) % 10000 / 10000.0 - 0.5)) AS pr
+       |  FROM e, tb),
+       |sigs AS (
+       |  SELECT vec_id, t AS table_id,
+       |    SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+       |  FROM proj GROUP BY 1, 2)""".stripMargin
+
+  private lazy val embeddingDedupOracles: Map[String, String] = Map(
     ("dedup_embedding_cosine" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-         |p AS (SELECT coalesce(min(k), 31) AS bits
-         |      FROM range(4, 32) r(k), (SELECT count(*) AS n FROM e) c
-         |      WHERE (CAST(1 AS BIGINT) << CAST(2*k AS INT)) >= c.n),
-         |tb AS (SELECT gt.t AS t, ub.b AS b
-         |       FROM generate_series(0, ${DedupTables - 1}) gt(t), p,
-         |            unnest(range(0, p.bits)) ub(b)),
-         |proj AS (
-         |  SELECT e.vec_id, tb.t, tb.b,
-         |    list_dot_product(e.vec,
-         |      list_transform(range(0, len(e.vec)),
-         |        d -> ((((((tb.t * 1009 + tb.b) * 7919 + d) * ((tb.t * 1009 + tb.b) * 7919 + d)) % 1000000007)
-         |               * ((tb.t * 1009 + tb.b) * 7919 + d)) % 1000000007) % 10000 / 10000.0 - 0.5)) AS pr
-         |  FROM e, tb),
-         |sigs AS (
-         |  SELECT vec_id, t AS table_id,
-         |    SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
-         |  FROM proj GROUP BY 1, 2),
+      s"""$EmbSigReplayPrefixSql,
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM sigs a JOIN sigs b
@@ -1832,7 +1946,36 @@ object SimilarityQueries {
          |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
          |  FROM cand c JOIN e ea ON c.vec_a = ea.vec_id
          |              JOIN e eb ON c.vec_b = eb.vec_id) t
-         |WHERE cos_sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin) +
+         |WHERE cos_sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin),
+    // the dedup_embedding_cosine replay composed with the mod-5
+    // base/batch split: batch->corpus blocked candidates + in-batch
+    // pairs, exact cosine verify on candidates at the same threshold.
+    ("dedup_embedding_incremental" ->
+      s"""$EmbSigReplayPrefixSql,
+         |cr AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS match_id,
+         |    'corpus' AS match_src
+         |  FROM sigs a JOIN sigs b
+         |    ON a.table_id = b.table_id AND a.sig = b.sig
+         |  WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0),
+         |ib AS (
+         |  SELECT DISTINCT b.vec_id AS vec_id, a.vec_id AS match_id,
+         |    'batch' AS match_src
+         |  FROM sigs a JOIN sigs b
+         |    ON a.table_id = b.table_id AND a.sig = b.sig
+         |      AND a.vec_id < b.vec_id
+         |  WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0),
+         |u AS (SELECT * FROM cr UNION ALL SELECT * FROM ib)
+         |SELECT vec_id, match_id, match_src, cos_sim FROM (
+         |  SELECT u.vec_id, u.match_id, u.match_src,
+         |    floor((list_dot_product(ea.vec, eb.vec)
+         |           / (sqrt(list_dot_product(ea.vec, ea.vec))
+         |              * sqrt(list_dot_product(eb.vec, eb.vec))))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+         |  FROM u JOIN e ea ON u.vec_id = ea.vec_id
+         |         JOIN e eb ON u.match_id = eb.vec_id) t
+         |WHERE cos_sim >= 0.3
+         |ORDER BY vec_id, match_src, match_id""".stripMargin),
     ("sim_quantize_int8" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1857,7 +2000,7 @@ object SimilarityQueries {
         |  floor((list_dot_product(v, dq)
         |         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq))))
         |        * 1000000.0 + 0.5) / 1000000.0 AS cos_orig_dq
-        |FROM err ORDER BY vec_id""".stripMargin)
+        |FROM err ORDER BY vec_id""".stripMargin))
 
   private lazy val baseOracles: Map[String, String] = Map(
     "sim_knn_brute" ->

@@ -334,6 +334,41 @@ class ArtifactStoreSpec extends AnyFunSuite {
       "phash incremental load path re-scanned the corpus blobs")
   }
 
+  test("embedding signature store: incremental admission off the " +
+    "appended (vec_id, table_id, sig) artifact == the fresh " +
+    "vector-deriving form on derive AND load paths; the store is " +
+    "complete (DedupTables rows per vector); the load path never " +
+    "re-projects the corpus against the hyperplanes") {
+    val S = operators.SimilarityQueries
+    val D = operators.DedupQueries
+    val base = S.embSigStorePath(sf)
+    rmStore(base); rmStore(ArtifactStore.childPathFor(base, D.IngestBatchTag))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    val emb = Tables.embeddings(spark, sf)
+    val fresh = rows(S.incrementalEmbOn(emb))
+    assert(rows(S.dedupEmbIncremental(spark, sf)) == fresh,
+      "store-fed embedding admission diverged (derive path)")
+    assert(new java.io.File(s"$base/_GRAFT_OK").exists,
+      "embedding signature store not persisted")
+    val stored = ArtifactStore.appendedCached(spark, base, D.IngestBatchTag)(
+      fail("base must load, not re-derive"))(
+      fail("delta must load, not re-derive"))
+    assert(stored.count() == emb.count() * S.DedupTables,
+      "signature store row count != n_vectors x DedupTables")
+    val loaded = S.dedupEmbIncremental(spark, sf) // pure store load
+    assert(rows(loaded) == fresh,
+      "store-fed embedding admission diverged (load path)")
+    // the serving plan reads postings from the store — the signature
+    // projection (posexplode over the hyperplane dot products) is gone;
+    // embeddings.parquet is read only for the candidate verify join
+    assert(!loaded.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      .toLowerCase.contains("posexplode"),
+      "embedding admission load path re-projected the corpus signatures")
+  }
+
   test("exact-dedup digest store: dedup_incremental off the appended " +
     "digest artifact == the text-deriving form, on derive AND load " +
     "paths (the existing corpus is never re-scanned as text)") {

@@ -243,6 +243,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(docs.repartition(7)) == got, "partition-variant statistics")
   }
 
+  test("incremental embedding admission: cross-batch exact copy flagged " +
+    "as 'corpus' at cosine 1.0, in-batch copy pair points the later " +
+    "vector at the earlier one, below-threshold vector stays silent; " +
+    "incremental == full pairs restricted to batch-touching " +
+    "(direction-mapped)") {
+    import spark.implicits._
+    val S = operators.SimilarityQueries
+    // orthogonal-ish deterministic vectors; dups share every table
+    // signature by construction, so they are ALWAYS candidates
+    def v(seed: Int): Seq[Double] =
+      (0 until 8).map(d => math.sin(seed * 31 + d * 7).abs + 0.1)
+    val emb = Seq(
+      1L -> v(1), 2L -> v(2), 3L -> v(3),   // existing corpus
+      5L -> v(1),                            // batch: copy of corpus 1
+      10L -> v(4), 20L -> v(4),              // in-batch copy pair
+      15L -> v(1).map(-_)                    // batch: cosine −1 to vec 1
+    ).toDF("vec_id", "embedding")
+    val got = S.incrementalEmbOn(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSeq
+    assert(got.contains((5L, 1L, "corpus", 1.0)),
+      s"cross-batch exact copy not flagged: $got")
+    assert(got.contains((20L, 10L, "batch", 1.0)),
+      s"in-batch copy pair lost or misdirected: $got")
+    assert(!got.exists(t => t._1 == 15L),
+      s"anti-parallel vector admitted: $got")
+    assert(got.forall(_._1 % 5 == 0), s"existing vec on the batch side: $got")
+    assert(got.forall(_._4 >= 0.3), s"below-threshold match emitted: $got")
+    // equivalence with the full pair derivation, direction-mapped
+    val full = S.dedupEmbCosineOn(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = full.flatMap { case (a, b, cs) =>
+      val (aB, bB) = (a % 5 == 0, b % 5 == 0)
+      if (aB && bB) Some((b, a, "batch", cs))
+      else if (aB) Some((a, b, "corpus", cs))
+      else if (bB) Some((b, a, "corpus", cs))
+      else None
+    }.toSet
+    assert(got.toSet == expected,
+      s"incremental diverged from batch-touching full pairs:\n$got\n$expected")
+  }
+
   test("embedding near-dup LSH blocking: a planted exact duplicate is " +
     "always a candidate (identical sigs in every table) and the " +
     "block-key cardinality grows with corpus size") {
