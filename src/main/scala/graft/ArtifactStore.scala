@@ -301,8 +301,17 @@ object ArtifactStore {
     * (base ∪ batch, both fresh) is returned, which is also the spec's
     * equivalence oracle: `appendedCached ≡ deriveParent ∪ deriveBatch`
     * row-for-row (ArtifactStoreSpec). */
+  /** Default chain length at which [[appendedCached]] folds the chain
+    * back into one base ([[compactChain]]) as part of the append —
+    * write amplification is owned by the WRITER (the ingest that grew
+    * the chain), never sprung on a reader. Env-overridable for
+    * operational tuning; spec paths pass an explicit threshold. */
+  private[graft] val AutoCompactDefault: Int =
+    sys.env.get("SPARK_GRAFT_COMPACT_DELTAS").map(_.toInt).getOrElse(8)
+
   def appendedCached(spark: SparkSession, parentPath: String,
-      batchTag: String)(deriveParent: => DataFrame)
+      batchTag: String, autoCompactAt: Int = AutoCompactDefault)
+      (deriveParent: => DataFrame)
       (deriveBatch: => DataFrame): DataFrame = {
     require(!new java.io.File(parentPath).getName.contains("--"),
       s"append parent must be a base artifact, not a delta: $parentPath")
@@ -323,7 +332,17 @@ object ArtifactStore {
       else {
         save(delta, childPath,
           parentOf = Some(new java.io.File(parentPath).getName))
-        resolveChain(spark, parentPath, parent)
+        // auto-compaction: this append just grew the chain — if it now
+        // reaches the policy length, fold it and serve the rewritten
+        // base (re-loaded: the old `parent` frame's file listing points
+        // at the swapped-out data dir). compact(chain) ≡ the resolved
+        // union bit-for-bit, so serving either form is equivalent.
+        if (autoCompactAt > 0 &&
+            deltasOf(parentPath).size >= autoCompactAt &&
+            compactChain(spark, parentPath))
+          load(spark, parentPath).getOrElse(
+            sys.error(s"compacted base unloadable: $parentPath"))
+        else resolveChain(spark, parentPath, parent)
       }
     }
   }

@@ -152,6 +152,55 @@ class ArtifactStoreSpec extends AnyFunSuite {
     tags.foreach(t => rmStore(ArtifactStore.childPathFor(parent, t)))
   }
 
+  test("auto-compaction policy: the append that reaches the threshold " +
+    "folds the chain as part of the write (readers never pay it), the " +
+    "served frame == derive(full), the post-compaction plan is ONE " +
+    "parquet read (no delta union), and appends below the threshold " +
+    "leave the chain alone") {
+    import spark.implicits._
+    val root = "target/tmp/test_artifact_store"
+    val parent = s"$root/autoc_src_v1_cccccccccccc"
+    val tags = Seq("a1", "a2", "a3")
+    rmStore(parent)
+    tags.foreach(t => rmStore(ArtifactStore.childPathFor(parent, t)))
+    val base = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "k")
+    val b1 = Seq((5L, "c")).toDF("doc_id", "k")
+    val b2 = Seq((10L, "d")).toDF("doc_id", "k")
+    def sortAll(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // threshold 2: the first append stays a chain...
+    ArtifactStore.appendedCached(spark, parent, "a1", autoCompactAt = 2)(
+      base)(b1)
+    assert(ArtifactStore.foldedTags(parent).isEmpty,
+      "single-delta chain compacted below the threshold")
+    assert(new java.io.File(
+      ArtifactStore.childPathFor(parent, "a1") + "/_GRAFT_OK").exists)
+    // ...the second one reaches it: the WRITER folds, and the frame it
+    // returns is the full chain served from the rewritten base
+    val served = ArtifactStore.appendedCached(spark, parent, "a2",
+      autoCompactAt = 2)(fail("base re-derived"))(b2)
+    val full = sortAll(base.unionByName(b1).unionByName(b2))
+    assert(sortAll(served) == full, "auto-compacted serve != derive(full)")
+    assert(ArtifactStore.foldedTags(parent) == Set("a1", "a2"),
+      "threshold append did not fold the chain")
+    tags.take(2).foreach { t =>
+      assert(!new java.io.File(ArtifactStore.childPathFor(parent, t)).exists,
+        s"folded delta $t survived auto-compaction")
+    }
+    // read amplification removed: a subsequent reader resolves to ONE
+    // parquet location — no Union of base + delta reads in the plan
+    val reader = ArtifactStore.appendedCached(spark, parent, "a1",
+      autoCompactAt = 2)(fail("base re-derived"))(fail("batch re-signed"))
+    assert(sortAll(reader) == full)
+    val plan = reader.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Union"),
+      s"post-compaction reader still unions delta reads:\n$plan")
+    rmStore(parent)
+    tags.foreach(t => rmStore(ArtifactStore.childPathFor(parent, t)))
+  }
+
   test("marker-last crash invariant on deltas: _GRAFT_PARENT is written " +
     "BEFORE _GRAFT_OK, so a complete delta always carries lineage") {
     import spark.implicits._
