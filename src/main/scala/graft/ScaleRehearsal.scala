@@ -162,10 +162,12 @@ object ScaleRehearsal {
     val famFilter = sys.env.get("SPARK_GRAFT_FAMILIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def famActive(name: String): Boolean = famFilter.forall(_.contains(name))
-    // generate only the scales some ACTIVE family will measure
+    // generate only the scales some ACTIVE family will measure (the
+    // incremental admission rehearsal runs on the adaptive grid too)
     val allScales = (scales.filter(_ => famFilter.forall(_.exists(f =>
         !adaptiveFams(f)))) ++
-      adaptiveScales.filter(_ => famFilter.forall(_.exists(adaptiveFams))))
+      adaptiveScales.filter(_ => famFilter.forall(_.exists(f =>
+        adaptiveFams(f) || f == "dedup_simhash_incremental"))))
       .distinct.sorted
     val outRoot = "/tmp/graft_scale"
     val spark = SparkSession.builder()
@@ -319,10 +321,63 @@ object ScaleRehearsal {
       s""""${fam.name}":{$perScale}"""
     }.mkString(",")
 
+    // ---- incremental-ingest admission rehearsal -----------------------
+    // The claim behind the round-12 incremental roster, measured: a
+    // FIXED-size ingest batch admitted against a GROWING corpus whose
+    // pigeonhole postings are persisted (the serving-path shape — the
+    // existing side is a parquet posting read, never a text
+    // re-derivation). Expect admission wall time to stay near-flat
+    // relative to the full derivation's growth (the batch's hash+key
+    // work is constant; the posting probe is an equi join against a
+    // corpus-sized but 8-byte-per-posting read), candidates ~linear in
+    // corpus size (bucket density × constant batch), and matches
+    // tracking the planted cross-replica structure. The x{k} existing
+    // corpus keeps only non-mod-5 ids (the admission predicate's
+    // existing side); the batch is a fresh substitution replica of the
+    // base corpus with ids mapped onto multiples of 5.
+    val incActive = famActive("dedup_simhash_incremental")
+    val incJson = if (!incActive) "" else {
+      val batchDocs = docReplica(Tables.documents(spark, baseDir), 999)
+        .withColumn("doc_id", col("doc_id") * 5)
+      val nBatch = batchDocs.count()
+      val incRows = for (k <- adaptiveScales) yield {
+        val dir = s"$outRoot/x$k"
+        val existing = Tables.documents(spark, dir)
+          .where(pmod(col("doc_id"), lit(5)) =!= 0)
+        val nEx = existing.count()
+        val level = D.pigeonholeLevelsFor(nEx + nBatch)
+        val postPath = s"$dir/simhash_postings.parquet"
+        D.chunksAtLevel(D.simhashesOn(existing), "simhash", level)
+          .write.mode("overwrite").parquet(postPath)
+        def admissionChunks = spark.read.parquet(postPath).unionByName(
+          D.chunksAtLevel(D.simhashesOn(batchDocs), "simhash", level))
+        D.incrementalHammingOfChunks(admissionChunks, "simhash").count() // warm
+        val t0 = System.nanoTime()
+        val outN = D.incrementalHammingOfChunks(admissionChunks, "simhash")
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val candN = D.incrementalHammingCandidates(admissionChunks, "simhash")
+          .count()
+        System.err.println(
+          s"[scale] dedup_simhash_incremental x$k: existing=$nEx " +
+            s"batch=$nBatch cand=$candN out=$outN sec=${j(sec)}")
+        (k, nEx, candN, outN, sec)
+      }
+      val base = incRows.head
+      val perScale = incRows.map { case (k, nEx, cand, out, sec) =>
+        val candRatio = if (base._3 == 0) 0.0 else cand.toDouble / base._3
+        s""""x$k":{"n_existing":$nEx,"n_batch":$nBatch,"candidates":$cand,""" +
+          s""""out_matches":$out,"sec":${j(sec)},""" +
+          s""""existing_ratio":${j(nEx.toDouble / base._2)},""" +
+          s""""cand_ratio":${j(candRatio)}}"""
+      }.mkString(",")
+      s""","incremental":{"dedup_simhash_incremental":{$perScale}}"""
+    }
+
     val line =
       s"""{"metric":"scale_rehearsal","scales":[${scales.mkString(",")}],""" +
         s""""adaptive_scales":[${adaptiveScales.mkString(",")}],""" +
-        s""""base":"$baseDir","cpus":$cpus,"families":{$famJson}}"""
+        s""""base":"$baseDir","cpus":$cpus,"families":{$famJson}$incJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE10.json"),
       (line + "\n").getBytes("UTF-8"))
     println(line)

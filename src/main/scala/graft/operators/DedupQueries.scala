@@ -944,6 +944,29 @@ object DedupQueries {
       .orderBy(col("doc_id"), col("match_src"), col("match_id"))
   }
 
+  /** The PRE-hamming-filter candidate frame of
+    * [[incrementalHammingOfChunks]] — the blocked admission volume the
+    * scale rehearsal measures (batch→corpus probes + in-batch pairs,
+    * distinct). */
+  private[graft] def incrementalHammingCandidates(chunks: DataFrame,
+      hashCol: String): DataFrame = {
+    val inC = chunks.where(isIngestBatch)
+    val exC = chunks.where(!isIngestBatch)
+    def ham = bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol")))
+    inC.as("a").join(exC.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"),
+        ham.as("hamming"))
+      .unionByName(inC.as("a").join(inC.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk_val") === col("b.chunk_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id").as("doc_id"), col("a.doc_id").as("match_id"),
+          ham.as("hamming")))
+      .distinct()
+  }
+
   /** [[dedupSimhashIncremental]] over an explicit (doc_id, hash) frame
     * — the spec form (plants a cross-batch near-dup, an in-batch near
     * pair, and an unrelated incoming hash). */
