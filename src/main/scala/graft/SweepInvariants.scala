@@ -3,11 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Bounded sf0.1 companion checks for the five queries whose DuckDB
+/** Bounded sf0.1 companion checks for the six queries whose DuckDB
   * oracles deliberately replay naive formulations that exceed
   * practical oracle runtime at sf0.1 (dedup_components,
-  * dedup_ngram_jaccard, pipe_corpus_clean, evt_funnel,
-  * pipe_dedup_keep_best — the round-9 sweep exclusions). Each
+  * dedup_ngram_jaccard, pipe_corpus_clean,
+  * pipe_corpus_clean_incremental, evt_funnel,
+  * pipe_dedup_keep_best — the round-9 sweep exclusions plus the
+  * round-12 funnel, whose oracle embeds the same recursive CTE). Each
   * exclusion is replaced by NAMED invariants asserted in-engine on the
   * full sf0.1 output: definitional recomputes bounded by the OUTPUT
   * size (not the naive candidate space), independent-algorithm
@@ -175,6 +177,49 @@ object SweepInvariants {
         cc("c_neardup") == nearKeepers.count() &&
         cc("d_lang") == dl.where(col("lang_ok")).count() &&
         cc("e_quality") == dl.where(col("lang_ok") && col("qual_ok")).count()
+    }
+
+    // ---- pipe_corpus_clean_incremental ---------------------------------
+    // the oracle inherits the recursive-CTE exclusion; invariant = the
+    // per-doc verdicts recomputed first-principles over the FULL corpus
+    // (whole-corpus digest min, the invariant-checked dedup_components
+    // labels — the query itself used the INCREMENTAL labels, so this is
+    // an independent-algorithm cross-check — and row-local lang/quality),
+    // restricted to the batch, frame-equal.
+    val cci = D.pipeCorpusCleanIncremental(spark, dir).cache()
+    check("pipe_corpus_clean_incremental")("batch_only_complete") {
+      cci.where(pmod(col("doc_id"), lit(5)) =!= 0).count() == 0 &&
+        cci.count() == docs.where(pmod(col("doc_id"), lit(5)) === 0).count()
+    }
+    check("pipe_corpus_clean_incremental")("verdict_lattice") {
+      cci.where(col("near_keep") > col("exact_keep") ||
+        col("admitted") > col("near_keep") ||
+        col("admitted") > col("lang_ok") || col("admitted") > col("qual_ok"))
+        .count() == 0
+    }
+    check("pipe_corpus_clean_incremental")("full_funnel_recompute_equality") {
+      val t = tokens(col("text"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      def asInt(c: org.apache.spark.sql.Column) = when(c, 1).otherwise(0)
+      val expected = docs.select(col("doc_id"), md5(col("text")).as("h"),
+          (T.predictedLangCol(t) === col("lang")).as("lang_ok"),
+          (T.qualityScoreCol(col("text"), t) >= 0.5).as("qual_ok"))
+        .withColumn("exact_b",
+          col("doc_id") === min(col("doc_id")).over(w))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("near_b", col("exact_b") &&
+          (col("component_id").isNull ||
+            col("component_id") === col("doc_id")))
+        .where(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), asInt(col("exact_b")).as("exact_keep"),
+          asInt(col("near_b")).as("near_keep"),
+          asInt(col("lang_ok")).as("lang_ok"),
+          asInt(col("qual_ok")).as("qual_ok"),
+          asInt(col("near_b") && col("lang_ok") && col("qual_ok"))
+            .as("admitted"))
+      expected.join(cci, Seq("doc_id", "exact_keep", "near_keep",
+          "lang_ok", "qual_ok", "admitted"), "full_outer").count() ==
+        cci.count() && cci.count() == expected.count()
     }
 
     // ---- evt_funnel --------------------------------------------------

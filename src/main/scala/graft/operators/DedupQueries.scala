@@ -1283,6 +1283,88 @@ object DedupQueries {
       .orderBy(col("stage"))
   }
 
+  /** `pipe_corpus_clean_incremental`: the cleaning funnel's INGEST
+    * form — the round-12 incremental roster composed into the
+    * end-to-end admission verdict a production pipeline actually runs
+    * per batch. For every ingest-batch doc, the FULL funnel's per-doc
+    * verdicts ([[pipeCorpusClean]]'s exact → near-dup → langid →
+    * quality rules, restricted to batch docs) computed WITHOUT
+    * re-scanning the existing corpus as text:
+    *
+    *  - `exact_keep`: doc_id is the min of its whole-corpus digest
+    *    group — the in-batch window min combined with the existing
+    *    side's per-digest min read from the maintained [[digestStore]]
+    *    artifact (16-byte hashes, never text);
+    *  - `near_keep`: exact_keep AND the doc is its component's
+    *    min-label keeper, labels from the QUOTIENT merge
+    *    ([[incrementalComponentsOf]] — base labels are a store
+    *    artifact, the batch contributes only its touching edges, and
+    *    the merge is provably identical to the full recompute);
+    *  - `lang_ok` / `qual_ok`: row-local scores over the batch text
+    *    (the only text scanned);
+    *  - `admitted`: all four.
+    *
+    * Because every stage applies the full funnel's own rule, the
+    * output is PROVABLY the full per-doc funnel restricted to batch
+    * docs — which is exactly what the DuckDB oracle replays (full
+    * rules, `WHERE doc_id % 5 = 0`), and what PipelineSpec pins
+    * against an independently-computed whole-corpus funnel. Verdicts
+    * as 0/1 ints for cross-engine hash stability. */
+  val pipeCorpusCleanIncremental: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    corpusCleanIncrementalCore(
+      docs.where(isIngestBatch),
+      digestStore(spark, dir).where(!isIngestBatch),
+      incrementalComponentsOf(baseComponentLabels(spark, dir),
+        ngramJaccardTouchingBatchOn(docs).select(col("doc_a"), col("doc_b"))))
+  }
+
+  /** [[pipeCorpusCleanIncremental]] over an arbitrary documents frame
+    * (no stores) — the spec form: both sides' digests and labels
+    * derived from text. */
+  private[graft] def incrementalCorpusCleanOn(docs: DataFrame): DataFrame =
+    corpusCleanIncrementalCore(
+      docs.where(isIngestBatch),
+      docs.where(!isIngestBatch)
+        .select(col("doc_id"), md5(col("text")).as("text_hash")),
+      incrementalComponentsOn(docs))
+
+  /** Core of [[pipeCorpusCleanIncremental]]: the batch frame
+    * (doc_id, text, lang), the EXISTING side's (doc_id, text_hash)
+    * digests, and the full-corpus component labels. One batch text
+    * scan computes digest + lang + quality; the exact rule combines
+    * the in-batch window min with the existing per-digest min. */
+  private[graft] def corpusCleanIncrementalCore(batch: DataFrame,
+      existingDigests: DataFrame, labels: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val flags = batch.select(
+      col("doc_id"),
+      md5(col("text")).as("h"),
+      (TextQueries.predictedLangCol(t) === col("lang")).as("lang_ok"),
+      (TextQueries.qualityScoreCol(col("text"), t) >= 0.5).as("qual_ok"))
+    val exMin = existingDigests
+      .groupBy(col("text_hash")).agg(min(col("doc_id")).as("ex_mn"))
+      .withColumnRenamed("text_hash", "h")
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    def asInt(c: Column) = when(c, 1).otherwise(0)
+    flags
+      .withColumn("b_mn", min(col("doc_id")).over(wB))
+      .join(exMin, Seq("h"), "left")
+      .withColumn("exact_b", col("doc_id") ===
+        least(col("b_mn"), coalesce(col("ex_mn"), lit(Long.MaxValue))))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("near_b", col("exact_b") &&
+        (col("component_id").isNull || col("component_id") === col("doc_id")))
+      .select(col("doc_id"),
+        asInt(col("exact_b")).as("exact_keep"),
+        asInt(col("near_b")).as("near_keep"),
+        asInt(col("lang_ok")).as("lang_ok"),
+        asInt(col("qual_ok")).as("qual_ok"),
+        asInt(col("near_b") && col("lang_ok") && col("qual_ok"))
+          .as("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `dedup_entity_block` (scale ext.): record-linkage near-duplicate
     * detection on a STRUCTURED entity table (customer) — the classic
     * blocking + pairwise-compare shape used for entity resolution in
@@ -1556,6 +1638,7 @@ object DedupQueries {
     "dedup_components_incremental" -> dedupComponentsIncremental,
     "dedup_entity_block"  -> dedupEntityBlock,
     "pipe_corpus_clean"   -> pipeCorpusClean,
+    "pipe_corpus_clean_incremental" -> pipeCorpusCleanIncremental,
     "pipe_dedup_keep_best" -> pipeDedupKeepBest,
     "prof_dup_stats"      -> profDupStats,
   )
@@ -1885,6 +1968,54 @@ object DedupQueries {
            |UNION ALL SELECT 'd_lang', count(*) FROM lang_keep
            |UNION ALL SELECT 'e_quality', count(*) FROM qual_keep
            |ORDER BY 1""".stripMargin
+    },
+    // the FULL funnel's per-doc rules restricted to the ingest batch
+    // (doc_id % 5 = 0) — exactly what the incremental composition
+    // provably equals: whole-corpus digest min, min-label component
+    // keeper, langid and quality replays, verdicts as 0/1 ints.
+    "pipe_corpus_clean_incremental" -> {
+      import graft.functions.TextFunctions._
+      componentsCompSql +
+        s""",
+           |exact_mn AS (
+           |  SELECT md5(text) AS h, min(doc_id) AS mn
+           |  FROM documents GROUP BY 1),
+           |lang_scored AS (
+           |  SELECT doc_id, lang,
+           |    ${TextQueries.sw(EN_STOP)} AS s_en, ${TextQueries.sw(ES_STOP)} AS s_es,
+           |    ${TextQueries.sw(DE_STOP)} AS s_de, ${TextQueries.sw(FR_STOP)} AS s_fr,
+           |    ${TextQueries.sw(ZH_STOP)} AS s_zh
+           |  FROM documents),
+           |pl AS (
+           |  SELECT doc_id, lang, CASE
+           |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           |    WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |    WHEN s_fr >= s_zh THEN 'fr'
+           |    ELSE 'zh' END AS predicted_lang
+           |  FROM lang_scored),
+           |$qualCteSql
+           |SELECT d.doc_id,
+           |  CAST(CASE WHEN d.doc_id = m.mn THEN 1 ELSE 0 END AS INT)
+           |    AS exact_keep,
+           |  CAST(CASE WHEN d.doc_id = m.mn
+           |    AND (c.doc_id IS NULL OR c.component_id = d.doc_id)
+           |    THEN 1 ELSE 0 END AS INT) AS near_keep,
+           |  CAST(CASE WHEN pl.predicted_lang = pl.lang THEN 1 ELSE 0 END
+           |    AS INT) AS lang_ok,
+           |  CAST(CASE WHEN q.quality_score >= 0.5 THEN 1 ELSE 0 END AS INT)
+           |    AS qual_ok,
+           |  CAST(CASE WHEN d.doc_id = m.mn
+           |    AND (c.doc_id IS NULL OR c.component_id = d.doc_id)
+           |    AND pl.predicted_lang = pl.lang AND q.quality_score >= 0.5
+           |    THEN 1 ELSE 0 END AS INT) AS admitted
+           |FROM documents d
+           |JOIN exact_mn m ON md5(d.text) = m.h
+           |LEFT JOIN comp c ON d.doc_id = c.doc_id
+           |JOIN pl ON pl.doc_id = d.doc_id
+           |JOIN qual q ON q.doc_id = d.doc_id
+           |WHERE d.doc_id % 5 = 0
+           |ORDER BY d.doc_id""".stripMargin
     },
     "pipe_dedup_keep_best" ->
       (componentsCompSql +

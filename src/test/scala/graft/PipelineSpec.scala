@@ -243,6 +243,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(docs.repartition(7)) == got, "partition-variant statistics")
   }
 
+  test("incremental corpus-clean funnel: == the full per-doc funnel " +
+    "restricted to batch docs on the real corpus (independently " +
+    "recomputed); planted fixture pins exact-vs-existing, " +
+    "exact-in-batch, and near-dup-of-existing verdicts") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val D = operators.DedupQueries
+    val T = operators.TextQueries
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5))).toSeq
+    // real corpus: independent whole-corpus per-doc funnel, restricted
+    val docs = Tables.documents(spark, sf)
+    val t = tokens(col("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h"))
+    def asInt(c: org.apache.spark.sql.Column) = when(c, 1).otherwise(0)
+    val labels = D.componentsOf(
+      D.ngramJaccardOn(docs).select(col("doc_a"), col("doc_b")), 2000000L)
+    val expected = rows(docs.select(col("doc_id"),
+        md5(col("text")).as("h"),
+        (T.predictedLangCol(t) === col("lang")).as("lang_ok"),
+        (T.qualityScoreCol(col("text"), t) >= 0.5).as("qual_ok"))
+      .withColumn("exact_b",
+        col("doc_id") === min(col("doc_id")).over(w))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("near_b", col("exact_b") &&
+        (col("component_id").isNull || col("component_id") === col("doc_id")))
+      .where(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), asInt(col("exact_b")).as("exact_keep"),
+        asInt(col("near_b")).as("near_keep"),
+        asInt(col("lang_ok")).as("lang_ok"),
+        asInt(col("qual_ok")).as("qual_ok"),
+        asInt(col("near_b") && col("lang_ok") && col("qual_ok"))
+          .as("admitted"))
+      .orderBy(col("doc_id")))
+    assert(rows(D.incrementalCorpusCleanOn(docs)) == expected,
+      "incremental funnel != full per-doc funnel restricted to the batch")
+    // planted fixture: the dedup verdicts
+    def doc(id: Long, text: String) =
+      (id, text, "en", text.length.toLong)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = shared + " lambda" // high-Jaccard neighbor of doc 2
+    val planted = Seq(
+      doc(1L, "the quick brown fox jumps over the lazy dog again"),
+      doc(2L, shared),
+      doc(5L, "the quick brown fox jumps over the lazy dog again"), // = doc 1
+      doc(10L, near),                       // near-dup of existing 2
+      doc(15L, "completely original content words here one"),
+      doc(25L, "completely original content words here one"),  // = 15 in-batch
+      doc(20L, "unique clean brand new writing nothing shared")
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val got = rows(D.incrementalCorpusCleanOn(planted))
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(5L) == ((0, 0)), s"dup-of-existing not blocked: $got")
+    assert(got(10L)._1 == 1 && got(10L)._2 == 0,
+      s"near-dup-of-existing not blocked at the near stage: $got")
+    assert(got(15L) == ((1, 1)), s"in-batch keeper blocked: $got")
+    assert(got(25L) == ((0, 0)), s"in-batch later dup admitted: $got")
+    assert(got(20L) == ((1, 1)), s"clean doc blocked: $got")
+  }
+
   test("incremental embedding admission: cross-batch exact copy flagged " +
     "as 'corpus' at cosine 1.0, in-batch copy pair points the later " +
     "vector at the earlier one, below-threshold vector stays silent; " +
