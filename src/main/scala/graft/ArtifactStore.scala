@@ -127,14 +127,31 @@ object ArtifactStore {
     * sweeps the dead corpus version's DELTAS (prune keys extending the
     * base's with a `--tag`): a delta can never be served against a
     * different base fingerprint anyway, so once its base version is
-    * superseded it is garbage. (A concurrent process still reading a
-    * pruned version would have to re-derive — acceptable in this
-    * single-host environment, and impossible to hit for a corpus that
-    * no longer exists on disk. If runs ever share the store across
-    * hosts, rename-then-delete or a startup sweep replaces this.) */
+    * superseded it is garbage.
+    *
+    * Prune order is RENAME-then-delete (round-12, the r11 advice): the
+    * stale version is first atomically renamed to a dot-prefixed trash
+    * name — invisible to [[pruneKeyOf]] listings and to [[deltasOf]],
+    * and on POSIX any file a concurrent reader already has OPEN stays
+    * readable through the rename/unlink — then deleted. A reader that
+    * has only LISTED the dir but not yet opened the parquet can still
+    * lose the race and re-derive; with a cross-host shared store a
+    * startup sweep of aged trash would replace the immediate delete.
+    * Trash left by a crash between rename and delete is swept on the
+    * next prune of the same directory. */
   private def pruneSiblings(path: String): Unit = {
     val f = new java.io.File(path)
     val parent = f.getParentFile
+    def trashThenDelete(s: java.io.File): Unit = {
+      val trash = new java.io.File(parent, s".trash-${s.getName}")
+      val target = if (s.renameTo(trash)) trash else s
+      org.apache.commons.io.FileUtils.deleteQuietly(target)
+    }
+    // sweep crash-orphaned trash first (rename succeeded, delete never ran)
+    for {
+      sibs <- Option(parent.listFiles()).toSeq
+      s <- sibs if s.getName.startsWith(".trash-")
+    } org.apache.commons.io.FileUtils.deleteQuietly(s)
     for {
       key <- pruneKeyOf(f.getName)
       sibs <- Option(parent.listFiles())
@@ -143,7 +160,7 @@ object ArtifactStore {
       if s.getName != f.getName &&
         (sKey == key || (!key.contains("--") && sKey.startsWith(key + "--")))
       if !s.getName.startsWith(f.getName + "--") // never this version's own deltas
-    } org.apache.commons.io.FileUtils.deleteQuietly(s)
+    } trashThenDelete(s)
   }
 
   private def write(path: String, content: String): Unit =
