@@ -404,6 +404,38 @@ object EventStreams {
       .withColumn("text_hash", md5(col("text")))
       .join(existingDigests, Seq("text_hash"), "left_anti")
 
+  /** Streaming corpus-clean admission — the stream form of
+    * `pipe_corpus_clean_incremental`'s STATELESS stages: each arriving
+    * doc gets ONE verdict row (doc_id, exact_ok, lang_ok, qual_ok, 0/1
+    * ints matching the batch funnel's encoding) from row-local scoring
+    * plus a stream-static left join against the corpus's distinct
+    * digest set (1:1 after distinct, so the stream stays append-mode
+    * stateless — an anti join would FILTER admitted docs, a left join
+    * REPORTS the verdict, which is what an admission log wants). The
+    * near-dup stage is deliberately not folded in: its band probe is
+    * multi-row per doc and re-aggregating per doc would force stateful
+    * aggregation — compose this stream with
+    * [[incrementalNearStreamAppend]] (its matches BLOCK the docs they
+    * name) and `dropDuplicatesWithinWatermark` for in-stream repeats,
+    * exactly as the batch funnel composes its stages. StreamMlSpec
+    * pins stream verdicts ≡ the batch funnel's per-doc flags on a
+    * planted fixture. */
+  def corpusCleanStreamAppend(docs: DataFrame,
+      existingDigests: DataFrame): DataFrame = {
+    import graft.operators.{TextQueries => T}
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    def asInt(c: org.apache.spark.sql.Column) = when(c, 1).otherwise(0)
+    docs.select(col("doc_id"), md5(col("text")).as("text_hash"),
+        (T.predictedLangCol(t) === col("lang")).as("l_ok"),
+        (T.qualityScoreCol(col("text"), t) >= 0.5).as("q_ok"))
+      .join(existingDigests.select(col("text_hash")).distinct()
+        .withColumn("__hit", lit(1)), Seq("text_hash"), "left")
+      .select(col("doc_id"),
+        asInt(col("__hit").isNull).as("exact_ok"),
+        asInt(col("l_ok")).as("lang_ok"),
+        asInt(col("q_ok")).as("qual_ok"))
+  }
+
   /** Streaming NEAR-dup admission — the stream form of
     * `dedup_incremental_near`, the sibling of
     * [[incrementalDedupStreamAppend]]'s digest anti-join: each

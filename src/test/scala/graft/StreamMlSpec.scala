@@ -446,6 +446,51 @@ class StreamMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus-clean admission: per-doc stream verdicts == the " +
+    "batch funnel's stateless flags (exact-vs-corpus, langid, quality) " +
+    "on a planted fixture; the stream REPORTS rather than filters") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val existing = Seq(
+      (1L, "the and of to in that it was for on", "en"),
+      (2L, "shared corpus content here words tokens", "en"))
+      .toDF("doc_id", "text", "lang")
+    val incoming = Seq(
+      (5L, "the and of to in that it was for on", "en"),   // = doc 1: blocked
+      (10L, "el la de que en los se del las por", "en"),    // es text: lang 0
+      (15L, "fresh original prose with the and of to in many words", "en"))
+    import org.apache.spark.sql.functions.{md5, length}
+    val digests = existing.select(md5($"text").as("text_hash"))
+    val src = MemoryStream[(Long, String, String)]
+    val q = streaming.EventStreams.corpusCleanStreamAppend(
+        src.toDF.toDF("doc_id", "text", "lang"), digests)
+      .writeStream.format("memory").queryName("ccadm_sink")
+      .outputMode("append").start()
+    try {
+      src.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("ccadm_sink").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+        .toMap
+      assert(got.keySet == Set(5L, 10L, 15L),
+        s"stream filtered instead of reporting: $got")
+      assert(got(5L)._1 == 0, s"corpus duplicate not flagged: $got")
+      assert(got(15L)._1 == 1, s"fresh doc flagged as dup: $got")
+      assert(got(10L)._2 == 0, s"Spanish text passed the en lang gate: $got")
+      // the stateless flags equal the BATCH funnel's on the same docs
+      // (single-copy digests, so corpus-only exact == full exact rule)
+      val D = operators.DedupQueries
+      val all = existing.unionByName(incoming.toDF("doc_id", "text", "lang"))
+        .withColumn("n_chars", length($"text").cast("long"))
+      val batch = D.incrementalCorpusCleanOn(all).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(3), r.getInt(4))))
+        .toMap
+      assert(got == batch,
+        s"stream verdicts $got != batch funnel flags $batch")
+    } finally q.stop()
+  }
+
   test("streaming NEAR-dup admission: in-flight row-local signatures == " +
     "the batch aggregate's; stream-static band-store probe + Jaccard " +
     "verify reproduces the batch operator's corpus matches") {
