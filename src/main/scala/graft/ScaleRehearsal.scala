@@ -371,7 +371,60 @@ object ScaleRehearsal {
           s""""existing_ratio":${j(nEx.toDouble / base._2)},""" +
           s""""cand_ratio":${j(candRatio)}}"""
       }.mkString(",")
-      s""","incremental":{"dedup_simhash_incremental":{$perScale}}"""
+
+      // the VECTOR family's admission, same protocol: a fixed batch of
+      // vectors (a fresh sign/permutation replica, ids on multiples of
+      // 5) admitted against a growing corpus whose signature postings
+      // are persisted parquet; width = sigBitsFor(total) per scale, the
+      // serving-path rule. The design bound differs from the hamming
+      // family's: 2^bits ≈ √n buckets per table, so expected collisions
+      // per batch vector grow ∝ √n — candidates should grow SUB-LINEAR
+      // in corpus size (≈ ×10 at existing ×100), tracked against
+      // out_matches (the replica model's cross-replica cosine tail at
+      // the fixture-calibrated 0.3 threshold is real output, which also
+      // grows with the corpus).
+      val embBatch = embReplica(Tables.embeddings(spark, baseDir), 999)
+        .withColumn("vec_id", col("vec_id") * 5)
+        .select(col("vec_id"), col("embedding"))
+      val nEmbBatch = embBatch.count()
+      val embRows = for (k <- adaptiveScales) yield {
+        val dir = s"$outRoot/x$k"
+        val existing = Tables.embeddings(spark, dir)
+          .where(pmod(col("vec_id"), lit(5)) =!= 0)
+          .select(col("vec_id"), col("embedding"))
+        val nEx = existing.count()
+        val bits = S.sigBitsFor(nEx + nEmbBatch)
+        def vecs(df: DataFrame) = df.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("vec"))
+        val dim = vecs(existing).select(size(col("vec"))).head.getInt(0)
+        val postPath = s"$dir/emb_sig_postings.parquet"
+        S.embSigsOf(vecs(existing), bits, dim)
+          .write.mode("overwrite").parquet(postPath)
+        val allVecs = vecs(existing.unionByName(embBatch))
+        def admissionSigs = spark.read.parquet(postPath).unionByName(
+          S.embSigsOf(vecs(embBatch), bits, dim))
+        S.incrementalEmbOfSigs(admissionSigs, allVecs).count() // warm
+        val t0 = System.nanoTime()
+        val outN = S.incrementalEmbOfSigs(admissionSigs, allVecs).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val candN = S.incrementalEmbCandidates(admissionSigs).count()
+        System.err.println(
+          s"[scale] dedup_embedding_incremental x$k: existing=$nEx " +
+            s"batch=$nEmbBatch cand=$candN out=$outN sec=${j(sec)}")
+        (k, nEx, candN, outN, sec)
+      }
+      val embBase = embRows.head
+      val embPerScale = embRows.map { case (k, nEx, cand, out, sec) =>
+        val candRatio =
+          if (embBase._3 == 0) 0.0 else cand.toDouble / embBase._3
+        s""""x$k":{"n_existing":$nEx,"n_batch":$nEmbBatch,""" +
+          s""""candidates":$cand,"out_matches":$out,"sec":${j(sec)},""" +
+          s""""existing_ratio":${j(nEx.toDouble / embBase._2)},""" +
+          s""""cand_ratio":${j(candRatio)}}"""
+      }.mkString(",")
+
+      s""","incremental":{"dedup_simhash_incremental":{$perScale},""" +
+        s""""dedup_embedding_incremental":{$embPerScale}}"""
     }
 
     val line =

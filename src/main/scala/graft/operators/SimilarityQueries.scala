@@ -452,7 +452,7 @@ object SimilarityQueries {
   /** (vec_id, table_id, sig) LSH signature postings of a vector frame
     * at a FIXED signature width — the row-local projection both the
     * full dedup and the incremental admission derive from. */
-  private def embSigsOf(emb: DataFrame, bits: Int, dim: Int): DataFrame =
+  private[graft] def embSigsOf(emb: DataFrame, bits: Int, dim: Int): DataFrame =
     emb.select(col("vec_id"),
       posexplode(array((0 until DedupTables).map(t =>
         signatureOf(t, col("vec"), bits, dim)): _*)).as(Seq("table_id", "sig")))
@@ -532,6 +532,22 @@ object SimilarityQueries {
         Tables.round6(cosine_similarity(col("va"), col("vb"))).as("cos_sim"))
       .where(col("cos_sim") >= 0.3)
       .orderBy(col("vec_id"), col("match_src"), col("match_id"))
+  }
+
+  /** The PRE-verify candidate frame of [[incrementalEmbOfSigs]] — the
+    * blocked admission volume the scale rehearsal measures
+    * (batch→corpus probes + in-batch pairs, distinct). */
+  private[graft] def incrementalEmbCandidates(sigs: DataFrame): DataFrame = {
+    val inS = sigs.where(isIngestBatchVec)
+    val exS = sigs.where(!isIngestBatchVec)
+    val onKeys = col("a.table_id") === col("b.table_id") &&
+      col("a.sig") === col("b.sig")
+    inS.as("a").join(exS.as("b"), onKeys)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("match_id"))
+      .unionByName(inS.as("a").join(inS.as("b"),
+          onKeys && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("match_id")))
+      .distinct()
   }
 
   /** [[dedupEmbIncremental]] over an explicit (vec_id, embedding)
