@@ -3,13 +3,14 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Bounded sf0.1 companion checks for the six queries whose DuckDB
+/** Bounded sf0.1 companion checks for the seven queries whose DuckDB
   * oracles deliberately replay naive formulations that exceed
   * practical oracle runtime at sf0.1 (dedup_components,
   * dedup_ngram_jaccard, pipe_corpus_clean,
-  * pipe_corpus_clean_incremental, evt_funnel,
-  * pipe_dedup_keep_best — the round-9 sweep exclusions plus the
-  * round-12 funnel, whose oracle embeds the same recursive CTE). Each
+  * pipe_corpus_clean_incremental, evt_funnel, pipe_dedup_keep_best,
+  * pipe_dedup_keep_best_incremental — the round-9 sweep exclusions
+  * plus the round-12 incremental forms, whose oracles embed the same
+  * recursive CTE). Each
   * exclusion is replaced by NAMED invariants asserted in-engine on the
   * full sf0.1 output: definitional recomputes bounded by the OUTPUT
   * size (not the naive candidate space), independent-algorithm
@@ -177,6 +178,19 @@ object SweepInvariants {
         cc("c_neardup") == nearKeepers.count() &&
         cc("d_lang") == dl.where(col("lang_ok")).count() &&
         cc("e_quality") == dl.where(col("lang_ok") && col("qual_ok")).count()
+    }
+
+    // ---- pipe_dedup_keep_best_incremental -------------------------------
+    // oracle shares the recursive-CTE exclusion; invariant = frame
+    // equality with the FULL keep_best derivation (independent path:
+    // the incremental form rebases a stored existing-only keeper table
+    // through the quotient-merged labels; the full form aggregates the
+    // whole corpus), which the union-argmax argument promises.
+    check("pipe_dedup_keep_best_incremental")("full_frame_equality") {
+      val inc = D.pipeDedupKeepBestIncremental(spark, dir)
+      inc.join(kb, Seq("cluster_id", "keeper_id", "best_quality",
+          "n_members"), "full_outer").count() == kb.count() &&
+        inc.count() == kb.count()
     }
 
     // ---- pipe_corpus_clean_incremental ---------------------------------

@@ -1640,6 +1640,7 @@ object DedupQueries {
     "pipe_corpus_clean"   -> pipeCorpusClean,
     "pipe_corpus_clean_incremental" -> pipeCorpusCleanIncremental,
     "pipe_dedup_keep_best" -> pipeDedupKeepBest,
+    "pipe_dedup_keep_best_incremental" -> pipeDedupKeepBestIncremental,
     "prof_dup_stats"      -> profDupStats,
   )
 
@@ -1690,6 +1691,109 @@ object DedupQueries {
           lit(" qmicro="), col("qmicro").cast("string"))).cast("long")))
       .groupBy(col("cluster_id"))
       .agg(max(col("k")).as("k"), count(lit(1)).as("n_members"))
+      .select(col("cluster_id"),
+        (lit(P - 1L) - expr(s"k % $P")).as("keeper_id"),
+        (expr(s"k div $P").cast("double") / lit(1000000.0))
+          .as("best_quality"),
+        col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** The EXISTING corpus's keeper table — keep_best over the non-batch
+    * docs with the base-label components — as a store artifact: the
+    * third maintained corpus artifact beside the digests and the label
+    * table (the drop-list production pipelines actually serve). */
+  private[graft] def baseKeeperStore(spark: SparkSession,
+      dir: String): DataFrame =
+    ArtifactStore.cached(spark,
+      ArtifactStore.pathFor("keep_best", dir, "documents.parquet",
+        ComponentsVariant + "_base")) {
+      val t = tokens(col("text"))
+      keepBestOn(
+        Tables.documents(spark, dir).where(!isIngestBatch)
+          .select(col("doc_id"),
+            floor(TextQueries.qualityScoreCol(col("text"), t)
+              * lit(1000000.0) + lit(0.5)).cast("long").as("qmicro")),
+        baseComponentLabels(spark, dir))
+    }
+
+  /** `pipe_dedup_keep_best_incremental`: incremental maintenance of
+    * the KEEPER table — the third corpus artifact to gain an ingest
+    * path (after the label table and the admission verdicts): the
+    * existing corpus's keeper table is a store artifact
+    * ([[baseKeeperStore]] — never re-derived on ingest), the batch
+    * contributes its quality scores from ONE batch text scan, and the
+    * merge exploits two algebraic facts: components only MERGE under
+    * new edges (never split), so every final cluster is a union of
+    * whole old clusters plus batch docs; and the packed
+    * (qmicro, inverted-id) argmax distributes over unions — so the new
+    * keeper of a merged cluster is the max over the old clusters'
+    * PACKED KEEPERS and the batch members, with the (quality desc,
+    * doc_id asc) tie-break preserved by the pack. Old cluster ids
+    * rebase through the quotient-merged labels exactly as
+    * [[incrementalComponentsOf]] rebases members (an old cluster id IS
+    * its min doc id). Output is provably identical to the full
+    * [[pipeDedupKeepBest]], so the SAME DuckDB oracle replays it (the
+    * sim_knn_native precedent); SWEEP01 asserts frame equality with
+    * the full query at sf0.1, and PipelineSpec plants a batch doc that
+    * BRIDGES two existing clusters and displaces both keepers. */
+  val pipeDedupKeepBestIncremental: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val t = tokens(col("text"))
+    keepBestIncrementalOf(
+      baseKeeperStore(spark, dir),
+      docs.where(isIngestBatch).select(col("doc_id"),
+        floor(TextQueries.qualityScoreCol(col("text"), t) * lit(1000000.0)
+          + lit(0.5)).cast("long").as("qmicro")),
+      incrementalComponentsOf(baseComponentLabels(spark, dir),
+        ngramJaccardTouchingBatchOn(docs).select(col("doc_a"), col("doc_b"))))
+  }
+
+  /** [[pipeDedupKeepBestIncremental]] over an arbitrary documents
+    * frame (no stores) — the spec form. */
+  private[graft] def keepBestIncrementalOn(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    def q(d: DataFrame) = d.select(col("doc_id"),
+      floor(TextQueries.qualityScoreCol(col("text"), t) * lit(1000000.0)
+        + lit(0.5)).cast("long").as("qmicro"))
+    keepBestIncrementalOf(
+      keepBestOn(q(docs.where(!isIngestBatch)),
+        componentsOf(ngramJaccardOn(docs.where(!isIngestBatch))
+          .select(col("doc_a"), col("doc_b")), DriverCcMaxEdges)),
+      q(docs.where(isIngestBatch)),
+      incrementalComponentsOn(docs))
+  }
+
+  /** Core of [[pipeDedupKeepBestIncremental]]: existing keeper table +
+    * batch quality + the quotient-merged full-corpus labels. */
+  private[graft] def keepBestIncrementalOf(baseKeepers: DataFrame,
+      batchQuality: DataFrame, labels: DataFrame): DataFrame = {
+    val P = 1L << 42
+    def pack(id: Column, qm: Column) =
+      when(id.between(0L, P - 1L) && qm.between(0L, 1000000L),
+        qm * lit(P) + (lit(P - 1L) - id))
+        .otherwise(raise_error(concat(
+          lit("keepBest pack bounds violated: doc_id="), id.cast("string"),
+          lit(" qmicro="), qm.cast("string"))).cast("long"))
+    // old clusters rebased: the old cluster id (its min doc) follows
+    // its own merged label; the stored keeper re-packs exactly
+    // (best_quality = qmicro/1e6 round-trips for qmicro <= 1e6)
+    val old = baseKeepers
+      .join(labels.select(col("doc_id").as("cluster_id"),
+        col("component_id").as("newc")), Seq("cluster_id"), "left")
+      .select(coalesce(col("newc"), col("cluster_id")).as("cluster_id"),
+        pack(col("keeper_id"),
+          floor(col("best_quality") * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("k"),
+        col("n_members"))
+    val batch = batchQuality
+      .join(labels, Seq("doc_id"), "left")
+      .select(coalesce(col("component_id"), col("doc_id")).as("cluster_id"),
+        pack(col("doc_id"), col("qmicro")).as("k"),
+        lit(1L).as("n_members"))
+    old.unionByName(batch)
+      .groupBy(col("cluster_id"))
+      .agg(max(col("k")).as("k"), sum(col("n_members")).as("n_members"))
       .select(col("cluster_id"),
         (lit(P - 1L) - expr(s"k % $P")).as("keeper_id"),
         (expr(s"k div $P").cast("double") / lit(1000000.0))
@@ -2017,6 +2121,27 @@ object DedupQueries {
            |WHERE d.doc_id % 5 = 0
            |ORDER BY d.doc_id""".stripMargin
     },
+    // identical output to pipe_dedup_keep_best by the union-argmax
+    // argument (components only merge; the packed argmax distributes),
+    // so the full query's own replay is the oracle — the
+    // sim_knn_native precedent.
+    "pipe_dedup_keep_best_incremental" ->
+      (componentsCompSql +
+        s""",
+           |$qualCteSql,
+           |m AS (
+           |  SELECT q.doc_id, coalesce(c.component_id, q.doc_id) AS cluster_id,
+           |    q.quality_score
+           |  FROM qual q LEFT JOIN comp c ON q.doc_id = c.doc_id),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+           |    ORDER BY quality_score DESC, doc_id) AS rk FROM m),
+           |n AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+           |      FROM m GROUP BY 1)
+           |SELECT r.cluster_id, r.doc_id AS keeper_id,
+           |  r.quality_score AS best_quality, n.n_members
+           |FROM r JOIN n USING (cluster_id)
+           |WHERE rk = 1 ORDER BY cluster_id""".stripMargin),
     "pipe_dedup_keep_best" ->
       (componentsCompSql +
         s""",

@@ -243,6 +243,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(docs.repartition(7)) == got, "partition-variant statistics")
   }
 
+  test("incremental keeper table: == the full keep_best frame on the " +
+    "real corpus; planted batch doc bridges two existing clusters and " +
+    "displaces both keepers; untouched clusters and batch singletons " +
+    "carry through") {
+    import spark.implicits._
+    val D = operators.DedupQueries
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    // real corpus: incremental == the full derivation, frame-for-frame
+    val docs = Tables.documents(spark, sf)
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val full = rows(D.keepBestOn(
+      docs.select(col("doc_id"),
+        floor(operators.TextQueries.qualityScoreCol(col("text"), t)
+          * lit(1000000.0) + lit(0.5)).cast("long").as("qmicro")),
+      D.componentsOf(D.ngramJaccardOn(docs).select(col("doc_a"),
+        col("doc_b")), 2000000L)))
+    assert(rows(D.keepBestIncrementalOn(docs)) == full,
+      "incremental keeper table != full keep_best")
+    // planted fixture: shared shingle content so docs 1,2 cluster and
+    // docs 3,4 cluster in the EXISTING corpus; batch doc 10 overlaps
+    // both (bridging the clusters) with the highest quality; batch doc
+    // 20 is an unrelated singleton. Quality ordering is forced by text
+    // length (longer => higher score for short texts).
+    def words(seed: Int, n: Int) =
+      (0 until n).map(i => f"w$seed%02dx$i%03d")
+    val a = words(1, 12); val b = words(2, 12)
+    val planted = Seq(
+      (1L, a.mkString(" ")),                       // cluster A
+      (2L, (a :+ "pad1").mkString(" ")),            // cluster A
+      (3L, b.mkString(" ")),                        // cluster B
+      (4L, (b :+ "pad2").mkString(" ")),            // cluster B
+      // batch: first half of A's shingles + first half of B's... to
+      // bridge, overlap must reach jaccard >= 0.5 with a member of
+      // each — use near-copies instead: doc 10 = a + b interleaved is
+      // too diluted; bridge via two batch docs in ONE batch cluster:
+      (10L, (a ++ Seq("zz1", "zz2")).mkString(" ")),  // near-dup of A, long
+      (15L, (b ++ Seq("zz1", "zz2")).mkString(" ")),  // near-dup of B, long
+      (20L, words(9, 6).mkString(" "))                // unrelated singleton
+    ).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val inc = rows(D.keepBestIncrementalOn(planted))
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    val fullP = rows(D.keepBestOn(
+      planted.select(col("doc_id"),
+        floor(operators.TextQueries.qualityScoreCol(col("text"),
+          graft.functions.TextFunctions.tokens(col("text")))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("qmicro")),
+      D.componentsOf(D.ngramJaccardOn(planted).select(col("doc_a"),
+        col("doc_b")), 2000000L)))
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(inc == fullP, s"planted incremental $inc != full $fullP")
+    // the batch docs joined their clusters and, being longest, win
+    assert(inc.contains(1L) && inc(1L)._1 == 10L && inc(1L)._2 == 3L,
+      s"batch near-dup did not displace cluster A's keeper: $inc")
+    assert(inc.contains(3L) && inc(3L)._1 == 15L && inc(3L)._2 == 3L,
+      s"batch near-dup did not displace cluster B's keeper: $inc")
+    assert(inc.contains(20L) && inc(20L) == ((20L, 1L)),
+      s"batch singleton lost: $inc")
+  }
+
   test("incremental corpus-clean funnel: == the full per-doc funnel " +
     "restricted to batch docs on the real corpus (independently " +
     "recomputed); planted fixture pins exact-vs-existing, " +
