@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Corpus-derived artifact persistence — the ModelStore pattern
-  * generalized (round 10), with an APPEND path (round 11) and CHAIN
-  * COMPACTION (round 12). A production pipeline does not re-derive
+  * generalized (round 10), with an APPEND path (round 11), CHAIN
+  * COMPACTION (round 12), and VERSIONED DATA DIRS behind an atomic
+  * state flip (round 13). A production pipeline does not re-derive
   * corpus-level artifacts (the BPE vocabulary, the dup-graph label
   * table, the LSH band-posting index) on every query that consumes
   * them: it materializes each once per corpus version and maintains it
@@ -20,15 +21,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    be fingerprinted (missing/renamed parquet) makes the key
   *    UNCACHEABLE — it is never saved and never served, instead of
   *    sharing a sentinel key with every other broken probe;
-  *  - the completion marker is written LAST — after the parquet, the
-  *    row-count metadata, and (for deltas) the lineage pointer — so a
-  *    crash mid-save never looks like a complete artifact (round-11
-  *    advice: the pointer used to be written AFTER the marker, leaving
-  *    a crash window where a "complete" delta had no lineage);
-  *  - each artifact carries `_GRAFT_META` with its ROW COUNT, so chain
-  *    consumers can read corpus cardinality (base + deltas) from
-  *    store metadata at plan time — no count job, no probe stage in
-  *    the serving plan (the adaptive pigeonhole level source);
+  *  - each artifact's parquet lives in a VERSIONED data dir
+  *    (`data_vN`) named by an atomically-replaced `_GRAFT_STATE` file
+  *    that also carries the ROW COUNT and the FOLDED-TAG set — so the
+  *    data pointer, the cardinality metadata, and the fold record can
+  *    never disagree (they change in one rename), and a rewrite (save
+  *    or compaction) leaves the PREVIOUS version fully serviceable
+  *    until the new state file lands. The row count lets chain
+  *    consumers read corpus cardinality (base + deltas) from store
+  *    metadata at plan time — no count job, no probe stage in the
+  *    serving plan (the adaptive pigeonhole level source);
+  *  - the completion marker `_GRAFT_OK` is written LAST on first save —
+  *    after the parquet, the state file, and (for deltas) the lineage
+  *    pointer — so a crash mid-save never looks like a complete
+  *    artifact; and it is NEVER removed by compaction (round-13
+  *    advice: the r12 compactor invalidated the marker across the
+  *    data-dir swap, so a crash in that window demoted the base to
+  *    "incomplete" and recovery re-derived it WITHOUT the rows of
+  *    batches folded by earlier successful compactions — silent row
+  *    loss; with the state-file flip there is no such window: every
+  *    instant serves either the complete old chain or the complete new
+  *    base);
   *  - [[appendedCached]] chains versions: the child artifact stores
   *    ONLY the ingest batch's derived rows plus a lineage pointer to
   *    its parent; readers resolve parent ∪ delta. Staleness stays
@@ -40,9 +53,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    batches leave every consumer's plan an N-way union of small
   *    parquet reads — read amplification ∝ ingest count, the exact
   *    small-files pathology snk_compact demonstrates. Folded batch
-  *    tags are recorded in `_GRAFT_FOLDED`, so a later
+  *    tags are recorded in the state file, so a later
   *    [[appendedCached]] with a folded tag serves the compacted base
   *    directly instead of re-signing (or double-counting) the batch;
+  *  - IN-SESSION FRAME VALIDITY: a DataFrame returned by an earlier
+  *    `cached`/`appendedCached` call holds the file listing of the
+  *    data dir that was current when it was planned. A rewrite keeps
+  *    exactly ONE superseded data version on disk (GC'd by the NEXT
+  *    rewrite of the same artifact), so such a frame stays executable
+  *    across one compaction/re-save; a frame held across TWO rewrites
+  *    of the same artifact is stale and must be re-obtained (the only
+  *    invalidation this store performs — round-13 advice, now both
+  *    bounded and documented);
   *  - saving an artifact PRUNES stale siblings — same kind/source/
   *    variant, different fingerprint — so a long-lived environment does
   *    not hoard artifacts of corpora that no longer exist;
@@ -167,49 +189,123 @@ object ArtifactStore {
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       content.getBytes("UTF-8"))
 
+  /** Write-temp-then-rename — the atomic replace the state flip relies
+    * on (POSIX rename within one directory; readers see either the old
+    * or the new state file in full, never a torn or absent one). */
+  private def atomicWrite(path: String, content: String): Unit = {
+    val tmp = java.nio.file.Paths.get(s"$path.tmp")
+    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def deleteIfExists(path: String): Unit =
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
 
-  /** Persist `df` as a complete artifact at `path`. Write order is the
-    * crash invariant: parquet → row-count metadata → lineage pointer
-    * (deltas only) → completion marker LAST. Any prior completion
-    * marker (and folded-tag record) is cleared FIRST, so a re-save
-    * over a partially-compacted or stale dir can never expose a
-    * "complete" artifact mid-write — and a fresh base derivation
-    * always starts with a clean folded-tag slate (its deltas, if any
-    * survive, resolve by lineage pointer as usual). */
+  private def readFile(path: String): Option[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    else None
+  }
+
+  // ---- the state file -------------------------------------------------
+
+  /** The artifact's mutable state, changed only by whole-file atomic
+    * replace: which data dir is current, how many rows it holds, and
+    * which batch tags have been folded into it. */
+  private case class State(data: String, nRows: Long, folded: Set[String])
+
+  private def stateJson(s: State): String = {
+    val tags = s.folded.toSeq.sorted.map(t => s""""$t"""").mkString(",")
+    s"""{"data":"${s.data}","n_rows":${s.nRows},"folded":[$tags]}"""
+  }
+
+  /** Parsed `_GRAFT_STATE`, with a read-only fallback for the pre-r13
+    * layout (a fixed `data` dir + `_GRAFT_META` + `_GRAFT_FOLDED`
+    * files) so stores written by earlier rounds stay loadable. */
+  private def stateOf(path: String): Option[State] =
+    readFile(s"$path/_GRAFT_STATE").flatMap { raw =>
+      val d = "\"data\":\"([^\"]+)\"".r.findFirstMatchIn(raw).map(_.group(1))
+      val n = "\"n_rows\":(\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+      val f = "\"folded\":\\[([^\\]]*)\\]".r.findFirstMatchIn(raw)
+        .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1))
+          .map(_.group(1)).toSet)
+      for (dd <- d; nn <- n) yield State(dd, nn, f.getOrElse(Set.empty))
+    }.orElse {
+      if (!new java.io.File(s"$path/data").isDirectory) None
+      else {
+        val n = readFile(s"$path/_GRAFT_META")
+          .flatMap(m => "\"n_rows\":(\\d+)".r.findFirstMatchIn(m)
+            .map(_.group(1).toLong))
+        val folded = readFile(s"$path/_GRAFT_FOLDED").toSeq
+          .flatMap(_.split("\n")).map(_.trim).filter(_.nonEmpty).toSet
+        Some(State("data", n.getOrElse(-1L), folded))
+      }
+    }
+
+  /** Current data-dir path of an artifact — exposed for specs that
+    * assert on the physical parquet (the data dir is versioned, so its
+    * name is state, not layout). */
+  private[graft] def dataPath(path: String): String =
+    s"$path/${stateOf(path).map(_.data).getOrElse("data")}"
+
+  /** Next unused versioned data-dir name under `path` (data_v1, …):
+    * rewrites never reuse a dir a live reader may hold open. */
+  private def nextDataDir(path: String): String = {
+    val v = "^data_v(\\d+)$".r
+    val maxV = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .flatMap(f => v.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+    s"data_v${(0 +: maxV).max + 1}"
+  }
+
+  /** Delete superseded data dirs of `path`, KEEPING the current one and
+    * the immediately-previous one (`keep`): the one-generation retention
+    * that keeps frames planned before a rewrite executable (round-13
+    * advice). Also sweeps `data_compacting` leftovers from the pre-r13
+    * compactor's crash path. */
+  private def gcDataDirs(path: String, keep: Set[String]): Unit = {
+    val dataLike = "^(data|data_v\\d+|data_compacting)$".r
+    for {
+      fs <- Option(new java.io.File(path).listFiles()).toSeq
+      f <- fs
+      if dataLike.pattern.matcher(f.getName).matches && !keep(f.getName)
+    } org.apache.commons.io.FileUtils.deleteQuietly(f)
+  }
+
+  /** Persist `df` as a complete artifact at `path`. The parquet goes to
+    * a FRESH versioned data dir; write order is the crash invariant:
+    * parquet → lineage pointer (deltas only) → atomic state flip
+    * (data pointer + row count + empty folded set, one rename) →
+    * completion marker LAST. A crash at any point leaves either the
+    * previous complete artifact (state not yet flipped) or no complete
+    * artifact (fresh dir, marker never written) — never a torn one.
+    * The row count is read back from the written parquet's footers
+    * (no data scan). One superseded data version is retained for
+    * in-session readers; older ones and any legacy metadata files are
+    * swept after the flip. */
   def save(df: DataFrame, path: String,
       parentOf: Option[String] = None): Unit =
     if (!isUncacheable(path)) {
       pruneSiblings(path)
-      deleteIfExists(s"$path/_GRAFT_OK")
-      deleteIfExists(s"$path/_GRAFT_FOLDED")
-      df.write.mode("overwrite").parquet(s"$path/data")
-      writeMeta(df.sparkSession, path)
+      val prev = stateOf(path).map(_.data).toSet
+      val dv = nextDataDir(path)
+      df.write.mode("overwrite").parquet(s"$path/$dv")
+      val n = df.sparkSession.read.parquet(s"$path/$dv").count()
       parentOf.foreach(p => write(s"$path/_GRAFT_PARENT", p))
+      atomicWrite(s"$path/_GRAFT_STATE", stateJson(State(dv, n, Set.empty)))
       write(s"$path/_GRAFT_OK", "")
+      deleteIfExists(s"$path/_GRAFT_META")   // legacy layout, superseded
+      deleteIfExists(s"$path/_GRAFT_FOLDED") // by the state file
+      gcDataDirs(path, prev + dv)
     }
-
-  /** Row-count metadata of the artifact's parquet — a footer-only
-    * count (no data scan) so chain consumers can learn corpus
-    * cardinality without a probe stage in their serving plans. */
-  private def writeMeta(spark: SparkSession, path: String): Unit = {
-    val n = spark.read.parquet(s"$path/data").count()
-    write(s"$path/_GRAFT_META", s"""{"n_rows":$n}""")
-  }
 
   /** Recorded row count of one COMPLETE artifact dir. */
-  private def metaRows(path: String): Option[Long] = {
-    val p = java.nio.file.Paths.get(s"$path/_GRAFT_META")
-    if (!java.nio.file.Files.exists(p) ||
-        !java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$path/_GRAFT_OK"))) None
-    else {
-      val m = java.util.regex.Pattern.compile("\"n_rows\":(\\d+)")
-        .matcher(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-      if (m.find) Some(m.group(1).toLong) else None
-    }
-  }
+  private def metaRows(path: String): Option[Long] =
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/_GRAFT_OK"))) None
+    else stateOf(path).map(_.nRows).filter(_ >= 0)
 
   /** Total row count of the chain at `parentPath` (base + every
     * lineage-verified delta) from METADATA ALONE — no Spark job. The
@@ -231,7 +327,7 @@ object ArtifactStore {
     if (cacheDisabled || isUncacheable(path) ||
         !java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$path/_GRAFT_OK"))) None
-    else Some(spark.read.parquet(s"$path/data"))
+    else stateOf(path).map(s => spark.read.parquet(s"$path/${s.data}"))
 
   /** Load-or-derive: serve the persisted artifact when present, else
     * derive, save, and serve the RELOADED copy — the first and every
@@ -249,12 +345,8 @@ object ArtifactStore {
   /** The lineage pointer a delta artifact carries: its parent's
     * basename. A delta whose pointer does not match the parent it is
     * being resolved against is not served (hand-moved store dirs). */
-  private def parentPointer(childPath: String): Option[String] = {
-    val p = java.nio.file.Paths.get(s"$childPath/_GRAFT_PARENT")
-    if (java.nio.file.Files.exists(p))
-      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-    else None
-  }
+  private def parentPointer(childPath: String): Option[String] =
+    readFile(s"$childPath/_GRAFT_PARENT")
 
   /** Batch tag of a delta dir relative to its parent's basename. */
   private def tagOf(parentName: String, deltaName: String): String =
@@ -263,19 +355,15 @@ object ArtifactStore {
   /** Tags already folded into the base by [[compactChain]] — their
     * delta dirs are gone (or garbage awaiting sweep) and their rows
     * live in the base parquet. */
-  private[graft] def foldedTags(parentPath: String): Set[String] = {
-    val p = java.nio.file.Paths.get(s"$parentPath/_GRAFT_FOLDED")
-    if (!java.nio.file.Files.exists(p)) Set.empty
-    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      .split("\n").map(_.trim).filter(_.nonEmpty).toSet
-  }
+  private[graft] def foldedTags(parentPath: String): Set[String] =
+    stateOf(parentPath).map(_.folded).getOrElse(Set.empty)
 
   /** Every completed, lineage-verified, NOT-yet-folded delta of
     * `parentPath`, sorted by directory name for a deterministic
     * resolve order (consumers aggregate, so order is semantics-free —
     * determinism is for plan stability). Folded tags are skipped even
-    * if their dir survives (a crash between the compacted base's
-    * marker and the delta sweep): their rows are already in the base. */
+    * if their dir survives (a crash between the compacted state flip
+    * and the delta sweep): their rows are already in the base. */
   private def deltasOf(parentPath: String): Seq[String] = {
     val f = new java.io.File(parentPath)
     val prefix = f.getName + "--"
@@ -292,7 +380,7 @@ object ArtifactStore {
   private def resolveChain(spark: SparkSession, parentPath: String,
       parent: DataFrame): DataFrame =
     deltasOf(parentPath).foldLeft(parent) { (acc, d) =>
-      acc.unionByName(spark.read.parquet(s"$d/data"))
+      acc.unionByName(spark.read.parquet(dataPath(d)))
     }
 
   /** Incremental maintenance — the append path the 100 TB ingest story
@@ -351,9 +439,9 @@ object ArtifactStore {
           parentOf = Some(new java.io.File(parentPath).getName))
         // auto-compaction: this append just grew the chain — if it now
         // reaches the policy length, fold it and serve the rewritten
-        // base (re-loaded: the old `parent` frame's file listing points
-        // at the swapped-out data dir). compact(chain) ≡ the resolved
-        // union bit-for-bit, so serving either form is equivalent.
+        // base (re-loaded, so the served frame reads the compacted data
+        // dir). compact(chain) ≡ the resolved union bit-for-bit, so
+        // serving either form is equivalent.
         if (autoCompactAt > 0 &&
             deltasOf(parentPath).size >= autoCompactAt &&
             compactChain(spark, parentPath))
@@ -374,15 +462,21 @@ object ArtifactStore {
     * bit-for-bit (ArtifactStoreSpec) because the resolve order is the
     * deterministic delta sort and union preserves rows exactly.
     *
-    * Crash ordering: the union is first written BESIDE the live data
-    * (`data_compacting`), then the completion marker is removed (the
-    * base is "incomplete" for the swap window — a crash here re-derives
-    * rather than serving a torn artifact, and [[save]] clears any
-    * folded record so the surviving deltas resolve by lineage as
-    * usual), the data dirs are swapped, metadata and folded tags are
-    * rewritten, the marker is restored LAST, and only then are the
-    * folded delta dirs deleted — a crash before the sweep leaves
-    * deltas that [[deltasOf]] already skips by tag.
+    * Crash ordering (round-13 advice — the r12 form removed
+    * `_GRAFT_OK` across the swap, so a crash there sent recovery down
+    * save(), losing rows of batches folded by EARLIER compactions):
+    * the union is written to a FRESH versioned data dir beside the
+    * live one, then the state file — data pointer + row count +
+    * folded-tag set, all three in one atomic rename — flips the base
+    * to the compacted form; `_GRAFT_OK` is never touched, so there is
+    * no instant at which the base is incomplete. A crash before the
+    * flip leaves the old chain fully serviceable (old data dir, old
+    * folded set, every delta dir intact — the half-written new data
+    * dir is unreferenced garbage the next rewrite GCs). Newly-folded
+    * delta dirs are RETAINED (skipped by [[deltasOf]] via their tag)
+    * and swept only by the NEXT successful compaction — the same
+    * one-generation retention as data dirs, so a chain frame planned
+    * before the fold keeps every file it listed.
     *
     * Returns true when a compaction happened; false for an empty
     * chain, a disabled cache, or an unloadable base. */
@@ -397,24 +491,26 @@ object ArtifactStore {
       case Some(parent) =>
         val parentName = new java.io.File(parentPath).getName
         val resolved = deltas.foldLeft(parent) { (acc, d) =>
-          acc.unionByName(spark.read.parquet(s"$d/data"))
+          acc.unionByName(spark.read.parquet(dataPath(d)))
         }
-        val tmp = s"$parentPath/data_compacting"
-        resolved.write.mode("overwrite").parquet(tmp)
-        deleteIfExists(s"$parentPath/_GRAFT_OK")
-        org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(s"$parentPath/data"))
-        require(new java.io.File(tmp).renameTo(
-          new java.io.File(s"$parentPath/data")),
-          s"compaction swap failed for $parentPath")
-        writeMeta(spark, parentPath)
-        val tags = (foldedTags(parentPath) ++
-          deltas.map(d => tagOf(parentName, new java.io.File(d).getName)))
-          .toSeq.sorted
-        write(s"$parentPath/_GRAFT_FOLDED", tags.mkString("\n"))
-        write(s"$parentPath/_GRAFT_OK", "")
-        deltas.foreach(d =>
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+        val prev = stateOf(parentPath).map(_.data).toSet
+        val prevFolded = foldedTags(parentPath)
+        val dv = nextDataDir(parentPath)
+        resolved.write.mode("overwrite").parquet(s"$parentPath/$dv")
+        val n = spark.read.parquet(s"$parentPath/$dv").count()
+        val tags = prevFolded ++
+          deltas.map(d => tagOf(parentName, new java.io.File(d).getName))
+        atomicWrite(s"$parentPath/_GRAFT_STATE",
+          stateJson(State(dv, n, tags)))
+        deleteIfExists(s"$parentPath/_GRAFT_META")
+        deleteIfExists(s"$parentPath/_GRAFT_FOLDED")
+        // one-generation retention: the dirs folded by THIS compaction
+        // survive (tag-skipped) for readers planned before the fold;
+        // the PREVIOUS compaction's folded dirs are now two rewrites
+        // old and are swept
+        prevFolded.foreach(t => org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(childPathFor(parentPath, t))))
+        gcDataDirs(parentPath, prev + dv)
         true
     }
   }

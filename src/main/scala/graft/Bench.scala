@@ -25,9 +25,17 @@ object Bench {
     * matching the gate battery); a warm capture is the serve-path
     * number and must be labeled as such in BENCH_NOTES. */
   private def storeState(): String = {
-    val root = new java.io.File("target/tmp/artifact_store")
-    val anyComplete = Option(root.listFiles()).toSeq.flatten
-      .exists(d => new java.io.File(d, "_GRAFT_OK").exists)
+    // BOTH persistence roots (round-13 advice: probing only
+    // artifact_store let a capture claim "cold" while pipe_bpe_train's
+    // vocabulary — target/tmp/bpe_store, marker _GRAFT_BPE_OK — served
+    // warm); "complete" = any *_OK marker under either root. The clean
+    // capture convention wipes both.
+    val roots = Seq("target/tmp/artifact_store", "target/tmp/bpe_store")
+    val anyComplete = roots.exists { r =>
+      Option(new java.io.File(r).listFiles()).toSeq.flatten.exists(d =>
+        Option(d.listFiles()).toSeq.flatten
+          .exists(f => f.getName.endsWith("_OK")))
+    }
     if (anyComplete) "warm" else "cold"
   }
 

@@ -60,8 +60,8 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(sortAll(appended) == sortAll(base.unionByName(batch)),
       "append(store(base), batch) != derive(base ∪ batch)")
     // the delta holds only the batch's rows — no base row was rewritten
-    assert(sortAll(spark.read.parquet(s"$child/data")) == sortAll(batch),
-      "delta artifact is not batch-only")
+    assert(sortAll(spark.read.parquet(ArtifactStore.dataPath(child)))
+      == sortAll(batch), "delta artifact is not batch-only")
     val ptr = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$child/_GRAFT_PARENT")), "UTF-8")
     assert(ptr == new java.io.File(parent).getName, "lineage pointer wrong")
@@ -120,11 +120,13 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(ArtifactStore.compactChain(spark, parent), "compaction refused")
     // compact(chain) == derive(full): the BASE parquet alone now holds
     // every row, bit-for-bit
-    assert(sortAll(spark.read.parquet(s"$parent/data")) == full,
+    assert(sortAll(spark.read.parquet(ArtifactStore.dataPath(parent))) == full,
       "compacted base != derive(full)")
+    // newly-folded delta dirs are RETAINED one generation (readers
+    // planned before the fold keep their files) but tag-skipped
     tags.take(2).foreach { t =>
-      assert(!new java.io.File(ArtifactStore.childPathFor(parent, t)).exists,
-        s"folded delta $t survived compaction")
+      assert(new java.io.File(ArtifactStore.childPathFor(parent, t)).exists,
+        s"freshly-folded delta $t swept before the next compaction")
     }
     assert(ArtifactStore.foldedTags(parent) == Set("b1", "b2"))
     assert(ArtifactStore.storedRowCount(parent).contains(5L),
@@ -143,9 +145,14 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(sortAll(extended) == full3)
     assert(ArtifactStore.storedRowCount(parent).contains(6L))
     assert(ArtifactStore.compactChain(spark, parent))
-    assert(sortAll(spark.read.parquet(s"$parent/data")) == full3,
+    assert(sortAll(spark.read.parquet(ArtifactStore.dataPath(parent))) == full3,
       "second compaction != derive(full)")
     assert(ArtifactStore.foldedTags(parent) == Set("b1", "b2", "b3"))
+    // the SECOND compaction sweeps the previous generation's folded dirs
+    tags.take(2).foreach { t =>
+      assert(!new java.io.File(ArtifactStore.childPathFor(parent, t)).exists,
+        s"two-generations-old folded delta $t not swept")
+    }
     // an empty chain is a no-op
     assert(!ArtifactStore.compactChain(spark, parent))
     rmStore(parent)
@@ -184,10 +191,6 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(sortAll(served) == full, "auto-compacted serve != derive(full)")
     assert(ArtifactStore.foldedTags(parent) == Set("a1", "a2"),
       "threshold append did not fold the chain")
-    tags.take(2).foreach { t =>
-      assert(!new java.io.File(ArtifactStore.childPathFor(parent, t)).exists,
-        s"folded delta $t survived auto-compaction")
-    }
     // read amplification removed: a subsequent reader resolves to ONE
     // parquet location — no Union of base + delta reads in the plan
     val reader = ArtifactStore.appendedCached(spark, parent, "a1",
@@ -197,6 +200,63 @@ class ArtifactStoreSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.FormattedMode)
     assert(!plan.contains("Union"),
       s"post-compaction reader still unions delta reads:\n$plan")
+    rmStore(parent)
+    tags.foreach(t => rmStore(ArtifactStore.childPathFor(parent, t)))
+  }
+
+  test("compaction crash safety: the base is COMPLETE at every instant " +
+    "(_GRAFT_OK survives the rewrite), a crash before the state flip " +
+    "leaves the old chain fully serviceable including previously-folded " +
+    "rows, and a frame planned before a compaction stays executable " +
+    "after it (one-generation data-dir retention)") {
+    import spark.implicits._
+    val root = "target/tmp/test_artifact_store"
+    val parent = s"$root/crash_src_v1_dddddddddddd"
+    val tags = Seq("c1", "c2")
+    rmStore(parent)
+    tags.foreach(t => rmStore(ArtifactStore.childPathFor(parent, t)))
+    val base = Seq((1L, "a")).toDF("doc_id", "k")
+    val b1 = Seq((5L, "c")).toDF("doc_id", "k")
+    val b2 = Seq((9L, "d")).toDF("doc_id", "k")
+    def sortAll(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // fold b1 into the base, then chain b2 on top of the compacted base
+    ArtifactStore.appendedCached(spark, parent, "c1")(base)(b1)
+    val preCompact = ArtifactStore.appendedCached(spark, parent, "c1")(
+      fail("base re-derived"))(fail("batch re-signed"))
+    assert(ArtifactStore.compactChain(spark, parent))
+    // the marker never went away: at no point was the base "incomplete"
+    // (the r12 compactor's crash window demoted it and recovery lost
+    // folded rows — the round-13 advice)
+    assert(new java.io.File(s"$parent/_GRAFT_OK").exists,
+      "completion marker removed during compaction")
+    // one-generation retention: the frame planned BEFORE the compaction
+    // still executes (its file listing points at the retained data dir)
+    assert(sortAll(preCompact) == sortAll(base.unionByName(b1)),
+      "pre-compaction frame unreadable after the rewrite")
+    ArtifactStore.appendedCached(spark, parent, "c2")(
+      fail("base re-derived"))(b2)
+    // simulate a compaction CRASHED before its state flip: a half-written
+    // new data dir exists, state/folded/deltas all still the old chain's
+    val orphan = new java.io.File(s"$parent/data_v99")
+    orphan.mkdirs()
+    java.nio.file.Files.write(orphan.toPath.resolve("part-garbage"),
+      Array[Byte](1, 2, 3))
+    val served = ArtifactStore.appendedCached(spark, parent, "c2")(
+      fail("base re-derived after crashed compaction"))(
+      fail("batch re-signed after crashed compaction"))
+    val full = sortAll(base.unionByName(b1).unionByName(b2))
+    assert(sortAll(served) == full,
+      "crashed compaction did not leave the old chain serviceable")
+    assert(ArtifactStore.foldedTags(parent) == Set("c1"),
+      "crashed compaction corrupted the folded-tag record")
+    // a later SUCCESSFUL compaction folds c2 and GCs the orphan dir
+    assert(ArtifactStore.compactChain(spark, parent))
+    assert(sortAll(spark.read.parquet(ArtifactStore.dataPath(parent))) == full,
+      "post-recovery compaction != derive(full)")
+    assert(!orphan.exists, "crashed compaction's orphan data dir not GC'd")
+    assert(ArtifactStore.foldedTags(parent) == Set("c1", "c2"))
     rmStore(parent)
     tags.foreach(t => rmStore(ArtifactStore.childPathFor(parent, t)))
   }
