@@ -543,6 +543,32 @@ object DedupQueries {
     votes.select(col("doc_id"), simhash.as("simhash"))
   }
 
+  /** ROW-LOCAL 60-bit simhash — the same per-bit majority vote as
+    * [[simhashesOfShingles]] computed by a single `aggregate` HOF
+    * traversal of the shingle array, no explode and no aggregation.
+    * This is the STREAMING-SAFE form (the [[minhashSigArray]]
+    * precedent): an append-mode stream cannot run the groupBy(doc_id)
+    * vote aggregate, but a per-row fold is just a projection
+    * ([[graft.streaming.EventStreams.simhashStreamAppend]]). Bit
+    * extraction is via power-of-two MASKS zipped against the counter
+    * array — `shiftright` needs a plan-time shift amount, a mask
+    * column does not — and the vote/pack step re-reads the counter
+    * array exactly ONCE (a second zip_with + sum fold), so the fold
+    * tree is never duplicated by CollapseProject. Equality with the
+    * batch vote aggregate is spec-pinned (StreamMlSpec). Caller must
+    * pass a MATERIALIZED shingle column (it is referenced twice: the
+    * fold input and the majority denominator). */
+  private[graft] def simhashArrayCol(sh: Column): Column = {
+    val masks = array((0 until SimBits).map(j => lit(1L << j)): _*)
+    val counts = aggregate(sh, array_repeat(lit(0L), SimBits),
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0L, lit(1L))
+          .otherwise(lit(0L))))
+    val votes = zip_with(counts, masks,
+      (c, m) => when(c * lit(2L) > size(sh), m).otherwise(lit(0L)))
+    aggregate(votes, lit(0L), (acc, v) => acc + v)
+  }
+
   /** TWO-LEVEL pigeonhole blocking keys for hamming ≤ 3 over a 60-bit
     * hash — 16 (chunk_idx, chunk_val) postings per doc.
     *

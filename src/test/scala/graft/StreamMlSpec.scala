@@ -541,6 +541,57 @@ class StreamMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SIMHASH admission: in-flight row-local simhash fold == " +
+    "the batch vote aggregate doc-for-doc; stream-static chunk-store " +
+    "probe + exact hamming reproduces the batch operator's corpus " +
+    "matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val D = operators.DedupQueries
+    def toks(seed: Int) = (0 until 40).map(i => f"s$seed%02dw$i%02d")
+    // existing corpus (ids ≢ 0 mod 5), incoming batch (ids ≡ 0 mod 5):
+    // one verbatim copy of doc 1 (hamming 0 — a guaranteed match), one
+    // lightly-edited near-dup of doc 2, one unrelated
+    val existing = Seq(1L -> toks(1).mkString(" "),
+      2L -> toks(2).mkString(" ")).toDF("doc_id", "text")
+    val incoming = Seq(5L -> toks(1).mkString(" "),
+      10L -> toks(2).updated(7, "edited").mkString(" "),
+      15L -> toks(9).mkString(" "))
+    val all = (Seq(1L -> toks(1).mkString(" "),
+      2L -> toks(2).mkString(" ")) ++ incoming).toDF("doc_id", "text")
+
+    // row-local fold ≡ batch per-bit vote aggregate, doc for doc
+    val viaFold = D.shingledMd5On(all)
+      .select($"doc_id", D.simhashArrayCol($"sh").as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = D.simhashesOn(all)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFold == viaAgg,
+      "row-local simhash fold diverged from the batch vote aggregate")
+
+    val corpusChunks = D.chunksAtLevel(D.simhashesOn(existing), "simhash", 2)
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.EventStreams.simhashStreamAppend(
+        src.toDF.toDF("doc_id", "text"), corpusChunks, level = 2)
+      .writeStream.format("memory").queryName("simhash_sink")
+      .outputMode("append").start()
+    try {
+      src.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("simhash_sink")
+        .select("doc_id", "match_id", "hamming").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = D.incrementalSimhashOn(all)
+        .where($"match_src" === "corpus")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(batch.contains((5L, 1L, 0)),
+        s"fixture lost its planted verbatim match: $batch")
+      assert(got == batch,
+        s"stream matches $got != batch corpus matches $batch")
+    } finally q.stop()
+  }
+
   test("ModelStore round-trips an all-numeric product catalog as strings " +
     "(partition-column inference would read \"0123\" back as \"123\")") {
     import spark.implicits._
