@@ -489,29 +489,68 @@ object ArtifactStore {
     load(spark, parentPath) match {
       case None => false
       case Some(parent) =>
-        val parentName = new java.io.File(parentPath).getName
         val resolved = deltas.foldLeft(parent) { (acc, d) =>
           acc.unionByName(spark.read.parquet(dataPath(d)))
         }
-        val prev = stateOf(parentPath).map(_.data).toSet
-        val prevFolded = foldedTags(parentPath)
-        val dv = nextDataDir(parentPath)
-        resolved.write.mode("overwrite").parquet(s"$parentPath/$dv")
-        val n = spark.read.parquet(s"$parentPath/$dv").count()
-        val tags = prevFolded ++
-          deltas.map(d => tagOf(parentName, new java.io.File(d).getName))
-        atomicWrite(s"$parentPath/_GRAFT_STATE",
-          stateJson(State(dv, n, tags)))
-        deleteIfExists(s"$parentPath/_GRAFT_META")
-        deleteIfExists(s"$parentPath/_GRAFT_FOLDED")
-        // one-generation retention: the dirs folded by THIS compaction
-        // survive (tag-skipped) for readers planned before the fold;
-        // the PREVIOUS compaction's folded dirs are now two rewrites
-        // old and are swept
-        prevFolded.foreach(t => org.apache.commons.io.FileUtils
-          .deleteQuietly(new java.io.File(childPathFor(parentPath, t))))
-        gcDataDirs(parentPath, prev + dv)
+        rewriteChain(spark, parentPath, deltas, Set.empty, resolved)
         true
     }
+  }
+
+  /** Replace the chain at `parentPath` with a FRESH full derivation —
+    * [[compactChain]]'s other use: when a chain-wide parameter must
+    * change with corpus growth (e.g. the emb_sigs signature width
+    * crossing a [[graft.operators.SimilarityQueries.sigBitsFor]]
+    * boundary), folding the old rows is wrong — they were derived at
+    * the stale parameter — so the fold's CONTENT is a re-derivation
+    * over the full corpus while the chain bookkeeping (every current
+    * delta tag plus `extraFolded` marked folded, so no batch is ever
+    * re-signed or double-counted) and the crash discipline (atomic
+    * state flip, marker never invalidated, one-generation retention)
+    * are compaction's own. `extraFolded` registers batches whose rows
+    * the derivation already contains but which were never appended as
+    * deltas — the boundary-crossing batch itself. False when the cache
+    * is off or the path uncacheable (callers fall back to the fresh
+    * frame). */
+  def rebuildChain(spark: SparkSession, parentPath: String,
+      extraFolded: Set[String] = Set.empty)
+      (derive: => DataFrame): Boolean = {
+    require(!new java.io.File(parentPath).getName.contains("--"),
+      s"rebuild target must be a base artifact, not a delta: $parentPath")
+    if (cacheDisabled || isUncacheable(parentPath)) return false
+    pruneSiblings(parentPath)
+    rewriteChain(spark, parentPath, deltasOf(parentPath), extraFolded, derive)
+    // a rebuild may create the base (cold path) — marker-last as save()
+    write(s"$parentPath/_GRAFT_OK", "")
+    true
+  }
+
+  /** Shared rewrite core of [[compactChain]] / [[rebuildChain]]:
+    * write `content` to a fresh versioned data dir, fold `deltas`'
+    * tags (plus `extraFolded`) into the state, flip atomically, sweep
+    * the previous generation. `_GRAFT_OK` is never removed — the base
+    * stays complete at every instant. */
+  private def rewriteChain(spark: SparkSession, parentPath: String,
+      deltas: Seq[String], extraFolded: Set[String],
+      content: DataFrame): Unit = {
+    val parentName = new java.io.File(parentPath).getName
+    val prev = stateOf(parentPath).map(_.data).toSet
+    val prevFolded = foldedTags(parentPath)
+    val dv = nextDataDir(parentPath)
+    content.write.mode("overwrite").parquet(s"$parentPath/$dv")
+    val n = spark.read.parquet(s"$parentPath/$dv").count()
+    val tags = prevFolded ++ extraFolded ++
+      deltas.map(d => tagOf(parentName, new java.io.File(d).getName))
+    atomicWrite(s"$parentPath/_GRAFT_STATE",
+      stateJson(State(dv, n, tags)))
+    deleteIfExists(s"$parentPath/_GRAFT_META")
+    deleteIfExists(s"$parentPath/_GRAFT_FOLDED")
+    // one-generation retention: the dirs folded by THIS rewrite
+    // survive (tag-skipped) for readers planned before the fold;
+    // the PREVIOUS rewrite's folded dirs are now two rewrites old
+    // and are swept
+    prevFolded.foreach(t => org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(childPathFor(parentPath, t))))
+    gcDataDirs(parentPath, prev + dv)
   }
 }

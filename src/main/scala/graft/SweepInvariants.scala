@@ -3,14 +3,14 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Bounded sf0.1 companion checks for the seven queries whose DuckDB
+/** Bounded sf0.1 companion checks for the eight queries whose DuckDB
   * oracles deliberately replay naive formulations that exceed
   * practical oracle runtime at sf0.1 (dedup_components,
-  * dedup_ngram_jaccard, pipe_corpus_clean,
+  * dedup_ngram_jaccard, dedup_ngram_incremental, pipe_corpus_clean,
   * pipe_corpus_clean_incremental, evt_funnel, pipe_dedup_keep_best,
   * pipe_dedup_keep_best_incremental — the round-9 sweep exclusions
-  * plus the round-12 incremental forms, whose oracles embed the same
-  * recursive CTE). Each
+  * plus the round-12/13 incremental forms, whose oracles embed the
+  * same recursive CTE or pairwise replay). Each
   * exclusion is replaced by NAMED invariants asserted in-engine on the
   * full sf0.1 output: definitional recomputes bounded by the OUTPUT
   * size (not the naive candidate space), independent-algorithm
@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * fold vs chained windows), and structural properties (partition,
   * min-label, edge consistency, stage monotonicity). With this, the
   * sf0.1 sweep has ZERO unchecked queries: 190+ via the DuckDB oracle,
-  * these five via SWEEP01.json.
+  * these eight via SWEEP01.json.
   *
   * Usage: `sbt "runMain graft.SweepInvariants [sfDir]"` — writes
   * SWEEP01.json and prints one JSON line; exits nonzero on any
@@ -89,6 +89,27 @@ object SweepInvariants {
       exactPairs.join(pairs, Seq("doc_a", "doc_b"), "left")
         .where(col("jaccard").isNull || col("jaccard") =!= 1.0)
         .count() == 0
+    }
+
+    // ---- dedup_ngram_incremental ---------------------------------------
+    // the oracle inherits the pairwise-replay exclusion; invariant: the
+    // store-served admission output equals the direction-mapped
+    // TEXT-derived touching edges (independent input path — fresh
+    // tokenization vs the persisted posting store) AND is exactly the
+    // full pair set restricted to batch-touching pairs, re-keyed
+    check("dedup_ngram_incremental")("equals_mapped_text_derived_edges") {
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3))).toSeq
+      rows(D.dedupNgramIncremental(spark, dir)) ==
+        rows(D.incrementalNgramOfEdges(D.ngramJaccardTouchingBatchOn(docs)))
+    }
+    check("dedup_ngram_incremental")("equals_rekeyed_full_pair_subset") {
+      def isBatch(c: org.apache.spark.sql.Column) = pmod(c, lit(5)) === 0
+      val viaFull = D.incrementalNgramOfEdges(
+        pairs.where(isBatch(col("doc_a")) || isBatch(col("doc_b"))))
+      viaFull.exceptAll(D.dedupNgramIncremental(spark, dir)).count() == 0 &&
+        D.dedupNgramIncremental(spark, dir).exceptAll(viaFull).count() == 0
     }
 
     // ---- dedup_components --------------------------------------------

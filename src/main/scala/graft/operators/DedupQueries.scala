@@ -1197,6 +1197,46 @@ object DedupQueries {
       .where(col("jaccard") >= 0.5)
   }
 
+  /** `dedup_ngram_incremental`: incremental ingest ADMISSION for the
+    * lexical n-gram Jaccard family — the round-13 posting store makes
+    * it a store read like its five siblings (digests, minhash bands,
+    * simhash, phash, embedding): the batch's postings (a pushed
+    * doc_id filter on the store, whose delta the batch itself
+    * appended) probe the full corpus's postings, pairs verify with
+    * the exact inverted-index Jaccard at the family's ≥ 0.5
+    * threshold, and the touching edges re-key as admission verdicts —
+    * (doc_id [incoming], match_id, match_src 'corpus'|'batch',
+    * jaccard), in-batch matches pointing the LATER doc at the earlier
+    * one (the dedup_incremental_near convention). Zero corpus text
+    * reads on the serving path (ArtifactStoreSpec plan-audits the
+    * consumers of the same edge frame). FULLY oracled: the
+    * dedup_ngram_jaccard replay restricted to pairs touching the
+    * batch, with the same direction mapping. */
+  val dedupNgramIncremental: Q = (spark, dir) =>
+    incrementalNgramOfEdges(
+      ngramJaccardTouchingOfPostings(ngramPostingStore(spark, dir)))
+
+  /** Direction re-keying of [[dedupNgramIncremental]] over a
+    * normalized (doc_a < doc_b, jaccard) touching-edge frame; also the
+    * SweepInvariants cross-check form (fed text-derived edges there,
+    * store-served edges in the Q). */
+  private[graft] def incrementalNgramOfEdges(edges: DataFrame): DataFrame = {
+    def isBatch(c: Column) = pmod(c, lit(5)) === 0
+    val bothBatch = isBatch(col("doc_a")) && isBatch(col("doc_b"))
+    edges
+      .select(
+        when(bothBatch, col("doc_b"))
+          .when(isBatch(col("doc_a")), col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_id"),
+        when(bothBatch, col("doc_a"))
+          .when(isBatch(col("doc_a")), col("doc_b"))
+          .otherwise(col("doc_a")).as("match_id"),
+        when(bothBatch, lit("batch")).otherwise(lit("corpus"))
+          .as("match_src"),
+        col("jaccard"))
+      .orderBy(col("doc_id"), col("match_src"), col("match_id"))
+  }
+
   /** `dedup_components_incremental`: the INCREMENTAL-MAINTENANCE form
     * of [[dedupComponents]] — the "then maintains them incrementally"
     * half of the label table's production story, made real (round 11):
@@ -1732,6 +1772,7 @@ object DedupQueries {
     "dedup_incremental"   -> dedupIncremental,
     "dedup_incremental_near" -> dedupIncrementalNear,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_ngram_incremental" -> dedupNgramIncremental,
     "dedup_minhash_lsh"   -> dedupMinhashLsh,
     "dedup_simhash"       -> dedupSimhash,
     "dedup_simhash_incremental" -> dedupSimhashIncremental,
@@ -2134,6 +2175,39 @@ object DedupQueries {
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+    // the full-pair replay restricted to pairs TOUCHING the batch
+    // (one endpoint ≡ 0 mod 5), re-keyed to admission direction:
+    // corpus matches point the batch doc at the corpus doc; in-batch
+    // matches point the later doc at the earlier (doc_a < doc_b in the
+    // normalized pair, so 'later' = doc_b)
+    "dedup_ngram_incremental" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, n_chars // 100 AS len_bucket,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, len_bucket,
+         |    CASE WHEN len(w) >= 3 THEN $SH ELSE [] END AS s
+         |  FROM tok),
+         |jp AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM sh a JOIN sh b
+         |    ON abs(a.len_bucket - b.len_bucket) <= 1 AND a.doc_id < b.doc_id
+         |  WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+         |SELECT
+         |  CASE WHEN da % 5 = 0 AND db % 5 = 0 THEN db
+         |       WHEN da % 5 = 0 THEN da ELSE db END AS doc_id,
+         |  CASE WHEN da % 5 = 0 AND db % 5 = 0 THEN da
+         |       WHEN da % 5 = 0 THEN db ELSE da END AS match_id,
+         |  CASE WHEN da % 5 = 0 AND db % 5 = 0 THEN 'batch'
+         |       ELSE 'corpus' END AS match_src,
+         |  jaccard
+         |FROM jp
+         |ORDER BY doc_id, match_src, match_id""".stripMargin,
     "dedup_components" -> componentsOracleSql,
     // identical-by-construction to the full recompute (quotient-graph
     // merge proof in the scaladoc), so the same recursive-CTE replay

@@ -550,6 +550,61 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(run() == fresh, "store-fed admission diverged (load path)")
   }
 
+  test("emb_sigs width maintenance: an append crossing a sigBitsFor " +
+    "boundary REBUILDS the chain at the new width — served postings == " +
+    "the fresh full derivation at sigBitsFor(total), batch tag folded, " +
+    "never re-appended; a non-boundary append projects the batch ALONE " +
+    "at the chain's width") {
+    import spark.implicits._
+    val S = operators.SimilarityQueries
+    val path = "target/tmp/test_artifact_store/embw_src_v1_eeeeeeeeeeee"
+    Seq("", "--g1", "--g2").foreach(s => rmStore(path + s))
+    val dim = 4
+    def vecs(ids: Range) = ids.map { i =>
+      (i.toLong, Array.tabulate(dim)(d => ((i * 31 + d * 17) % 97) / 97.0f))
+    }.toDF("vec_id", "embedding")
+    def proj(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("vec_id"), col("table_id"), col("sig")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val base = vecs(0 until 200)    // sigBitsFor(200..256) == 4
+    val g1 = vecs(200 until 240)    // 240: still width 4
+    val g2 = vecs(240 until 280)    // 280 > 256: width 5 — the boundary
+    // non-boundary append: batch alone at the chain's width
+    val served1 = S.embSigsMaintainedAppend(spark, path, base, g1, "g1")
+    assert(rows(served1) ==
+      rows(S.embSigsOf(proj(base.unionByName(g1)), 4, dim)),
+      "non-boundary append diverged from the width-4 full derivation")
+    assert(new java.io.File(
+      ArtifactStore.childPathFor(path, "g1") + "/_GRAFT_OK").exists,
+      "non-boundary batch was not appended as a delta")
+    // boundary append: the chain rebuilds at width 5
+    val all = base.unionByName(g1).unionByName(g2)
+    val served2 = S.embSigsMaintainedAppend(spark, path,
+      base.unionByName(g1), g2, "g2")
+    assert(rows(served2) == rows(S.embSigsOf(proj(all), 5, dim)),
+      "boundary append did not re-widen: served != width-5 derivation")
+    assert(ArtifactStore.foldedTags(path) == Set("g1", "g2"),
+      "rebuild did not fold the chained + boundary batch tags")
+    assert(ArtifactStore.storedRowCount(path)
+      .contains(280L * S.DedupTables),
+      "post-rebuild metadata row count wrong")
+    // the invariant the scaladoc promises: width(served) ==
+    // sigBitsFor(storedRowCount / DedupTables)
+    assert(S.sigBitsFor(ArtifactStore.storedRowCount(path).get
+      / S.DedupTables) == 5)
+    // a repeated ingest of a folded tag serves the rebuilt base —
+    // nothing re-appends, nothing double-counts
+    val served3 = S.embSigsMaintainedAppend(spark, path,
+      base.unionByName(g1), g2, "g2")
+    assert(rows(served3) == rows(served2),
+      "folded-tag re-ingest diverged from the rebuilt chain")
+    assert(!new java.io.File(ArtifactStore.childPathFor(path, "g2")).exists,
+      "boundary batch was appended as a delta despite the rebuild")
+    Seq("", "--g1", "--g2").foreach(s => rmStore(path + s))
+  }
+
   test("IVF catalog store: sim_index_upsert off the persisted catalog == " +
     "the fresh derivation row-for-row (derive AND load paths), and the " +
     "load-path plan scans the corpus parquet exactly ONCE (the delta " +
