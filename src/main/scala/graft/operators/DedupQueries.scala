@@ -1271,7 +1271,16 @@ object DedupQueries {
     * base labels + the batch's touching edges → the full corpus's
     * label table. */
   private[graft] def incrementalComponentsOf(baseLabels: DataFrame,
-      newEdges: DataFrame): DataFrame = {
+      newEdgesRaw: DataFrame): DataFrame = {
+    // The edge frame is referenced TWICE below (the quotient build and
+    // the newDocs explode) and Spark does not CSE across those
+    // branches, so without a cache the touching-edge derivation — the
+    // posting-store join, the dominant per-ingest work — executes
+    // twice per call (measured ~1.5 s doubled at sf0.1). The PAIRS
+    // themselves are output-sized (hundreds of rows), so caching them
+    // is free; componentsOf's eager count materializes the cache
+    // before the second reference plans.
+    val newEdges = newEdgesRaw.cache()
     // endpoints collapse to their base label (or themselves)
     val quotient = newEdges
       .join(baseLabels.select(col("doc_id").as("doc_a"),
