@@ -1598,9 +1598,15 @@ object DedupQueries {
     * the naive formulation the oracle replays (over the dedup
     * family's replayable md5 shingle hashes). Only 8-byte hashes
     * shuffle; text never does.
-    */
+    *
+    * The Q-level form derives its sorted hash arrays from the
+    * persisted [[shingleStore]] (round 13): the md5 shingle sets are
+    * already the corpus's maintained root artifact, so the
+    * containment family's per-call text scan was pure waste — the
+    * serving path is now a store read + the sort aggregate, and the
+    * one text scan per corpus version covers this family too. */
   val dedupContainment: Q = (spark, dir) =>
-    containmentOn(Tables.documents(spark, dir))
+    containmentOfSh(containmentShOfShingles(shingleStore(spark, dir)))
 
   /** [[dedupContainment]] over an explicit (doc_id, text) frame — the
     * spec plants a doc fully contained in a larger one (Jaccard-
@@ -1609,7 +1615,15 @@ object DedupQueries {
   /** Sorted shingle-hash-array aggregate shared by the containment
     * probe, index, and verify ([[containmentOn]] plan note). */
   private[graft] def containmentShOn(docs: DataFrame): DataFrame =
-    shingledMd5On(docs)
+    containmentShOfShingles(shingledMd5On(docs))
+
+  /** [[containmentShOn]] over an explicit (doc_id, sh) frame — the
+    * form that reads the persisted [[shingleStore]] instead of
+    * re-tokenizing text. The store's `sh` arrays equal
+    * [[shingledMd5On]]'s row-for-row (ArtifactStoreSpec), so the
+    * aggregate below is bit-identical through either input. */
+  private[graft] def containmentShOfShingles(shingled: DataFrame): DataFrame =
+    shingled
       .select(col("doc_id"), explode(col("sh")).as("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h"))).as("hs"),
@@ -1641,8 +1655,11 @@ object DedupQueries {
       .select(col("a"), col("b")).distinct()
   }
 
-  private[graft] def containmentOn(docs: DataFrame): DataFrame = {
-    // materialize the md5 shingling behind an explode → re-collect
+  private[graft] def containmentOn(docs: DataFrame): DataFrame =
+    containmentOfSh(containmentShOn(docs))
+
+  private[graft] def containmentOfSh(sh: DataFrame): DataFrame = {
+    // the md5 shingling is materialized behind an explode → re-collect
     // aggregate: the Generate blocks CollapseProject from re-inlining
     // the tokenizer/md5 tree into every downstream array reference
     // (the [[graft.operators.PipelineOps.decontaminateOn]] trap — 28
@@ -1651,7 +1668,6 @@ object DedupQueries {
     // consumers (probe, full index, both verify sides) reuse. Only
     // 8-byte hashes shuffle; empty shingle sets drop with the explode.
     // Measured 21.6 s → ~3 s at sf0.1 local[4].
-    val sh = containmentShOn(docs)
     val cand = containmentCandidatesOf(sh)
     // exact verify on candidates only — ONE set-intersect per pair on
     // the sorted hash arrays (codegen'd, no posting re-explosion: the
@@ -1669,6 +1685,80 @@ object DedupQueries {
           .as("containment"))
       .where(col("containment") >= lit(ContainT))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** `dedup_containment_incremental`: incremental ingest ADMISSION for
+    * the asymmetric-containment family — an incoming doc can be a
+    * SUBSET of existing content (boilerplate-wrapped copy, quoted
+    * article — the admission-blocking case) or a SUPERSET of it (the
+    * new doc swallows an existing one — the re-collapse trigger), and
+    * the Jaccard families structurally miss both, so the admission
+    * roster needs this form too. One row per passing ordered pair
+    * touching the batch: (doc_id [incoming; for in-batch pairs the
+    * LATER doc], match_id, match_src 'corpus'|'batch', direction
+    * 'sub' — doc_id's shingles ⊆~t match_id's — or 'sup', containment
+    * ≥ 0.8).
+    *
+    * Scale shape: the sorted hash arrays come from the persisted
+    * [[shingleStore]] (no text); candidates are generated in TWO
+    * restricted prefix probes instead of filtering the all-pairs
+    * candidate join — (batch prefixes ⋈ full index) ∪ (corpus
+    * prefixes ⋈ batch index). The second term is the price of the
+    * SUPERSET direction: one pass over the store's ~20% prefix
+    * postings against a batch-sized index (broadcastable at scale) —
+    * still zero text reads and posting-bounded work. Exact
+    * intersection verifies candidates only. FULLY oracled: the
+    * dedup_containment all-pairs replay restricted to batch-touching
+    * pairs with the same direction re-keying. */
+  val dedupContainmentIncremental: Q = (spark, dir) =>
+    incrementalContainmentOfSh(
+      containmentShOfShingles(shingleStore(spark, dir)))
+
+  /** Core of [[dedupContainmentIncremental]] over an explicit
+    * (doc_id, hs, sz) frame — the planted-fixture spec form. */
+  private[graft] def incrementalContainmentOfSh(sh: DataFrame): DataFrame = {
+    require(ContainT == 0.8, "integer prefix math below assumes t = 4/5")
+    def isBatch(c: Column) = pmod(c, lit(5)) === 0
+    val k = greatest(
+      col("sz") - expr("(sz * 4 + 4) div 5") + lit(1L), lit(1L)).cast("int")
+    val probe = sh.select(col("doc_id").as("a"), col("sz").as("sz_a"),
+      explode(slice(col("hs"), lit(1), k)).as("h"))
+    val full = sh.select(col("doc_id").as("b"), col("sz").as("sz_b"),
+      explode(col("hs")).as("h"))
+    def bound(c: DataFrame) = c.where(col("a") =!= col("b") &&
+      col("sz_b").cast("double") >= col("sz_a").cast("double") * lit(ContainT))
+      .select(col("a"), col("b"))
+    // batch doc as the CONTAINED side vs anything; corpus doc as the
+    // contained side vs a batch container — together exactly the
+    // candidate pairs with >= 1 batch endpoint
+    val cand = bound(probe.where(isBatch(col("a"))).join(full, Seq("h")))
+      .unionByName(bound(probe.where(!isBatch(col("a")))
+        .join(full.where(isBatch(col("b"))), Seq("h"))))
+      .distinct()
+    val verified = cand
+      .join(sh.select(col("doc_id").as("a"), col("hs").as("hs_a"),
+        col("sz").as("sz_a")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("hs").as("hs_b")),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+          / col("sz_a").cast("double")).as("containment"))
+      .where(col("containment") >= lit(ContainT))
+    val bothBatch = isBatch(col("a")) && isBatch(col("b"))
+    val incoming = when(bothBatch, greatest(col("a"), col("b")))
+      .when(isBatch(col("a")), col("a")).otherwise(col("b"))
+    verified
+      .select(
+        incoming.as("doc_id"),
+        when(incoming === col("a"), col("b")).otherwise(col("a"))
+          .as("match_id"),
+        when(bothBatch, lit("batch")).otherwise(lit("corpus"))
+          .as("match_src"),
+        when(incoming === col("a"), lit("sub")).otherwise(lit("sup"))
+          .as("direction"),
+        col("containment"))
+      .orderBy(col("doc_id"), col("match_src"), col("match_id"),
+        col("direction"))
   }
 
   // ---- Exact substring spans (anchor-sampled) -----------------------
@@ -1777,6 +1867,7 @@ object DedupQueries {
   def queries: Map[String, Q] = Map(
     "dedup_substring_spans" -> dedupSubstringSpans,
     "dedup_containment"   -> dedupContainment,
+    "dedup_containment_incremental" -> dedupContainmentIncremental,
     "dedup_exact"         -> dedupExact,
     "dedup_incremental"   -> dedupIncremental,
     "dedup_incremental_near" -> dedupIncrementalNear,
@@ -2011,6 +2102,32 @@ object DedupQueries {
          |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |      / CAST(len(a.s) AS DOUBLE) >= $ContainT
          |ORDER BY 1, 2""".stripMargin,
+    // the all-pairs containment replay restricted to pairs TOUCHING
+    // the batch, re-keyed to admission direction: doc_id = the batch
+    // endpoint (in-batch: the later doc), direction = 'sub' when the
+    // incoming doc is the contained (a) side, 'sup' when it is the
+    // container
+    "dedup_containment_incremental" ->
+      s"""$Md5ShinglePrefixSql,
+         |jp AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / CAST(len(a.s) AS DOUBLE) AS containment
+         |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+         |  WHERE len(a.s) >= 1
+         |    AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |        / CAST(len(a.s) AS DOUBLE) >= $ContainT)
+         |SELECT i.doc_id AS doc_id,
+         |  CASE WHEN i.doc_id = da THEN db ELSE da END AS match_id,
+         |  CASE WHEN da % 5 = 0 AND db % 5 = 0 THEN 'batch'
+         |       ELSE 'corpus' END AS match_src,
+         |  CASE WHEN i.doc_id = da THEN 'sub' ELSE 'sup' END AS direction,
+         |  containment
+         |FROM jp, LATERAL (SELECT CASE
+         |    WHEN da % 5 = 0 AND db % 5 = 0 THEN greatest(da, db)
+         |    WHEN da % 5 = 0 THEN da ELSE db END AS doc_id) i
+         |ORDER BY 1, 3, 2, 4""".stripMargin,
     "dedup_entity_block" ->
       """WITH c AS (
         |  SELECT c_custkey, c_name,

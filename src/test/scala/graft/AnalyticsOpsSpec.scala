@@ -836,6 +836,37 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       got.toString)
   }
 
+  test("containment admission: planted batch-subset (sub), batch-superset " +
+    "(sup), and in-batch pairs re-key with the right direction; " +
+    "sub-threshold overlap stays silent; partition-invariant") {
+    // corpus (ids ≢ 0 mod 5): big doc 1, small doc 2
+    val big  = (1 to 20).map(i => f"w$i%02d").mkString(" ")  // 18 shingles
+    val smal = (1 to 8).map(i => s"m$i").mkString(" ")       // 6 shingles
+    // batch (ids ≡ 0 mod 5): 5 ⊂ 1 (sub), 10 ⊃ 2 (sup),
+    // in-batch 15 ⊂ 20, and a half-overlap miss inside 25
+    val sub   = (3 to 12).map(i => f"w$i%02d").mkString(" ") // 8 ⊂ big
+    val sup   = ((1 to 8).map(i => s"m$i") ++
+      (1 to 4).map(i => s"x$i")).mkString(" ")               // 10, ⊇ smal
+    val big2  = (1 to 20).map(i => s"v$i").mkString(" ")
+    val sub2  = (3 to 12).map(i => s"v$i").mkString(" ")
+    val half  = ((1 to 6).map(i => f"w$i%02d") ++
+      (1 to 6).map(i => s"u$i")).mkString(" ")               // 4 of 10 ⊂ big
+    val docs = Seq(1L -> big, 2L -> smal, 5L -> sub, 10L -> sup,
+      15L -> sub2, 20L -> big2, 25L -> half).toDF("doc_id", "text")
+    def run(nPart: Int) = operators.DedupQueries.incrementalContainmentOfSh(
+      operators.DedupQueries.containmentShOn(docs.repartition(nPart)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getDouble(4))).toList
+    val single = run(1)
+    assert(single == List(
+      (5L, 1L, "corpus", "sub", 1.0),   // incoming contained in corpus
+      (10L, 2L, "corpus", "sup", 1.0),  // incoming contains corpus doc
+      (20L, 15L, "batch", "sup", 1.0)), // later batch doc contains earlier
+      single.toString)
+    assert(run(4) == single,
+      "containment admission must be partition-invariant")
+  }
+
   test("duplication profile: planted cluster sizes produce the exact " +
     "histogram, its identities hold, and the result is partition-" +
     "invariant") {

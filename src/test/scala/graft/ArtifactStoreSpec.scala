@@ -406,6 +406,32 @@ class ArtifactStoreSpec extends AnyFunSuite {
         org.apache.spark.sql.execution.FormattedMode)
       .contains("documents.parquet"),
       "incremental simhash load path re-scanned the corpus")
+    // the CONTAINMENT family reads the same shingle store (round 13):
+    // full + admission forms == the text-deriving spec forms, and the
+    // serving plans never touch the corpus parquet
+    val contFresh = D.containmentOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val contLoaded = D.dedupContainment(spark, sf)
+    assert(contLoaded.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSeq == contFresh,
+      "containment pairs differ through the shingle store")
+    assert(!contLoaded.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      .contains("documents.parquet"),
+      "containment load path re-tokenized the corpus")
+    def contIncRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getDouble(4))).toSeq
+    val contIncFresh = contIncRows(
+      D.incrementalContainmentOfSh(D.containmentShOn(docs)))
+    val contIncLoaded = D.dedupContainmentIncremental(spark, sf)
+    assert(contIncRows(contIncLoaded) == contIncFresh,
+      "containment admission diverged through the shingle store")
+    assert(!contIncLoaded.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      .contains("documents.parquet"),
+      "containment admission load path re-tokenized the corpus")
   }
 
   test("phash hash store: incremental admission off the appended " +
