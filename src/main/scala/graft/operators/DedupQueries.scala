@@ -42,14 +42,21 @@ object DedupQueries {
     * Scale: two chained hash aggregates — the first shuffles 16-byte
     * md5 digests (never text), the second shuffles the ≤thousands-key
     * cluster-size domain; both partial-aggregate map-side. */
+  /** The Q-level form reads the maintained [[digestStore]] (round 13):
+    * the duplication profile is a pure function of the digest multiset,
+    * which the store already holds — serving it from text was a wasted
+    * corpus scan per call. */
   val profDupStats: Q = (spark, dir) =>
-    dupStatsOn(Tables.documents(spark, dir))
+    dupStatsOfDigests(digestStore(spark, dir))
 
   /** [[profDupStats]] over an explicit (doc_id, text) frame — the spec
     * plants known cluster sizes and asserts the histogram identities. */
   private[graft] def dupStatsOn(docs: DataFrame): DataFrame =
-    docs
-      .groupBy(md5(col("text")).as("text_hash"))
+    dupStatsOfDigests(docs.select(md5(col("text")).as("text_hash")))
+
+  private[graft] def dupStatsOfDigests(digests: DataFrame): DataFrame =
+    digests
+      .groupBy(col("text_hash"))
       .agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
@@ -1803,9 +1810,34 @@ object DedupQueries {
     * — ScaleRehearsal plants a corpus-wide boilerplate span and
     * measures the joined-side max posting staying ≤ cap at 10×). The
     * whole result replays in DuckDB over the same md5 window
-    * hashes. */
+    * hashes.
+    *
+    * The Q-level form reads the persisted [[spanAnchorStore]]
+    * (round 13): the md5-per-window pass is this family's expensive
+    * text scan, and anchor selection is row-local (window bytes
+    * only), so the postings are a maintainable appended artifact like
+    * every other family's. */
   val dedupSubstringSpans: Q = (spark, dir) =>
-    substringSpansOn(Tables.documents(spark, dir))
+    substringSpansOfAnchors(spanAnchorStore(spark, dir))
+
+  /** The corpus's selected span-anchor postings (doc_id, h) as a
+    * MAINTAINED, APPENDED ARTIFACT: the existing corpus's anchors are
+    * an artifact read; an ingest batch is windowed + md5'd ALONE and
+    * appended as a fingerprint-chained delta. Anchor selection is
+    * row-local, so append(store(base), anchors(batch)) ≡
+    * anchors(base ∪ batch) row-for-row. */
+  private[graft] def spanAnchorStorePath(dir: String): String =
+    ArtifactStore.pathFor("span_anchors", dir, "documents.parquet",
+      s"k${SpanK}s$SpanSel")
+
+  private[graft] def spanAnchorStore(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    ArtifactStore.appendedCached(spark, spanAnchorStorePath(dir),
+      IngestBatchTag)(
+      spanAnchorsOn(docs.where(!isIngestBatch)))(
+      spanAnchorsOn(docs.where(isIngestBatch)))
+  }
 
   /** Selected (doc_id, anchor-hash) postings of
     * [[dedupSubstringSpans]] — the only rows that ever shuffle. */
@@ -1844,15 +1876,26 @@ object DedupQueries {
       .agg(sum(col("nd_s")).as("nd"))
 
   private[graft] def substringSpansOn(docs: DataFrame,
-      cap: Long = SpanDfCap): DataFrame = {
-    val win = spanAnchorsOn(docs)
+      cap: Long = SpanDfCap): DataFrame =
+    substringSpansOfAnchors(spanAnchorsOn(docs), cap)
+
+  private[graft] def substringSpansOfAnchors(win: DataFrame,
+      cap: Long = SpanDfCap): DataFrame =
+    spansProfileOf(win, win, cap)
+
+  /** Span-duplication profile of `probe`'s anchors against the
+    * document frequencies of `all`'s — the shared tail of the full
+    * query (probe = all) and the admission form (probe = the ingest
+    * batch's store rows). */
+  private[graft] def spansProfileOf(probe: DataFrame, all: DataFrame,
+      cap: Long): DataFrame = {
     // LEFT join against the cap-filtered spread: anchors over the cap
     // (and only those) come back with nd NULL — the boilerplate
     // classification — so hot posting lists are never joined, the
     // per-key fan-in of the back-join is ≤ cap docs, and the residual
     // probe-side partition skew is ordinary AQE skew-join territory.
-    val spread = spanSpreadOn(win).where(col("nd") <= cap)
-    win.join(spread, Seq("h"), "left")
+    val spread = spanSpreadOn(all).where(col("nd") <= cap)
+    probe.join(spread, Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_anchors"),
         count(when(col("nd") > 1, 1)).as("n_dup_anchors"),
@@ -1864,8 +1907,35 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** `dedup_spans_incremental`: the verbatim-copy ADMISSION profile —
+    * for each INCOMING doc, the post-ingest span-duplication verdict
+    * ([[dedupSubstringSpans]]'s own per-doc rule, restricted to batch
+    * docs): what fraction of the doc's content-defined 64-char span
+    * sample already appears verbatim elsewhere in the grown corpus —
+    * the Lee-et-al memorization-fuel signal, scored at the moment it
+    * is actionable (admission). Zero text reads for the existing
+    * corpus: the batch's anchors are its own store delta (a pushed
+    * doc_id filter), and the document-frequency side is ONE pass over
+    * the persisted 8-byte anchor postings — never the corpus text.
+    * Provably the full profile restricted to batch docs (anchor
+    * selection and nd are corpus-level facts independent of the probe
+    * restriction), so the SAME replay oracles it with a mod-5 filter. */
+  val dedupSpansIncremental: Q = (spark, dir) => {
+    val win = spanAnchorStore(spark, dir)
+    spansProfileOf(win.where(isIngestBatch), win, SpanDfCap)
+  }
+
+  /** [[dedupSpansIncremental]] over an explicit documents frame (no
+    * store) — the spec form. */
+  private[graft] def incrementalSpansOn(docs: DataFrame,
+      cap: Long = SpanDfCap): DataFrame = {
+    val win = spanAnchorsOn(docs)
+    spansProfileOf(win.where(isIngestBatch), win, cap)
+  }
+
   def queries: Map[String, Q] = Map(
     "dedup_substring_spans" -> dedupSubstringSpans,
+    "dedup_spans_incremental" -> dedupSpansIncremental,
     "dedup_containment"   -> dedupContainment,
     "dedup_containment_incremental" -> dedupContainmentIncremental,
     "dedup_exact"         -> dedupExact,
@@ -2089,6 +2159,33 @@ object DedupQueries {
          |      AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS dup_frac
          |FROM a JOIN spread s USING (h)
+         |GROUP BY a.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    // the full span-profile replay restricted to the ingest batch:
+    // anchor selection and document frequency are corpus-level facts
+    // independent of the probe restriction, so the per-doc rows are
+    // bit-identical to the full query's for batch docs
+    "dedup_spans_incremental" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    [CAST('0x' || substr(md5(substr(text, CAST(p AS INT), $SpanK)),
+         |          1, 15) AS BIGINT)
+         |     FOR p IN range(1, GREATEST(n_chars - ${SpanK - 1}, 1) + 1)] AS hs
+         |  FROM documents),
+         |a AS (
+         |  SELECT doc_id, unnest([h FOR h IN hs IF h % $SpanSel = 0]) AS h
+         |  FROM w),
+         |spread AS (SELECT h, count(DISTINCT doc_id) AS nd FROM a GROUP BY h)
+         |SELECT a.doc_id,
+         |  count(*) AS n_anchors,
+         |  count(CASE WHEN s.nd > 1 AND s.nd <= $SpanDfCap THEN 1 END)
+         |    AS n_dup_anchors,
+         |  count(CASE WHEN s.nd > $SpanDfCap THEN 1 END) AS n_boiler_anchors,
+         |  CAST(count(CASE WHEN s.nd > 1 AND s.nd <= $SpanDfCap THEN 1 END)
+         |      AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_frac
+         |FROM a JOIN spread s USING (h)
+         |WHERE a.doc_id % 5 = 0
          |GROUP BY a.doc_id
          |ORDER BY doc_id""".stripMargin,
     "dedup_containment" ->

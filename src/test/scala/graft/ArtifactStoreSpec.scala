@@ -559,6 +559,41 @@ class ArtifactStoreSpec extends AnyFunSuite {
         "(the batch's quality scores)")
   }
 
+  test("span anchor store: full + admission span profiles == the " +
+    "text-deriving forms on derive AND load paths; serving plans never " +
+    "read the corpus text; the admission profile IS the full profile " +
+    "restricted to batch docs") {
+    val D = operators.DedupQueries
+    val base = D.spanAnchorStorePath(sf)
+    rmStore(base); rmStore(ArtifactStore.childPathFor(base, D.IngestBatchTag))
+    val docs = Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val fresh = rows(D.substringSpansOn(docs))
+    assert(rows(D.dedupSubstringSpans(spark, sf)) == fresh,
+      "store-served span profile diverged (derive path)")
+    assert(new java.io.File(s"$base/_GRAFT_OK").exists,
+      "span anchor store not persisted")
+    val loaded = D.dedupSubstringSpans(spark, sf) // pure store load
+    assert(rows(loaded) == fresh,
+      "store-served span profile diverged (load path)")
+    assert(!loaded.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      .contains("documents.parquet"),
+      "span profile load path re-hashed the corpus text")
+    val incFresh = rows(D.incrementalSpansOn(docs))
+    val incLoaded = D.dedupSpansIncremental(spark, sf)
+    assert(rows(incLoaded) == incFresh,
+      "store-served admission profile diverged")
+    assert(!incLoaded.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      .contains("documents.parquet"),
+      "span admission load path re-hashed the corpus text")
+    assert(incFresh == fresh.filter(_._1 % 5 == 0),
+      "admission profile != full profile restricted to batch docs")
+  }
+
   test("exact-dedup digest store: dedup_incremental off the appended " +
     "digest artifact == the text-deriving form, on derive AND load " +
     "paths (the existing corpus is never re-scanned as text)") {
