@@ -1584,6 +1584,50 @@ object DedupQueries {
       .select(col("custkey_a"), col("custkey_b"), col("dist"))
       .orderBy(col("custkey_a"), col("custkey_b"))
 
+  /** `dedup_entity_incremental`: incremental ingest admission for the
+    * structured-record family — with this, EVERY dedup family carries
+    * an admission form (exact, minhash, ngram, simhash, phash,
+    * embedding, containment, spans, and now entity linkage): an
+    * incoming batch of records (c_custkey ≡ 0 mod 5) is blocked
+    * against the full table's block index, the banded levenshtein
+    * runs on candidates only, and matches re-key to the family
+    * convention — (custkey [incoming], match_id, match_src
+    * 'corpus'|'batch', dist ≤ 1), in-batch matches pointing the LATER
+    * key at the earlier. The probe side is the BATCH's blocked rows
+    * only; block sizes stay alphabet-bounded, so the per-ingest work
+    * is O(batch × block), never a table-wide compare. FULLY oracled:
+    * the entity replay restricted to batch-touching pairs with the
+    * direction mapping. */
+  val dedupEntityIncremental: Q = (spark, dir) =>
+    incrementalEntityBlockOn(Tables.customer(spark, dir))
+
+  /** Core of [[dedupEntityIncremental]] over an explicit customer
+    * frame — the planted-fixture spec form. */
+  private[graft] def incrementalEntityBlockOn(customer: DataFrame): DataFrame = {
+    def isBatchK(c: Column) = pmod(c, lit(5)) === 0
+    val c = customer
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("blk", expr("substring(c_name, 1, length(c_name) - 2)"))
+    val probe = c.where(isBatchK(col("c_custkey")))
+      .select(col("blk"), col("c_custkey").as("ka"), col("c_name").as("na"))
+      .repartition(
+        customer.sparkSession.sessionState.conf.numShufflePartitions,
+        col("blk"))
+    val full = c.select(col("blk"), col("c_custkey").as("kb"),
+      col("c_name").as("nb"))
+    probe.join(full, Seq("blk"))
+      // batch-batch pairs count once, probe = the later key
+      .where(col("ka") =!= col("kb") &&
+        (!isBatchK(col("kb")) || col("ka") > col("kb")))
+      .withColumn("dist", levenshtein(col("na"), col("nb"), 1))
+      .where(col("dist") =!= -1)
+      .select(col("ka").as("custkey"), col("kb").as("match_id"),
+        when(isBatchK(col("kb")), lit("batch")).otherwise(lit("corpus"))
+          .as("match_src"),
+        col("dist"))
+      .orderBy(col("custkey"), col("match_src"), col("match_id"))
+  }
+
   /** Containment threshold for [[dedupContainment]]. */
   val ContainT = 0.8
 
@@ -1949,6 +1993,7 @@ object DedupQueries {
     "dedup_components"    -> dedupComponents,
     "dedup_components_incremental" -> dedupComponentsIncremental,
     "dedup_entity_block"  -> dedupEntityBlock,
+    "dedup_entity_incremental" -> dedupEntityIncremental,
     "pipe_corpus_clean"   -> pipeCorpusClean,
     "pipe_corpus_clean_incremental" -> pipeCorpusCleanIncremental,
     "pipe_dedup_keep_best" -> pipeDedupKeepBest,
@@ -2236,6 +2281,32 @@ object DedupQueries {
         |WHERE a.c_custkey < b.c_custkey
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY custkey_a, custkey_b""".stripMargin,
+    // the entity replay restricted to batch-touching pairs, re-keyed:
+    // corpus matches point the batch key at the corpus key; in-batch
+    // matches the later at the earlier (jp keeps ka < kb, so the later
+    // is kb)
+    "dedup_entity_incremental" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name,
+        |         substring(c_name, 1, length(c_name) - 2) AS blk
+        |  FROM customer),
+        |jp AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+        |         levenshtein(a.c_name, b.c_name) AS dist
+        |  FROM c a JOIN c b USING (blk)
+        |  WHERE a.c_custkey < b.c_custkey
+        |    AND (a.c_custkey % 5 = 0 OR b.c_custkey % 5 = 0)
+        |    AND levenshtein(a.c_name, b.c_name) <= 1)
+        |SELECT
+        |  CASE WHEN ka % 5 = 0 AND kb % 5 = 0 THEN kb
+        |       WHEN ka % 5 = 0 THEN ka ELSE kb END AS custkey,
+        |  CASE WHEN ka % 5 = 0 AND kb % 5 = 0 THEN ka
+        |       WHEN ka % 5 = 0 THEN kb ELSE ka END AS match_id,
+        |  CASE WHEN ka % 5 = 0 AND kb % 5 = 0 THEN 'batch'
+        |       ELSE 'corpus' END AS match_src,
+        |  dist
+        |FROM jp
+        |ORDER BY 1, 3, 2""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""$Md5ShinglePrefixSql,
          |hf AS (SELECT unnest(range(0, $NumHashes)) AS i),
