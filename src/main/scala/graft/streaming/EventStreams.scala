@@ -525,6 +525,58 @@ object EventStreams {
       .where(col("hamming") <= 3)
   }
 
+  /** Streaming CONTAINMENT admission — the asymmetric family's dual,
+    * covering the admission-BLOCKING direction (the arriving doc is a
+    * near-subset of existing content; the superset direction needs a
+    * corpus-side probe and stays a batch/ingest concern): each
+    * arriving doc's sorted md5 hash array is a row-local projection
+    * (`sort_array` of its own shingle multiset ≡ the batch explode →
+    * collect aggregate), its integer-exact ⌊(1−t)|A|⌋+1-hash PREFIX
+    * explodes and probes the STATIC corpus posting index (pigeonhole:
+    * a ≥0.8-contained doc must hit the corpus on one of its prefix
+    * hashes), and candidates verify with the exact intersection
+    * against the static sorted-array table — every join stream-static
+    * and STATELESS. Emits one (doc_id, match_id, containment ≥ 0.8)
+    * row per prefix HIT (a pair sharing several prefix hashes emits
+    * several identical rows — a stream-side distinct would be a
+    * stateful aggregate); compose with
+    * `dropDuplicatesWithinWatermark` to collapse multi-hit pairs and
+    * in-stream repeats, exactly as the minhash dual composes per-band
+    * hits.
+    * StreamMlSpec pins stream matches ≡ the batch admission
+    * operator's corpus/sub matches on planted subset / sub-threshold
+    * docs. */
+  def containmentStreamAppend(docs: DataFrame,
+      corpusSh: DataFrame): DataFrame = {
+    import graft.operators.{DedupQueries => D}
+    val signed = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingleHashesMd5(col("w")).as("sh"))
+      .where(size(col("sh")) >= 1)
+      .select(col("doc_id"), sort_array(col("sh")).as("hs_a"),
+        size(col("sh")).cast("long").as("sz_a"))
+    val k = greatest(
+      col("sz_a") - expr("(sz_a * 4 + 4) div 5") + lit(1L), lit(1L))
+      .cast("int")
+    val index = corpusSh.select(col("doc_id").as("match_id"),
+      col("sz").as("sz_b"), explode(col("hs")).as("h"))
+    signed
+      .select(col("doc_id"), col("hs_a"), col("sz_a"),
+        explode(slice(col("hs_a"), lit(1), k)).as("h"))
+      .join(index, Seq("h"))
+      .where(col("sz_b").cast("double") >=
+        col("sz_a").cast("double") * lit(D.ContainT))
+      .select(col("doc_id"), col("match_id"), col("hs_a"), col("sz_a"))
+      .join(corpusSh.select(col("doc_id").as("match_id"),
+        col("hs").as("hs_b")), Seq("match_id"))
+      .select(col("doc_id"), col("match_id"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+          / col("sz_a").cast("double")).as("containment"))
+      .where(col("containment") >= lit(D.ContainT))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       value: Double)
   case class SessionState(sessionIdx: Long, lastTs: Long, n: Long,

@@ -592,6 +592,52 @@ class StreamMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CONTAINMENT admission: in-flight row-local sorted " +
+    "hashes + prefix probe against the static corpus index reproduces " +
+    "the batch admission operator's corpus/sub matches; sub-threshold " +
+    "overlap stays silent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val D = operators.DedupQueries
+    val big  = (1 to 20).map(i => f"w$i%02d").mkString(" ")  // 18 shingles
+    val smal = (1 to 8).map(i => s"m$i").mkString(" ")
+    // incoming: 5 ⊂ doc 1 (match), 10 = half-overlap (4/10 < 0.8 — silent),
+    // 15 unrelated
+    val existing = Seq(1L -> big, 2L -> smal).toDF("doc_id", "text")
+    val incoming = Seq(
+      5L -> (3 to 12).map(i => f"w$i%02d").mkString(" "),
+      10L -> ((1 to 6).map(i => f"w$i%02d") ++
+        (1 to 6).map(i => s"u$i")).mkString(" "),
+      15L -> (1 to 10).map(i => s"z$i").mkString(" "))
+    val corpusSh = D.containmentShOn(existing)
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.EventStreams.containmentStreamAppend(
+        src.toDF.toDF("doc_id", "text"), corpusSh)
+      .writeStream.format("memory").queryName("contain_sink")
+      .outputMode("append").start()
+    try {
+      src.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("contain_sink")
+        .select("doc_id", "match_id", "containment").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // batch admission operator over the same planted corpus: the
+      // corpus/sub matches are exactly what the stream must reproduce
+      val all = (Seq(1L -> big, 2L -> smal) ++ incoming)
+        .toDF("doc_id", "text")
+      val batch = D.incrementalContainmentOfSh(D.containmentShOn(all))
+        .where($"match_src" === "corpus" && $"direction" === "sub")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+        .toSet
+      assert(batch == Set((5L, 1L, 1.0)),
+        s"fixture lost its planted containment match: $batch")
+      assert(got == batch,
+        s"stream matches $got != batch corpus/sub matches $batch")
+    } finally q.stop()
+  }
+
   test("ModelStore round-trips an all-numeric product catalog as strings " +
     "(partition-column inference would read \"0123\" back as \"123\")") {
     import spark.implicits._
