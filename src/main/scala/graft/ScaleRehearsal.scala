@@ -210,10 +210,27 @@ object ScaleRehearsal {
         col("source"), col("lang"))
 
     val docFams = Seq(
-      Fam("dedup_ngram_jaccard", D.ngramCandidatesOn, D.ngramJaccardOn,
+      Fam("dedup_ngram_jaccard", d => D.ngramCandidatesOn(d),
+        d => D.ngramJaccardOn(d),
         d => (Seq("shingle", "len_bucket"),
           D.shingledOn(d).select(col("len_bucket"),
             explode(col("sh")).as("shingle")))),
+      // ngram with PLANTED BOILERPLATE (the spans_boiler protocol for
+      // the lexical family, round-13 judge weak): every 5th doc
+      // carries the same 250-char block VERBATIM across replicas, so
+      // its ~48 shingles' df grows with the corpus (1k docs at x1 —
+      // exactly AT the cap, so x1 runs uncapped and shows the
+      // quadratic boiler bump — 3k at x3 and 10k at x10, past
+      // NgramDfCap). candidates/out run the production rule (capped);
+      // buckets measure the (shingle, len_bucket) postings that
+      // actually enter the join — the df cap must hold their max df
+      // <= cap while the planted df explodes.
+      Fam("dedup_ngram_boiler",
+        d => D.ngramCandidatesOn(withBoilerplate(d)),
+        d => D.ngramJaccardOn(withBoilerplate(d)),
+        d => (Seq("shingle", "len_bucket"),
+          D.dfFilteredPostings(D.ngramPostingsOn(withBoilerplate(d)))
+            .select(col("shingle"), col("len_bucket")))),
       Fam("dedup_minhash_lsh", D.minhashCandidatesOn, D.minhashLshOn,
         d => (Seq("band", "key"), D.minhashBandsOn(d))),
       Fam("dedup_simhash",

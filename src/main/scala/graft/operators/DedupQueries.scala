@@ -247,9 +247,13 @@ object DedupQueries {
     *
     * The Q-level form reads the corpus's maintained POSTING STORE
     * ([[ngramPostingStore]]) — the serving plan is a parquet read into
-    * the inverted join, no tokenizer. */
+    * the inverted join, no tokenizer. Similarity is over the
+    * NON-BOILERPLATE shingle sets ([[dfFilteredPostings]],
+    * [[NgramDfCap]]): shingles past the corpus df cap are excluded
+    * from candidates AND sizes, bounding the join's per-key fan-out at
+    * cap² and reclassifying share-only-boilerplate pairs as non-dups. */
   val dedupNgramJaccard: Q = (spark, dir) =>
-    ngramJaccardOfPostings(ngramPostingStore(spark, dir))
+    ngramJaccardOfPostings(dfFilteredPostings(ngramPostingStore(spark, dir)))
 
   /** The corpus's inverted n-gram shingle POSTINGS — one row per
     * (doc, shingle) with the doc's 100-char length bucket and shingle
@@ -294,11 +298,64 @@ object DedupQueries {
       ngramPostingsOn(docs.where(isIngestBatch)))
   }
 
+  /** Document-frequency cap for n-gram shingles: a shingle present in
+    * more than this many documents is BOILERPLATE (license headers,
+    * navigation chrome, site templates) and is EXCLUDED from the
+    * Jaccard similarity measure — both from candidate generation and
+    * from the set sizes, i.e. similarity is computed over the
+    * non-boilerplate shingle sets (shingle-level stopword removal; the
+    * DuckDB oracle replays the same rule). This bounds the family's
+    * one skew axis: the (shingle, len_bucket) candidate join generates
+    * df² pairs per key, so one corpus-wide boilerplate shingle
+    * (df ~10⁶ on a real crawl) would otherwise emit ~10¹² pair rows
+    * into a single hash partition — the [[SpanDfCap]] precedent
+    * applied to this family. The cap also changes the CONTRACT in the
+    * intended direction: two documents sharing ONLY boilerplate are
+    * not near-duplicates (uncapped, two short docs wrapping the same
+    * license header pass Jaccard ≥ 0.5 on the header alone).
+    * Value matches [[SpanDfCap]]; the real corpus's max shingle df is
+    * 25 at sf0.1, so every test-SF result is numerically unchanged —
+    * only the planted boilerplate rehearsal (SCALE10
+    * `dedup_ngram_boiler`) crosses it. */
+  val NgramDfCap = 1000L
+
+  /** Postings with boilerplate shingles removed and per-doc sizes
+    * recomputed over the surviving set — the frame EVERY edge consumer
+    * feeds to the candidate join (the single choke point, so all six
+    * downstream consumers — full pairs, touching edges, the label
+    * table, admission, funnel, keeper — inherit the cap).
+    *
+    * Shape: shingle df is a map-side-combinable count over the
+    * postings (the store's rows are distinct per (doc, shingle) by
+    * construction, so `count(*)` IS the document frequency — no
+    * count-distinct skew); the hot set is tiny by construction
+    * (≤ |postings| / cap keys), so its anti-join broadcasts; the size
+    * recompute is one window count on doc_id. df is a corpus-level
+    * fact, recomputed over the CURRENT full posting store at query
+    * time (the [[spanSpreadOn]] discipline) — in particular the base
+    * label derivation and the batch's touching edges see the SAME
+    * hot set, which is what keeps the quotient-merge ≡ full-recompute
+    * proof exact: using stale (smaller-corpus) df on the base side
+    * could keep an edge the full-corpus rule drops. */
+  private[graft] def dfFilteredPostings(inv: DataFrame,
+      cap: Long = NgramDfCap): DataFrame = {
+    val hot = inv.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > cap)
+      .select(col("shingle"))
+    inv.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select(col("doc_id"), col("len_bucket"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))).as("sz"),
+        col("shingle"))
+  }
+
   /** Core of [[dedupNgramJaccard]] over an arbitrary documents frame
     * with (doc_id, text, n_chars) — exposed so specs can plant fixture
     * pairs (e.g. a near-dup pair straddling a length-bucket boundary). */
-  private[graft] def ngramJaccardOn(docs: DataFrame): DataFrame =
-    ngramJaccardOfPostings(ngramPostingsOn(docs))
+  private[graft] def ngramJaccardOn(docs: DataFrame,
+      cap: Long = NgramDfCap): DataFrame =
+    ngramJaccardOfPostings(dfFilteredPostings(ngramPostingsOn(docs), cap))
 
   private[graft] def ngramJaccardOfPostings(inv: DataFrame): DataFrame =
     ngramCandidatesOfPostings(inv)
@@ -313,12 +370,16 @@ object DedupQueries {
     * intersection count already aggregated. This is the frame whose
     * cardinality the length-bucket blocking bounds (the scale
     * rehearsal's measured quantity for this family). */
-  private[graft] def ngramCandidatesOn(docs: DataFrame): DataFrame =
-    ngramCandidatesOfPostings(ngramPostingsOn(docs))
+  private[graft] def ngramCandidatesOn(docs: DataFrame,
+      cap: Long = NgramDfCap): DataFrame =
+    ngramCandidatesOfPostings(dfFilteredPostings(ngramPostingsOn(docs), cap))
 
   /** [[ngramCandidatesOn]] over an explicit posting frame
     * (doc_id, len_bucket, sz, shingle) — the form that reads the
-    * persisted [[ngramPostingStore]] instead of re-tokenizing text. */
+    * persisted [[ngramPostingStore]] instead of re-tokenizing text.
+    * Callers pass the frame through [[dfFilteredPostings]] first (the
+    * cap is a corpus-df fact, so it must be computed over the FULL
+    * store even when the candidate pass restricts to a doc subset). */
   private[graft] def ngramCandidatesOfPostings(inv: DataFrame): DataFrame = {
     // The |Δbucket| ≤ 1 probe stays an EQUI-join on the composite
     // (shingle, bucket) key: the probe side emits each posting into
@@ -1103,8 +1164,10 @@ object DedupQueries {
     * edges served from the [[ngramPostingStore]] — output is provably
     * bit-identical, but the r10 advice rule is that stale label/keeper
     * artifacts must not be able to serve across a derivation-input
-    * transition). */
-  private[graft] val ComponentsVariant = "ngram_j50_w3_minlabel_v2"
+    * transition; v3: the [[NgramDfCap]] boilerplate rule — identical
+    * output at every test SF since max real df is 25, but the edge
+    * RULE changed, so v2 artifacts must not serve). */
+  private[graft] val ComponentsVariant = "ngram_j50_w3_minlabel_df1000_v3"
 
   /** The EXISTING (non-batch) corpus's label table — the shared base
     * artifact both [[dedupComponents]] and
@@ -1121,10 +1184,17 @@ object DedupQueries {
         ComponentsVariant + "_base")) {
       // edge derivation reads the persisted posting store (the base
       // side is a pushed doc_id filter on it) — the cold path's one
-      // text scan is the posting store's own derivation
+      // text scan is the posting store's own derivation. The df filter
+      // runs over the FULL store BEFORE the base restriction: the
+      // boilerplate classification is a corpus-version fact shared
+      // with the touching edges, which is what keeps the quotient
+      // merge provably equal to the full recompute (a base-only df
+      // would keep edges the full-corpus rule drops once the batch
+      // pushes a shingle over the cap).
       componentsOf(
         ngramJaccardOfPostings(
-          ngramPostingStore(spark, dir).where(!isIngestBatch))
+          dfFilteredPostings(ngramPostingStore(spark, dir))
+            .where(!isIngestBatch))
           .select(col("doc_a"), col("doc_b")),
         DriverCcMaxEdges)
     }
@@ -1138,7 +1208,8 @@ object DedupQueries {
   private[graft] def mergedComponentLabels(spark: SparkSession,
       dir: String): DataFrame =
     incrementalComponentsOf(baseComponentLabels(spark, dir),
-      ngramJaccardTouchingOfPostings(ngramPostingStore(spark, dir))
+      ngramJaccardTouchingOfPostings(
+        dfFilteredPostings(ngramPostingStore(spark, dir)))
         .select(col("doc_a"), col("doc_b")))
 
   /** Full-corpus labels via the quotient merge over the shared base
@@ -1167,8 +1238,10 @@ object DedupQueries {
     * via the (build-not-batch OR probe<build) guard; pair columns are
     * normalized to doc_a < doc_b with sizes following, so the Jaccard
     * expression is bit-identical to the full derivation's. */
-  private[graft] def ngramJaccardTouchingBatchOn(docs: DataFrame): DataFrame =
-    ngramJaccardTouchingOfPostings(ngramPostingsOn(docs))
+  private[graft] def ngramJaccardTouchingBatchOn(docs: DataFrame,
+      cap: Long = NgramDfCap): DataFrame =
+    ngramJaccardTouchingOfPostings(
+      dfFilteredPostings(ngramPostingsOn(docs), cap))
 
   /** [[ngramJaccardTouchingBatchOn]] over an explicit posting frame —
     * the form the incremental consumers serve from the persisted
@@ -1221,7 +1294,8 @@ object DedupQueries {
     * batch, with the same direction mapping. */
   val dedupNgramIncremental: Q = (spark, dir) =>
     incrementalNgramOfEdges(
-      ngramJaccardTouchingOfPostings(ngramPostingStore(spark, dir)))
+      ngramJaccardTouchingOfPostings(
+        dfFilteredPostings(ngramPostingStore(spark, dir))))
 
   /** Direction re-keying of [[dedupNgramIncremental]] over a
     * normalized (doc_a < doc_b, jaccard) touching-edge frame; also the
@@ -1270,24 +1344,27 @@ object DedupQueries {
     * (no store) — the spec form. */
   private[graft] def incrementalComponentsOn(docs: DataFrame): DataFrame =
     incrementalComponentsOf(
-      componentsOf(ngramJaccardOn(docs.where(!isIngestBatch))
-        .select(col("doc_a"), col("doc_b")), DriverCcMaxEdges),
+      componentsOf(
+        ngramJaccardOfPostings(
+          dfFilteredPostings(ngramPostingsOn(docs)).where(!isIngestBatch))
+          .select(col("doc_a"), col("doc_b")), DriverCcMaxEdges),
       ngramJaccardTouchingBatchOn(docs).select(col("doc_a"), col("doc_b")))
 
   /** The quotient-graph label merge of [[dedupComponentsIncremental]]:
     * base labels + the batch's touching edges → the full corpus's
     * label table. */
   private[graft] def incrementalComponentsOf(baseLabels: DataFrame,
-      newEdgesRaw: DataFrame): DataFrame = {
-    // The edge frame is referenced TWICE below (the quotient build and
-    // the newDocs explode) and Spark does not CSE across those
-    // branches, so without a cache the touching-edge derivation — the
-    // posting-store join, the dominant per-ingest work — executes
-    // twice per call (measured ~1.5 s doubled at sf0.1). The PAIRS
-    // themselves are output-sized (hundreds of rows), so caching them
-    // is free; componentsOf's eager count materializes the cache
-    // before the second reference plans.
-    val newEdges = newEdgesRaw.cache()
+      newEdges: DataFrame): DataFrame = {
+    // The edge frame — the posting-store join, the dominant per-ingest
+    // work — is consumed exactly ONCE (the quotient build): newDocs is
+    // derived from `merged` below, not from a second pass over the
+    // edges. (An earlier shape read the edges twice — Spark does not
+    // CSE across branches, so the posting join executed twice per
+    // call, ~1.5 s doubled at sf0.1 — and the round-13 fix cached the
+    // pairs, which leaked one CacheManager entry per call in a
+    // long-lived session, the round-13 ADVICE. Deriving newDocs from
+    // the componentsOf result needs neither: on the driver path merged
+    // is a LocalRelation, free to re-reference.)
     // endpoints collapse to their base label (or themselves)
     val quotient = newEdges
       .join(baseLabels.select(col("doc_id").as("doc_a"),
@@ -1304,13 +1381,15 @@ object DedupQueries {
       .select(baseLabels("doc_id"),
         coalesce(col("root"), baseLabels("component_id")).as("component_id"))
     // newly-paired docs (batch docs + base docs first paired by the
-    // batch): their quotient node is themselves
-    val newDocs = newEdges
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-      .join(baseLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .join(merged, col("doc_id") === col("node"))
-      .select(col("doc_id"), col("root").as("component_id"))
+    // batch): their quotient node is themselves, so they are exactly
+    // the merged nodes that are not a base component label. Sound
+    // because a base label IS a base doc id (min-label components),
+    // and an unlabeled endpoint's id can never equal a labeled doc's
+    // id — doc ids are unique.
+    val newDocs = merged
+      .join(baseLabels.select(col("component_id").as("node")),
+        Seq("node"), "left_anti")
+      .select(col("node").as("doc_id"), col("root").as("component_id"))
     rebased.unionByName(newDocs).orderBy(col("doc_id"))
   }
 
@@ -2162,6 +2241,30 @@ object DedupQueries {
     """list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |               FOR i IN range(1, len(w) - 1)])""".stripMargin
 
+  /** Shared tok → sh0 → post → hot → sh CTE chain: per-doc shingle
+    * sets with the [[NgramDfCap]] boilerplate rule applied — shingles
+    * whose corpus document frequency exceeds the cap are removed from
+    * every set before pairing (similarity over non-boilerplate
+    * shingles, term-identical to [[dfFilteredPostings]]'s rule). Docs
+    * whose surviving set is empty drop — they can generate no
+    * candidates in the inverted form either. The final CTE is named
+    * `sh` so every downstream pairs/jaccard fragment is unchanged. */
+  private val NgramFshSql =
+    s"""tok AS (
+       |  SELECT doc_id, n_chars // 100 AS len_bucket,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id, len_bucket,
+       |    CASE WHEN len(w) >= 3 THEN $SH ELSE [] END AS s
+       |  FROM tok),
+       |post AS (SELECT doc_id, len_bucket, unnest(s) AS g FROM sh0),
+       |hot AS (SELECT g FROM post GROUP BY g HAVING count(*) > $NgramDfCap),
+       |sh AS (
+       |  SELECT doc_id, min(len_bucket) AS len_bucket, list(g) AS s
+       |  FROM post WHERE g NOT IN (SELECT g FROM hot)
+       |  GROUP BY doc_id)""".stripMargin
+
   /** Replayable md5 shingle hashes — DuckDB side of
     * [[graft.functions.TextFunctions.shingleHashesMd5]]. */
   private val SHMD5 =
@@ -2453,14 +2556,7 @@ object DedupQueries {
          |    (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
          |ORDER BY cand.doc_id, match_src, match_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, n_chars // 100 AS len_bucket,
-         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id, len_bucket,
-         |    CASE WHEN len(w) >= 3 THEN $SH ELSE [] END AS s
-         |  FROM tok)
+      s"""WITH $NgramFshSql
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
@@ -2475,14 +2571,7 @@ object DedupQueries {
     // matches point the later doc at the earlier (doc_a < doc_b in the
     // normalized pair, so 'later' = doc_b)
     "dedup_ngram_incremental" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, n_chars // 100 AS len_bucket,
-         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id, len_bucket,
-         |    CASE WHEN len(w) >= 3 THEN $SH ELSE [] END AS s
-         |  FROM tok),
+      s"""WITH $NgramFshSql,
          |jp AS (
          |  SELECT a.doc_id AS da, b.doc_id AS db,
          |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -2635,17 +2724,10 @@ object DedupQueries {
   )
 
   /** Shared CTE prefix (tok → sh → pairs) replaying the shingle +
-    * ±1-bucket-blocked Jaccard pair rule — used by both the
+    * df-cap + ±1-bucket-blocked Jaccard pair rule — used by both the
     * connected-components oracle and the corpus-clean funnel oracle. */
   private val componentsPrefixSql: String =
-        s"""WITH RECURSIVE tok AS (
-           |  SELECT doc_id, n_chars // 100 AS len_bucket,
-           |    regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-           |  FROM documents),
-           |sh AS (
-           |  SELECT doc_id, len_bucket,
-           |    CASE WHEN len(w) >= 3 THEN $SH ELSE [] END AS s
-           |  FROM tok),
+        s"""WITH RECURSIVE $NgramFshSql,
            |pairs AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM sh a JOIN sh b
