@@ -867,6 +867,35 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       "containment admission must be partition-invariant")
   }
 
+  test("containment sup-probe cap: corpus docs too big to fit in any " +
+    "batch doc never enter the sup join, and the admission output is " +
+    "unchanged") {
+    val D = operators.DedupQueries
+    // corpus: doc 1 oversized (18 shingles), doc 2 small (6); batch:
+    // doc 10 (10 shingles) ⊇ doc 2 — max_bsz 10, so the cap
+    // sz_a*4 <= max_bsz*5 keeps doc 2 (24 <= 50) and prunes doc 1
+    // (72 > 50), which the pairwise bound would reject anyway
+    val big  = (1 to 20).map(i => f"w$i%02d").mkString(" ")
+    val smal = (1 to 8).map(i => s"m$i").mkString(" ")
+    val sup  = ((1 to 8).map(i => s"m$i") ++
+      (1 to 4).map(i => s"x$i")).mkString(" ")
+    val docs = Seq(1L -> big, 2L -> smal, 10L -> sup)
+      .toDF("doc_id", "text")
+    val sh = D.containmentShOn(docs)
+    // only the small corpus doc's prefix postings survive the cap
+    val probed = D.containmentSupProbe(sh)
+      .select("a").distinct().collect().map(_.getLong(0)).toSet
+    assert(probed == Set(2L), s"probed=$probed")
+    // the size cap sits in the plan (below the posting join by
+    // construction: it filters sh before the explode/join)
+    val out = D.incrementalContainmentOfSh(sh)
+    assert(out.queryExecution.executedPlan.toString.contains("max_bsz"),
+      "batch-size cap missing from the sup-probe plan")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(3))).toList
+    assert(got == List((10L, 2L, "sup")), got.toString)
+  }
+
   test("duplication profile: planted cluster sizes produce the exact " +
     "histogram, its identities hold, and the result is partition-" +
     "invariant") {
