@@ -66,8 +66,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    invalidation this store performs — round-13 advice, now both
   *    bounded and documented);
   *  - saving an artifact PRUNES stale siblings — same kind/source/
-  *    variant, different fingerprint — so a long-lived environment does
-  *    not hoard artifacts of corpora that no longer exist;
+  *    variant, different fingerprint, plus any sibling carrying a
+  *    RETIRED variant token ([[SupersededVariants]]) — so a long-lived
+  *    environment hoards neither dead corpora's artifacts nor dead
+  *    algorithm versions';
+  *  - the store is SINGLE-WRITER per artifact, enforced: every rewrite
+  *    holds `_GRAFT_LOCK` (atomic create-new; stale locks of crashed
+  *    writers taken over after [[StaleLockMs]]) and a second concurrent
+  *    writer FAILS LOUDLY instead of racing the data-dir allocation and
+  *    state flip. Readers never lock;
   *  - `SPARK_GRAFT_NO_ARTIFACT_CACHE=1` disables loads entirely — the
   *    ablation gates set it so interpreted/codegen parity runs exercise
   *    the full derivation, not a parquet read.
@@ -161,6 +168,18 @@ object ArtifactStore {
     * startup sweep of aged trash would replace the immediate delete.
     * Trash left by a crash between rename and delete is swept on the
     * next prune of the same directory. */
+  /** Variant tokens RETIRED by semantic version bumps (each bump's
+    * scaladoc records why). Artifacts whose basename carries one can
+    * never be served again — the live code derives at the current
+    * variant — so [[pruneSiblings]] sweeps them like stale
+    * fingerprints (round-13 advice: the fingerprint-keyed prune alone
+    * left dead v1/v2 label and keeper artifacts hoarded forever). Each
+    * token is kept underscore-delimited so it can never prefix-match a
+    * LIVE variant's name. */
+  private[graft] val SupersededVariants: Seq[String] = Seq(
+    "_ngram_j50_w3_minlabel_v1_", // r11 labeling, superseded r12
+    "_ngram_j50_w3_minlabel_v2_") // r12→r13 posting-store edges, superseded by the r14 df-cap v3
+
   private def pruneSiblings(path: String): Unit = {
     val f = new java.io.File(path)
     val parent = f.getParentFile
@@ -180,9 +199,53 @@ object ArtifactStore {
       s <- sibs
       sKey <- pruneKeyOf(s.getName)
       if s.getName != f.getName &&
-        (sKey == key || (!key.contains("--") && sKey.startsWith(key + "--")))
+        (sKey == key || (!key.contains("--") && sKey.startsWith(key + "--")) ||
+          SupersededVariants.exists(s.getName.contains))
       if !s.getName.startsWith(f.getName + "--") // never this version's own deltas
     } trashThenDelete(s)
+  }
+
+  // ---- the single-writer guard -----------------------------------------
+
+  /** Age past which a `_GRAFT_LOCK` is presumed to belong to a CRASHED
+    * writer and is taken over (rewrites here run seconds, not tens of
+    * minutes). */
+  private[graft] val StaleLockMs: Long = 30L * 60 * 1000
+
+  /** The store's SINGLE-WRITER contract, enforced: every rewrite
+    * (save, compaction, rebuild) holds an exclusive advisory lock file
+    * for the artifact dir, acquired with an atomic create-new. Two
+    * concurrent ingests appending to one chain would otherwise race
+    * [[nextDataDir]] and the state flip — interleavings that can point
+    * the state at the other writer's half-written dir (the repo's
+    * BENCH notes record exactly this when two Spark JVMs shared
+    * target/tmp/artifact_store). Contention FAILS LOUDLY here instead
+    * of corrupting silently: serialize ingests per artifact, or give
+    * concurrent jobs separate store roots. A lock older than
+    * [[StaleLockMs]] is a crashed writer's and is taken over. Readers
+    * never lock — the atomic state flip already gives them a complete
+    * view at every instant. */
+  private def withWriteLock[T](path: String)(body: => T): T = {
+    new java.io.File(path).mkdirs()
+    val lock = java.nio.file.Paths.get(s"$path/_GRAFT_LOCK")
+    def tryAcquire(): Boolean =
+      try {
+        java.nio.file.Files.write(lock,
+          s"${ProcessHandle.current.pid}\n".getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!tryAcquire()) {
+      val age =
+        try System.currentTimeMillis -
+          java.nio.file.Files.getLastModifiedTime(lock).toMillis
+        catch { case _: java.io.IOException => 0L }
+      if (age <= StaleLockMs || { deleteIfExists(lock.toString); !tryAcquire() })
+        sys.error(s"artifact store: a concurrent writer holds $lock " +
+          s"(age ${age} ms) — single-writer contract: serialize rewrites " +
+          "of one artifact, or give concurrent jobs separate store roots")
+    }
+    try body finally deleteIfExists(lock.toString)
   }
 
   private def write(path: String, content: String): Unit =
@@ -287,9 +350,10 @@ object ArtifactStore {
     * swept after the flip. */
   def save(df: DataFrame, path: String,
       parentOf: Option[String] = None): Unit =
-    if (!isUncacheable(path)) {
+    if (!isUncacheable(path)) withWriteLock(path) {
       pruneSiblings(path)
       val prev = stateOf(path).map(_.data).toSet
+      val prevFolded = foldedTags(path)
       val dv = nextDataDir(path)
       df.write.mode("overwrite").parquet(s"$path/$dv")
       val n = df.sparkSession.read.parquet(s"$path/$dv").count()
@@ -298,6 +362,17 @@ object ArtifactStore {
       write(s"$path/_GRAFT_OK", "")
       deleteIfExists(s"$path/_GRAFT_META")   // legacy layout, superseded
       deleteIfExists(s"$path/_GRAFT_FOLDED") // by the state file
+      // A previously-compacted chain's one-generation-retained folded
+      // delta dirs (complete, lineage-matched) would RESURRECT as live
+      // deltas under this fresh state's empty folded set — on top of a
+      // full fresh derivation that already contains their rows
+      // (round-13 advice: save()'s 'clean folded slate' assumption).
+      // Sweep them, mirroring rewriteChain's prevFolded sweep; no
+      // in-flight frame can hold them (deltasOf skipped folded tags at
+      // plan time).
+      if (!new java.io.File(path).getName.contains("--"))
+        prevFolded.foreach(t => org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(childPathFor(path, t))))
       gcDataDirs(path, prev + dv)
     }
 
@@ -532,7 +607,7 @@ object ArtifactStore {
     * stays complete at every instant. */
   private def rewriteChain(spark: SparkSession, parentPath: String,
       deltas: Seq[String], extraFolded: Set[String],
-      content: DataFrame): Unit = {
+      content: DataFrame): Unit = withWriteLock(parentPath) {
     val parentName = new java.io.File(parentPath).getName
     val prev = stateOf(parentPath).map(_.data).toSet
     val prevFolded = foldedTags(parentPath)

@@ -2010,6 +2010,43 @@ object SimilarityQueries {
        |    SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
        |  FROM proj GROUP BY 1, 2)""".stripMargin
 
+  /** [[EmbSigReplayPrefixSql]] without the leading `WITH ` — the form
+    * the pipe_admit_full composition renames and splices. */
+  private[operators] lazy val EmbSigReplayCtesSql: String =
+    EmbSigReplayPrefixSql.stripPrefix("WITH ")
+
+  /** The embedding-admission match CTEs (batch→corpus + in-batch
+    * blocked candidates) — shared by the dedup_embedding_incremental
+    * oracle and the pipe_admit_full composition. References `sigs`. */
+  private[operators] lazy val EmbIncCtesSql: String =
+    """cr AS (
+      |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS match_id,
+      |    'corpus' AS match_src
+      |  FROM sigs a JOIN sigs b
+      |    ON a.table_id = b.table_id AND a.sig = b.sig
+      |  WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0),
+      |ib AS (
+      |  SELECT DISTINCT b.vec_id AS vec_id, a.vec_id AS match_id,
+      |    'batch' AS match_src
+      |  FROM sigs a JOIN sigs b
+      |    ON a.table_id = b.table_id AND a.sig = b.sig
+      |      AND a.vec_id < b.vec_id
+      |  WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0),
+      |u AS (SELECT * FROM cr UNION ALL SELECT * FROM ib)""".stripMargin
+
+  /** The exact-cosine verify select of the embedding admission —
+    * references `u` and `e`. No ORDER BY so it can wrap as a CTE. */
+  private[operators] lazy val EmbIncSelectSql: String =
+    """SELECT vec_id, match_id, match_src, cos_sim FROM (
+      |  SELECT u.vec_id, u.match_id, u.match_src,
+      |    floor((list_dot_product(ea.vec, eb.vec)
+      |           / (sqrt(list_dot_product(ea.vec, ea.vec))
+      |              * sqrt(list_dot_product(eb.vec, eb.vec))))
+      |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+      |  FROM u JOIN e ea ON u.vec_id = ea.vec_id
+      |         JOIN e eb ON u.match_id = eb.vec_id) t
+      |WHERE cos_sim >= 0.3""".stripMargin
+
   private lazy val embeddingDedupOracles: Map[String, String] = Map(
     ("dedup_embedding_cosine" ->
       s"""$EmbSigReplayPrefixSql,
@@ -2031,29 +2068,8 @@ object SimilarityQueries {
     // pairs, exact cosine verify on candidates at the same threshold.
     ("dedup_embedding_incremental" ->
       s"""$EmbSigReplayPrefixSql,
-         |cr AS (
-         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS match_id,
-         |    'corpus' AS match_src
-         |  FROM sigs a JOIN sigs b
-         |    ON a.table_id = b.table_id AND a.sig = b.sig
-         |  WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0),
-         |ib AS (
-         |  SELECT DISTINCT b.vec_id AS vec_id, a.vec_id AS match_id,
-         |    'batch' AS match_src
-         |  FROM sigs a JOIN sigs b
-         |    ON a.table_id = b.table_id AND a.sig = b.sig
-         |      AND a.vec_id < b.vec_id
-         |  WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0),
-         |u AS (SELECT * FROM cr UNION ALL SELECT * FROM ib)
-         |SELECT vec_id, match_id, match_src, cos_sim FROM (
-         |  SELECT u.vec_id, u.match_id, u.match_src,
-         |    floor((list_dot_product(ea.vec, eb.vec)
-         |           / (sqrt(list_dot_product(ea.vec, ea.vec))
-         |              * sqrt(list_dot_product(eb.vec, eb.vec))))
-         |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
-         |  FROM u JOIN e ea ON u.vec_id = ea.vec_id
-         |         JOIN e eb ON u.match_id = eb.vec_id) t
-         |WHERE cos_sim >= 0.3
+         |$EmbIncCtesSql
+         |$EmbIncSelectSql
          |ORDER BY vec_id, match_src, match_id""".stripMargin),
     ("sim_quantize_int8" ->
       """WITH e AS (

@@ -204,6 +204,78 @@ class ArtifactStoreSpec extends AnyFunSuite {
     tags.foreach(t => rmStore(ArtifactStore.childPathFor(parent, t)))
   }
 
+  test("single-writer guard: a concurrent writer's fresh _GRAFT_LOCK " +
+    "makes a rewrite FAIL LOUDLY (the interleaving that previously " +
+    "raced the state flip); a crashed writer's stale lock is taken " +
+    "over; the lock is released after a successful rewrite") {
+    import spark.implicits._
+    val path = "target/tmp/test_artifact_store/lock_src_v1_eeeeeeeeeeee"
+    rmStore(path)
+    val df = Seq((1L, 2L)).toDF("doc_id", "component_id")
+    // simulate the second writer of a concurrent-append interleaving:
+    // a live (fresh) lock held by another JVM
+    new java.io.File(path).mkdirs()
+    val lock = java.nio.file.Paths.get(s"$path/_GRAFT_LOCK")
+    java.nio.file.Files.write(lock, "999\n".getBytes("UTF-8"))
+    val ex = intercept[RuntimeException] { ArtifactStore.save(df, path) }
+    assert(ex.getMessage.contains("concurrent writer"), ex.getMessage)
+    assert(ArtifactStore.load(spark, path).isEmpty,
+      "the refused writer must not have produced a complete artifact")
+    // a crashed writer's lock (older than StaleLockMs) is taken over
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - ArtifactStore.StaleLockMs - 60000))
+    ArtifactStore.save(df, path)
+    assert(ArtifactStore.load(spark, path).nonEmpty,
+      "stale-lock takeover failed")
+    assert(!java.nio.file.Files.exists(lock),
+      "lock not released after a successful rewrite")
+    // compaction takes the same lock: a fresh lock blocks it too
+    val child = ArtifactStore.childPathFor(path, "c1")
+    rmStore(child)
+    ArtifactStore.appendedCached(spark, path, "c1")(
+      { fail("base re-derived"); df })(Seq((9L, 9L))
+      .toDF("doc_id", "component_id"))
+    java.nio.file.Files.write(lock, "999\n".getBytes("UTF-8"))
+    val ex2 = intercept[RuntimeException] {
+      ArtifactStore.compactChain(spark, path)
+    }
+    assert(ex2.getMessage.contains("concurrent writer"), ex2.getMessage)
+    java.nio.file.Files.delete(lock)
+  }
+
+  test("save() after a compaction sweeps the retained folded delta dirs " +
+    "— a fresh full re-save can never resurrect them as live deltas on " +
+    "top of content that already holds their rows (double-count)") {
+    import spark.implicits._
+    val root = "target/tmp/test_artifact_store"
+    val parent = s"$root/resur_src_v1_ffffffffffff"
+    val b1 = ArtifactStore.childPathFor(parent, "b1")
+    val b2 = ArtifactStore.childPathFor(parent, "b2")
+    rmStore(parent); rmStore(b1); rmStore(b2)
+    val base = Seq((1L, 1L)).toDF("doc_id", "component_id")
+    val batch = Seq((5L, 5L)).toDF("doc_id", "component_id")
+    ArtifactStore.appendedCached(spark, parent, "b1")(base)(batch)
+    assert(ArtifactStore.compactChain(spark, parent))
+    // one-generation retention keeps the folded delta dir on disk,
+    // complete and lineage-matched — the resurrection hazard
+    assert(new java.io.File(s"$b1/_GRAFT_OK").exists,
+      "fixture lost its retained folded delta")
+    // a fresh full save at the same path (its content already contains
+    // the folded batch's rows — the re-derivation scenario)
+    ArtifactStore.save(base.unionByName(batch), parent)
+    assert(!new java.io.File(b1).exists,
+      "folded delta dir survived save() — it would resurrect as a " +
+        "live delta under the fresh empty folded set")
+    val served = ArtifactStore.appendedCached(spark, parent, "b2")(
+      { fail("base re-derived"); base })(
+      Seq((7L, 7L)).toDF("doc_id", "component_id"))
+    val got = served.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (5L, 5L), (7L, 7L)),
+      s"resurrected folded delta double-counted rows: $got")
+  }
+
   test("compaction crash safety: the base is COMPLETE at every instant " +
     "(_GRAFT_OK survives the rewrite), a crash before the state flip " +
     "leaves the old chain fully serviceable including previously-folded " +
@@ -535,10 +607,11 @@ class ArtifactStoreSpec extends AnyFunSuite {
         org.apache.spark.sql.execution.FormattedMode)
       .contains("documents.parquet"),
       "dedup_ngram_jaccard load path re-tokenized the corpus")
-    // batch-touching edges: store form == text form
-    val touchFresh = pairs(D.ngramJaccardTouchingBatchOn(docs))
-    assert(pairs(D.ngramJaccardTouchingOfPostings(
-        D.ngramPostingStore(spark, sf))) == touchFresh,
+    // batch-touching edges: store form == text form (unordered — the
+    // touching-edge frame carries no ORDER BY; its consumers sort)
+    val touchFresh = pairs(D.ngramJaccardTouchingBatchOn(docs)).toSet
+    assert(pairs(D.ngramJaccardTouchingOfPostings(D.dfFilteredPostings(
+        D.ngramPostingStore(spark, sf)))).toSet == touchFresh,
       "store-served touching edges diverged")
     // serving-plan text-scan audit (the round-13 judge item: these three
     // queries previously re-tokenized the FULL corpus per call)
@@ -557,6 +630,16 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(nDocScans(D.pipeDedupKeepBestIncremental(spark, sf)) == 1,
       "pipe_dedup_keep_best_incremental must scan documents exactly once " +
         "(the batch's quality scores)")
+    // the composed admission battery (round-14): with every family's
+    // store warm, ONE batch text scan total — the funnel core's
+    // digest/lang/quality projection; every per-family verdict joins
+    // from its posting/shingle/anchor/signature store
+    val admit = D.pipeAdmitFull(spark, sf)
+    assert(admit.count() > 0)
+    assert(nDocScans(D.pipeAdmitFull(spark, sf)) == 1,
+      "pipe_admit_full must scan documents exactly once (the batch's " +
+        "digest/lang/quality flags); every family verdict serves from " +
+        "its store")
   }
 
   test("span anchor store: full + admission span profiles == the " +

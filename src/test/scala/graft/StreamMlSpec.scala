@@ -638,6 +638,95 @@ class StreamMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SPANS admission: row-local anchor selection + static " +
+    "spread probe, aggregated per doc, == the batch admission profile; " +
+    "solo-doc dup/boiler rules match the grown-corpus rules exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val D = operators.DedupQueries
+    def blob(seed: Int, n: Int): String =
+      (0 until n).map(i => f"w$seed%02d${i}%03d").mkString(" ")
+    // corpus docs 1+2 share a 100-char boilerplate block (corpus df 2 =
+    // cap -> stream classifies boiler; batch grown df 3 > cap — the
+    // solo-doc equivalence under test); doc 5 (incoming) embeds a
+    // misaligned 400-char copy from doc 1 plus the boilerplate; doc 10
+    // is fresh content
+    val boiler = blob(9, 20).substring(0, 100)
+    val base = blob(1, 120)
+    val shared = base.substring(100, 500)
+    val existing = Seq(
+      1L -> s"$base $boiler",
+      2L -> s"${blob(2, 80)} $boiler")
+    val incoming = Seq(
+      5L -> s"pre13charpref $shared $boiler ${blob(5, 30)}",
+      10L -> blob(3, 80))
+    val cap = 2L
+    val corpusSpread = D.spanSpreadOn(D.spanAnchorsOn(
+      existing.toDF("doc_id", "text")
+        .withColumn("n_chars", length($"text").cast("long"))))
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.EventStreams.spansStreamAppend(
+        src.toDF.toDF("doc_id", "text"), corpusSpread, cap)
+      .writeStream.format("memory").queryName("spans_sink")
+      .outputMode("append").start()
+    try {
+      src.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("spans_sink")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_anchors"),
+          sum($"is_dup").as("n_dup_anchors"),
+          sum($"is_boiler").as("n_boiler_anchors"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val all = (existing ++ incoming).toDF("doc_id", "text")
+        .withColumn("n_chars", length($"text").cast("long"))
+      val batch = D.incrementalSpansOn(all, cap)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(batch(5L)._2 > 0, s"fixture lost its planted copy: $batch")
+      assert(batch(5L)._3 > 0, s"fixture lost its planted boiler: $batch")
+      assert(batch(10L)._2 == 0, s"fresh doc reports dups: $batch")
+      assert(got == batch, s"stream profile $got != batch profile $batch")
+    } finally q.stop()
+  }
+
+  test("streaming ENTITY admission: row-local block key + static block " +
+    "index + banded levenshtein reproduces the batch admission " +
+    "operator's corpus matches; cross-block near-names stay silent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val D = operators.DedupQueries
+    // corpus keys ≢ 0 mod 5; incoming keys ≡ 0 mod 5. 5 matches 1
+    // (same block, dist 1); 10 is same-block but dist 2 (silent); 15
+    // is a near-name in a DIFFERENT block (blocking rule, silent)
+    val existing = Seq(1L -> "AcmeCorp01", 2L -> "BetaLtd07")
+    val incoming = Seq(5L -> "AcmeCorp02", 10L -> "BetaLtd99",
+      15L -> "AcmeCorz01")
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.EventStreams.entityStreamAppend(
+        src.toDF.toDF("c_custkey", "c_name"),
+        existing.toDF("c_custkey", "c_name"))
+      .writeStream.format("memory").queryName("entity_sink")
+      .outputMode("append").start()
+    try {
+      src.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("entity_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = D.incrementalEntityBlockOn(
+          (existing ++ incoming).toDF("c_custkey", "c_name"))
+        .where($"match_src" === "corpus")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(batch == Set((5L, 1L, 1)),
+        s"fixture lost its planted entity match: $batch")
+      assert(got == batch, s"stream matches $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("ModelStore round-trips an all-numeric product catalog as strings " +
     "(partition-column inference would read \"0123\" back as \"123\")") {
     import spark.implicits._
