@@ -3,22 +3,26 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Bounded sf0.1 companion checks for the eight queries whose DuckDB
+/** Bounded sf0.1 companion checks for the NINE queries whose DuckDB
   * oracles deliberately replay naive formulations that exceed
   * practical oracle runtime at sf0.1 (dedup_components,
   * dedup_ngram_jaccard, dedup_ngram_incremental, pipe_corpus_clean,
   * pipe_corpus_clean_incremental, evt_funnel, pipe_dedup_keep_best,
   * pipe_dedup_keep_best_incremental — the round-9 sweep exclusions
   * plus the round-12/13 incremental forms, whose oracles embed the
-  * same recursive CTE or pairwise replay). Each
+  * same recursive CTE or pairwise replay — and round-14's
+  * pipe_admit_full, whose oracle splices those same replays into one
+  * composed statement). Each
   * exclusion is replaced by NAMED invariants asserted in-engine on the
   * full sf0.1 output: definitional recomputes bounded by the OUTPUT
   * size (not the naive candidate space), independent-algorithm
   * cross-checks (window-sort argmax vs packed-long argmax; stateful
-  * fold vs chained windows), and structural properties (partition,
-  * min-label, edge consistency, stage monotonicity). With this, the
+  * fold vs chained windows), structural properties (partition,
+  * min-label, edge consistency, stage monotonicity), and — for the
+  * composed battery — column-for-column decomposition into the
+  * standalone admission operators. With this, the
   * sf0.1 sweep has ZERO unchecked queries: 190+ via the DuckDB oracle,
-  * these eight via SWEEP01.json.
+  * these nine via SWEEP01.json.
   *
   * Usage: `sbt "runMain graft.SweepInvariants [sfDir]"` — writes
   * SWEEP01.json and prints one JSON line; exits nonzero on any
@@ -256,6 +260,63 @@ object SweepInvariants {
           "lang_ok", "qual_ok", "admitted"), "full_outer").count() ==
         cci.count() && cci.count() == expected.count()
     }
+
+    // ---- pipe_admit_full ------------------------------------------------
+    // the composed battery's oracle splices the recursive-CTE components
+    // replay (and every heavy family replay) into ONE statement — the
+    // same exclusion class; invariant = DECOMPOSITION: every verdict
+    // column frame-equal to its standalone admission operator's
+    // aggregation, all in-engine on the full sf0.1 corpus (each
+    // standalone operator is itself sweep-checked above or
+    // oracle-checked at sf0.01).
+    val admit = D.pipeAdmitFull(spark, dir).cache()
+    check("pipe_admit_full")("funnel_columns_equal_corpus_clean_inc") {
+      val cols = Seq("doc_id", "exact_keep", "near_keep", "lang_ok",
+        "qual_ok", "admitted")
+      admit.select(cols.map(col): _*)
+        .join(cci, cols, "full_outer").count() == cci.count() &&
+        admit.count() == cci.count()
+    }
+    def flagEquals(flagCol: String, std: DataFrame): Boolean = {
+      val flagged = admit.where(col(flagCol) === 1).select(col("doc_id"))
+      val expect = std.distinct()
+      flagged.exceptAll(expect).count() == 0 &&
+        expect.exceptAll(flagged).count() == 0
+    }
+    check("pipe_admit_full")("ngram_flag_equals_standalone") {
+      flagEquals("ngram_dup",
+        D.dedupNgramIncremental(spark, dir).select(col("doc_id")))
+    }
+    check("pipe_admit_full")("simhash_flag_equals_standalone") {
+      flagEquals("simhash_dup",
+        D.dedupSimhashIncremental(spark, dir).select(col("doc_id")))
+    }
+    check("pipe_admit_full")("containment_flags_equal_standalone") {
+      val cadm = D.dedupContainmentIncremental(spark, dir).cache()
+      val ok = flagEquals("contain_sub",
+          cadm.where(col("direction") === "sub").select(col("doc_id"))) &&
+        flagEquals("contain_sup",
+          cadm.where(col("direction") === "sup").select(col("doc_id")))
+      cadm.unpersist()
+      ok
+    }
+    check("pipe_admit_full")("span_frac_equals_standalone") {
+      val expect = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"))
+        .join(D.dedupSpansIncremental(spark, dir)
+          .select(col("doc_id"), col("dup_frac")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup_frac"), lit(0.0)).as("span_dup_frac"))
+      val got = admit.select(col("doc_id"), col("span_dup_frac"))
+      got.join(expect, Seq("doc_id", "span_dup_frac"), "full_outer")
+        .count() == got.count() && got.count() == expect.count()
+    }
+    check("pipe_admit_full")("emb_flag_equals_standalone") {
+      flagEquals("emb_dup",
+        operators.SimilarityQueries.dedupEmbIncremental(spark, dir)
+          .select(col("vec_id").as("doc_id")))
+    }
+    admit.unpersist()
 
     // ---- evt_funnel --------------------------------------------------
     // independent-IMPLEMENTATION equality: the flatMapGroupsWithState
