@@ -2842,9 +2842,10 @@ object DedupQueries {
            |$embCtes,
            |$embInc,
            |vadm AS ($embSel),
-           |ngf AS (SELECT DISTINCT d FROM (
-           |  SELECT doc_a AS d FROM pairs
-           |  UNION ALL SELECT doc_b FROM pairs)),
+           |ngf AS (SELECT DISTINCT
+           |    CASE WHEN doc_a % 5 = 0 AND doc_b % 5 = 0 THEN doc_b
+           |         WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS d
+           |  FROM pairs WHERE doc_a % 5 = 0 OR doc_b % 5 = 0),
            |shf AS (SELECT DISTINCT doc_id FROM (
            |  SELECT doc_id, hamming FROM cr
            |  UNION ALL SELECT doc_id, hamming FROM ib) WHERE hamming <= 3),
