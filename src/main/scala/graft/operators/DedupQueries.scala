@@ -253,7 +253,7 @@ object DedupQueries {
     * from candidates AND sizes, bounding the join's per-key fan-out at
     * cap² and reclassifying share-only-boilerplate pairs as non-dups. */
   val dedupNgramJaccard: Q = (spark, dir) =>
-    ngramJaccardOfPostings(dfFilteredPostings(ngramPostingStore(spark, dir)))
+    ngramJaccardOfPostings(ngramFilteredStore(spark, dir))
 
   /** The corpus's inverted n-gram shingle POSTINGS — one row per
     * (doc, shingle) with the doc's 100-char length bucket and shingle
@@ -331,12 +331,14 @@ object DedupQueries {
     * count-distinct skew); the hot set is tiny by construction
     * (≤ |postings| / cap keys), so its anti-join broadcasts; the size
     * recompute is one window count on doc_id. df is a corpus-level
-    * fact, recomputed over the CURRENT full posting store at query
-    * time (the [[spanSpreadOn]] discipline) — in particular the base
-    * label derivation and the batch's touching edges see the SAME
-    * hot set, which is what keeps the quotient-merge ≡ full-recompute
-    * proof exact: using stale (smaller-corpus) df on the base side
-    * could keep an edge the full-corpus rule drops. */
+    * fact computed over the CURRENT full posting store (the
+    * [[spanSpreadOn]] discipline) — in particular the base label
+    * derivation and the batch's touching edges see the SAME hot set,
+    * which is what keeps the quotient-merge ≡ full-recompute proof
+    * exact: using stale (smaller-corpus) df on the base side could
+    * keep an edge the full-corpus rule drops. Store-served consumers
+    * read the result through [[ngramFilteredStore]] so the two
+    * shuffles here run once per corpus version, not per call. */
   private[graft] def dfFilteredPostings(inv: DataFrame,
       cap: Long = NgramDfCap): DataFrame = {
     val hot = inv.groupBy(col("shingle"))
@@ -349,6 +351,34 @@ object DedupQueries {
           .partitionBy(col("doc_id"))).as("sz"),
         col("shingle"))
   }
+
+  private[graft] def ngramFilteredStorePath(dir: String): String =
+    ArtifactStore.pathFor("ngram_fpostings", dir, "documents.parquet",
+      s"w3b100_df$NgramDfCap")
+
+  /** The df-FILTERED postings as their own MAINTAINED ARTIFACT — the
+    * frame every store-served edge consumer reads. The hot-set
+    * aggregation and the per-doc size recompute in
+    * [[dfFilteredPostings]] are two full shuffles of the posting
+    * store, and six consumers (full pairs, touching edges both sides,
+    * the label table, admission, funnel, keeper) would otherwise each
+    * pay them PER CALL (measured ~+2 s across the warm incremental
+    * trio at sf0.1) — against the store doctrine that a corpus-version
+    * fact is derived once. So the filtered frame is persisted keyed by
+    * the same corpus fingerprint as the posting chain it derives from,
+    * and the warm serving plan for the whole family is one parquet
+    * read. Maintenance story on ingest: a batch can only change the
+    * hot set through shingles IT contains (df is monotone in appends),
+    * so the maintenance path is append the batch's filtered rows when
+    * the hot set is unchanged and rebuild otherwise — either way the
+    * work is bounded by the two posting-store shuffles the uncached
+    * form paid on every single call. The live-frame form
+    * ([[dfFilteredPostings]] directly) remains the spec/rehearsal path
+    * and the `SPARK_GRAFT_NO_ARTIFACT_CACHE` fallback. */
+  private[graft] def ngramFilteredStore(spark: SparkSession,
+      dir: String): DataFrame =
+    ArtifactStore.cached(spark, ngramFilteredStorePath(dir))(
+      dfFilteredPostings(ngramPostingStore(spark, dir)))
 
   /** Core of [[dedupNgramJaccard]] over an arbitrary documents frame
     * with (doc_id, text, n_chars) — exposed so specs can plant fixture
@@ -1193,8 +1223,7 @@ object DedupQueries {
       // pushes a shingle over the cap).
       componentsOf(
         ngramJaccardOfPostings(
-          dfFilteredPostings(ngramPostingStore(spark, dir))
-            .where(!isIngestBatch))
+          ngramFilteredStore(spark, dir).where(!isIngestBatch))
           .select(col("doc_a"), col("doc_b")),
         DriverCcMaxEdges)
     }
@@ -1208,8 +1237,7 @@ object DedupQueries {
   private[graft] def mergedComponentLabels(spark: SparkSession,
       dir: String): DataFrame =
     incrementalComponentsOf(baseComponentLabels(spark, dir),
-      ngramJaccardTouchingOfPostings(
-        dfFilteredPostings(ngramPostingStore(spark, dir)))
+      ngramJaccardTouchingOfPostings(ngramFilteredStore(spark, dir))
         .select(col("doc_a"), col("doc_b")))
 
   /** Full-corpus labels via the quotient merge over the shared base
@@ -1301,8 +1329,7 @@ object DedupQueries {
     * batch, with the same direction mapping. */
   val dedupNgramIncremental: Q = (spark, dir) =>
     incrementalNgramOfEdges(
-      ngramJaccardTouchingOfPostings(
-        dfFilteredPostings(ngramPostingStore(spark, dir))))
+      ngramJaccardTouchingOfPostings(ngramFilteredStore(spark, dir)))
 
   /** Direction re-keying of [[dedupNgramIncremental]] over a
     * normalized (doc_a < doc_b, jaccard) touching-edge frame; also the

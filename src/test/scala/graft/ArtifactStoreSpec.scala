@@ -584,6 +584,7 @@ class ArtifactStoreSpec extends AnyFunSuite {
     val D = operators.DedupQueries
     val base = D.ngramPostingStorePath(sf)
     rmStore(base); rmStore(ArtifactStore.childPathFor(base, D.IngestBatchTag))
+    rmStore(D.ngramFilteredStorePath(sf))
     // clear downstream label/keeper artifacts so this test derives them
     // off the posting store from scratch
     Seq("", "_base").foreach { sfx =>
@@ -600,13 +601,25 @@ class ArtifactStoreSpec extends AnyFunSuite {
       "store-served Jaccard pairs diverged (derive path)")
     assert(new java.io.File(s"$base/_GRAFT_OK").exists,
       "ngram posting store not persisted")
-    val loaded = D.dedupNgramJaccard(spark, sf) // pure posting-store load
+    val loaded = D.dedupNgramJaccard(spark, sf) // pure filtered-store load
     assert(pairs(loaded) == fresh,
       "store-served Jaccard pairs diverged (load path)")
-    assert(!loaded.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      .contains("documents.parquet"),
+    val loadedPlan = loaded.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!loadedPlan.contains("documents.parquet"),
       "dedup_ngram_jaccard load path re-tokenized the corpus")
+    // the df-filtered postings are their own artifact (round-14): the
+    // warm plan reads ngram_fpostings ONLY — neither the raw posting
+    // chain (which would mean the hot-set aggregation and per-doc size
+    // window re-run per call) nor the corpus text
+    assert(new java.io.File(
+        s"${D.ngramFilteredStorePath(sf)}/_GRAFT_OK").exists,
+      "ngram filtered-posting store not persisted")
+    assert(loadedPlan.contains("ngram_fpostings_"),
+      "dedup_ngram_jaccard load path does not serve from the filtered store")
+    assert(!loadedPlan.contains("ngram_postings_"),
+      "dedup_ngram_jaccard load path re-aggregated the hot set from the " +
+        "raw posting chain instead of reading the filtered artifact")
     // batch-touching edges: store form == text form (unordered — the
     // touching-edge frame carries no ORDER BY; its consumers sort)
     val touchFresh = pairs(D.ngramJaccardTouchingBatchOn(docs)).toSet
