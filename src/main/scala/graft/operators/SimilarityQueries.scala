@@ -121,7 +121,8 @@ object SimilarityQueries {
     * hyperplanes, packed into a long. `dim` fixes the weight-array
     * length at plan time (one-row probe; embedding columns are
     * uniform-width). */
-  private def signatureOf(t: Int, vec: Column, bits: Int, dim: Int): Column = {
+  private[graft] def signatureOf(t: Int, vec: Column, bits: Int,
+      dim: Int): Column = {
     import graft.functions.VectorExpressions.dot_product
     (0 until bits).map { b =>
       val w = typedLit((0 until dim).map(d => hyperplaneWeight(t, b, d)))
@@ -373,6 +374,15 @@ object SimilarityQueries {
   /** Number of hyperplane tables for embedding near-dup blocking. */
   val DedupTables = 16
 
+  /** Cosine duplicate threshold for the embedding near-dup family —
+    * calibrated to this fixture's top-similarity tail (the synthetic
+    * corpus has no true duplicate vectors — max cosine ≈ 0.47); a
+    * production corpus runs the same plan at ≥ 0.95 where per-bit
+    * agreement ≈ 0.9 keeps recall ≈ 1. Shared by the full query, the
+    * incremental admission, and the streaming dual; the DuckDB oracles
+    * carry the same literal. */
+  val EmbDupTau = 0.3
+
   /** Signature width for a corpus of `n` vectors: ceil(log₂(n)/2),
     * floored at 4 — so the per-table bucket count 2^bits ≈ √n GROWS
     * with the corpus and expected candidate pairs scale as
@@ -437,7 +447,7 @@ object SimilarityQueries {
         Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         Tables.round6(cosine_similarity(col("va"), col("vb"))).as("cos_sim"))
-      .where(col("cos_sim") >= 0.3)
+      .where(col("cos_sim") >= EmbDupTau)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -593,7 +603,7 @@ object SimilarityQueries {
         Seq("match_id"))
       .select(col("vec_id"), col("match_id"), col("match_src"),
         Tables.round6(cosine_similarity(col("va"), col("vb"))).as("cos_sim"))
-      .where(col("cos_sim") >= 0.3)
+      .where(col("cos_sim") >= EmbDupTau)
       .orderBy(col("vec_id"), col("match_src"), col("match_id"))
   }
 

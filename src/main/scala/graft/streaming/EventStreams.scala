@@ -645,6 +645,63 @@ object EventStreams {
       .where(col("dist") =!= -1)
       .select(col("custkey"), col("match_id"), col("dist"))
 
+  /** Streaming EMBEDDING near-dup admission — the vector-space dual,
+    * completing the streaming column for EVERY near-dup family (exact,
+    * minhash, ngram-via-corpus-clean, simhash, containment, spans,
+    * entity, and now embedding cosine): each arriving vector is signed
+    * IN-FLIGHT against the [[graft.operators.SimilarityQueries]]
+    * hyperplane tables — a ROW-LOCAL projection (each signature is
+    * `bits` dot products against literal weight arrays; no corpus
+    * context) — its ([[graft.operators.SimilarityQueries.DedupTables]]
+    * × (table_id, sig)) postings probe the STATIC emb_sigs posting
+    * store, and candidates verify with exact cosine ≥
+    * [[graft.operators.SimilarityQueries.EmbDupTau]] against the
+    * static vector table. Every join is stream-static and STATELESS.
+    * Emits one (vec_id, match_id, cos_sim) row per TABLE hit (a pair
+    * sharing several table signatures emits several identical rows);
+    * compose with `dropDuplicatesWithinWatermark` to collapse
+    * multi-table hits, exactly as the minhash dual composes per-band
+    * hits. In-stream (batch-internal) matches are the batch operator's
+    * in-batch term, exactly as in every other dual.
+    *
+    * `corpusSigs` MUST be built at exactly `bits` (the simhash dual's
+    * level rule, same reasoning): signature widths emit mutually
+    * INCOMPATIBLE sig values — a bits-b signature is the low bits of
+    * no other width — so probing a store built at another width
+    * silently drops even identical vectors; it is NOT a recall-safe
+    * mismatch. `bits` must therefore come from the SAME store the
+    * probe reads — its row-count metadata via
+    * `sigBitsFor(storedRowCount / DedupTables)`, the invariant
+    * [[graft.operators.SimilarityQueries.embSigsMaintainedAppend]]
+    * maintains (rebuilds run exactly when that expression changes) —
+    * never from a count the stream job remembers across restarts: if
+    * the corpus crossed a 4^k width boundary while the stream was
+    * down, the store was rebuilt at the new width and the restarted
+    * stream must re-read the width with it. StreamMlSpec pins stream
+    * matches ≡ the batch incremental operator's corpus matches on a
+    * planted verbatim-copy fixture. */
+  def embStreamAppend(vecs: DataFrame, corpusSigs: DataFrame,
+      corpusVecs: DataFrame, bits: Int, dim: Int): DataFrame = {
+    import graft.operators.{SimilarityQueries => S}
+    graft.functions.VectorExpressions.register(vecs.sparkSession)
+    import graft.functions.VectorExpressions.cosine_similarity
+    vecs
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("va"))
+      .select(col("vec_id"), col("va"),
+        posexplode(array((0 until S.DedupTables).map(t =>
+          S.signatureOf(t, col("va"), bits, dim)): _*))
+          .as(Seq("table_id", "sig")))
+      .join(corpusSigs.select(col("table_id"), col("sig"),
+        col("vec_id").as("match_id")), Seq("table_id", "sig"))
+      .join(corpusVecs.select(col("vec_id").as("match_id"),
+        col("embedding").cast("array<double>").as("vb")), Seq("match_id"))
+      .select(col("vec_id"), col("match_id"),
+        Tables.round6(cosine_similarity(col("va"), col("vb")))
+          .as("cos_sim"))
+      .where(col("cos_sim") >= S.EmbDupTau)
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       value: Double)
   case class SessionState(sessionIdx: Long, lastTs: Long, n: Long,

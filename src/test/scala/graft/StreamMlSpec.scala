@@ -727,6 +727,59 @@ class StreamMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EMBEDDING admission: in-flight row-local hyperplane " +
+    "signatures probe the static emb_sigs postings; exact-cosine " +
+    "verify reproduces the batch admission operator's corpus matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val S = operators.SimilarityQueries
+    graft.functions.VectorExpressions.register(spark)
+    val dim = 8
+    def unit(i: Int): Seq[Double] =
+      (0 until dim).map(d => if (d == i) 1.0 else 0.0)
+    // existing corpus (ids ≢ 0 mod 5); incoming batch (ids ≡ 0 mod 5):
+    // a VERBATIM copy of vec 1 (an identical vector shares every table
+    // signature by construction — a guaranteed candidate, cosine 1.0),
+    // a light perturbation of vec 2, one orthogonal
+    val existing = Seq(1L -> unit(0), 2L -> unit(1))
+    val incoming = Seq(
+      5L -> unit(0),
+      10L -> unit(1).updated(0, 0.05),
+      15L -> unit(2))
+    val all = (existing ++ incoming).toDF("vec_id", "embedding")
+    // width = sigBitsFor of the FULL (corpus + batch) count — the
+    // embSigsMaintainedAppend invariant the stream reads from store
+    // metadata; the batch operator uses the same rule
+    val bits = S.sigBitsFor(all.count())
+    val corpusVecs = existing.toDF("vec_id", "embedding")
+    val corpusSigs = S.embSigsOf(
+      corpusVecs.select($"vec_id",
+        $"embedding".cast("array<double>").as("vec")), bits, dim)
+    val src = MemoryStream[(Long, Seq[Double])]
+    val q = streaming.EventStreams.embStreamAppend(
+        src.toDF.toDF("vec_id", "embedding"), corpusSigs, corpusVecs,
+        bits, dim)
+      .writeStream.format("memory").queryName("emb_sink")
+      .outputMode("append").start()
+    try {
+      src.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("emb_sink")
+        .select("vec_id", "match_id", "cos_sim").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val batch = S.incrementalEmbOn(all)
+        .where($"match_src" === "corpus")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+        .toSet
+      assert(batch.contains((5L, 1L, 1.0)),
+        s"fixture lost its planted verbatim match: $batch")
+      assert(got == batch,
+        s"stream matches $got != batch corpus matches $batch")
+    } finally q.stop()
+  }
+
   test("ModelStore round-trips an all-numeric product catalog as strings " +
     "(partition-column inference would read \"0123\" back as \"123\")") {
     import spark.implicits._
