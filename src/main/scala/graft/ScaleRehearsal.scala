@@ -171,7 +171,8 @@ object ScaleRehearsal {
         !adaptiveFams(f)))) ++
       adaptiveScales.filter(_ => famFilter.forall(_.exists(f =>
         adaptiveFams(f) || f == "dedup_simhash_incremental"))) ++
-      admissionScales.filter(_ => famActive("admission")))
+      admissionScales.filter(_ =>
+        famActive("admission") || famActive("fpost_maintain")))
       .distinct.sorted
     val outRoot = "/tmp/graft_scale"
     val spark = SparkSession.builder()
@@ -679,11 +680,80 @@ object ScaleRehearsal {
         s""""cand_maintained":$candMaint,"rebuilt":$rebuilt}"""
     }
 
+    // ---- ngram_fpostings maintenance rehearsal -------------------------
+    // The df-filtered posting chain's maintained ingest measured (the
+    // round-14 maintenance item): at each admission scale, one ingest
+    // step on the maintained chain — the hot-set crossing check plus a
+    // batch-only delta write — against the pre-m2 reference (a full
+    // dfFilteredPostings derivation of the grown corpus, which the
+    // cached() form re-paid at EVERY corpus version), plus the REBUILD
+    // arm on a planted boilerplate batch (a shingle crossing
+    // NgramDfCap), the full-rewrite cost the maintained path degrades
+    // to exactly when base rows are stale. The claim the numbers back:
+    // sec_append tracks the batch + one base-postings pass while
+    // sec_full_derive grows with the corpus, and rebuilds are paid
+    // only at cap crossings.
+    val fpostActive = famActive("fpost_maintain")
+    val fpostJson = if (!fpostActive) "" else {
+      val batchDocs = docReplica(Tables.documents(spark, baseDir), 999)
+        .withColumn("doc_id", col("doc_id") * 5)
+      val nBatch = batchDocs.count()
+      // the boilerplate batch: one fixed sentence appended to every
+      // batch doc — its word-3 shingles land in nBatch > NgramDfCap
+      // docs, so its ingest CROSSES the cap
+      val boilInv = D.ngramPostingsOn(batchDocs.withColumn("text",
+        concat(col("text"),
+          lit(" graft boiler plate marker words repeat"))))
+      val fpostRows = for (k <- admissionScales) yield {
+        val dir = s"$outRoot/x$k"
+        val existing = Tables.documents(spark, dir)
+          .where(pmod(col("doc_id"), lit(5)) =!= 0)
+        val nEx = existing.count()
+        val postPath = s"$dir/ngram_postings_fp.parquet"
+        D.ngramPostingsOn(existing).write.mode("overwrite").parquet(postPath)
+        val baseInv = spark.read.parquet(postPath)
+        val batchInv = D.ngramPostingsOn(batchDocs)
+        val chainA = s"$dir/store/fpostadm_v1_cccccccccccc"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(chainA))
+        val t0 = System.nanoTime()
+        ArtifactStore.save(D.dfFilteredPostings(baseInv), chainA)
+        val secBase = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nServed = D.ngramFilteredMaintainedAppend(spark, chainA,
+          baseInv, batchInv, "ingA").count()
+        val secAppend = (System.nanoTime() - t1) / 1e9
+        val appended = !ArtifactStore.foldedTags(chainA).contains("ingA")
+        val t2 = System.nanoTime()
+        D.dfFilteredPostings(baseInv.unionByName(batchInv)).count()
+        val secFull = (System.nanoTime() - t2) / 1e9
+        val chainB = s"$dir/store/fpostboil_v1_dddddddddddd"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(chainB))
+        ArtifactStore.save(D.dfFilteredPostings(baseInv), chainB)
+        val t3 = System.nanoTime()
+        D.ngramFilteredMaintainedAppend(spark, chainB, baseInv, boilInv,
+          "ingB").count()
+        val secRebuild = (System.nanoTime() - t3) / 1e9
+        val rebuilt = ArtifactStore.foldedTags(chainB).contains("ingB")
+        System.err.println(s"[scale] fpost_maintain x$k: existing=$nEx " +
+          s"append=${j(secAppend)} full=${j(secFull)} " +
+          s"rebuild=${j(secRebuild)} appended=$appended rebuilt=$rebuilt")
+        s""""x$k":{"n_existing":$nEx,"n_batch":$nBatch,""" +
+          s""""rows_served":$nServed,"sec_base_build":${j(secBase)},""" +
+          s""""sec_append":${j(secAppend)},""" +
+          s""""sec_full_derive":${j(secFull)},""" +
+          s""""sec_rebuild":${j(secRebuild)},""" +
+          s""""appended":$appended,"rebuilt":$rebuilt}"""
+      }
+      s""","fpost_maintain":{${fpostRows.mkString(",")}}"""
+    }
+
     val line =
       s"""{"metric":"scale_rehearsal","scales":[${scales.mkString(",")}],""" +
         s""""adaptive_scales":[${adaptiveScales.mkString(",")}],""" +
         s""""base":"$baseDir","cpus":$cpus,"families":{$famJson}""" +
-        s"""$incJson$admJson$chainJson$widthJson}"""
+        s"""$incJson$admJson$chainJson$widthJson$fpostJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE10.json"),
       (line + "\n").getBytes("UTF-8"))
     println(line)

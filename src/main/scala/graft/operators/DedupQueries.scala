@@ -319,6 +319,27 @@ object DedupQueries {
     * `dedup_ngram_boiler`) crosses it. */
   val NgramDfCap = 1000L
 
+  /** The corpus's HOT (boilerplate) shingle set: shingles whose
+    * document frequency over `inv` exceeds the cap. Tiny by
+    * construction (≤ |postings| / cap keys), so consumers broadcast
+    * it — or, for the streaming dual, collect it driver-side as a
+    * literal (a bounded catalog read, the codebook convention). */
+  private[graft] def hotShinglesOf(inv: DataFrame,
+      cap: Long = NgramDfCap): DataFrame =
+    inv.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > cap)
+      .select(col("shingle"))
+
+  /** Per-doc FILTERED shingle arrays of a df-filtered posting frame —
+    * the static verify side of the streaming ngram dual: (doc_id, fsh
+    * [surviving shingles], sz_b). sz_b is the store's maintained size
+    * (== size(fsh) by construction). */
+  private[graft] def filteredArraysOf(inv: DataFrame): DataFrame =
+    inv.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("fsh"),
+        first(col("sz")).as("sz_b"))
+
   /** Postings with boilerplate shingles removed and per-doc sizes
     * recomputed over the surviving set — the frame EVERY edge consumer
     * feeds to the candidate join (the single choke point, so all six
@@ -341,10 +362,7 @@ object DedupQueries {
     * shuffles here run once per corpus version, not per call. */
   private[graft] def dfFilteredPostings(inv: DataFrame,
       cap: Long = NgramDfCap): DataFrame = {
-    val hot = inv.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") > cap)
-      .select(col("shingle"))
+    val hot = hotShinglesOf(inv, cap)
     inv.join(broadcast(hot), Seq("shingle"), "left_anti")
       .select(col("doc_id"), col("len_bucket"),
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -352,9 +370,15 @@ object DedupQueries {
         col("shingle"))
   }
 
+  /** Variant m2: the maintained base/delta layout below — an m1-era
+    * artifact at the same path held the FULL corpus's filtered rows
+    * with no batch tag chained, which the maintained append would
+    * double-count; the variant bump (the ComponentsVariant
+    * transition-hygiene rule) keeps stale-layout artifacts from ever
+    * serving. */
   private[graft] def ngramFilteredStorePath(dir: String): String =
     ArtifactStore.pathFor("ngram_fpostings", dir, "documents.parquet",
-      s"w3b100_df$NgramDfCap")
+      s"w3b100_df${NgramDfCap}m2")
 
   /** The df-FILTERED postings as their own MAINTAINED ARTIFACT — the
     * frame every store-served edge consumer reads. The hot-set
@@ -367,18 +391,130 @@ object DedupQueries {
     * fact is derived once. So the filtered frame is persisted keyed by
     * the same corpus fingerprint as the posting chain it derives from,
     * and the warm serving plan for the whole family is one parquet
-    * read. Maintenance story on ingest: a batch can only change the
-    * hot set through shingles IT contains (df is monotone in appends),
-    * so the maintenance path is append the batch's filtered rows when
-    * the hot set is unchanged and rebuild otherwise — either way the
-    * work is bounded by the two posting-store shuffles the uncached
-    * form paid on every single call. The live-frame form
+    * read. Maintenance on ingest is incremental
+    * ([[ngramFilteredMaintainedAppend]]): append the batch's filtered
+    * rows when the batch keeps the hot set unchanged, rebuild when a
+    * shingle crosses the cap. The live-frame form
     * ([[dfFilteredPostings]] directly) remains the spec/rehearsal path
     * and the `SPARK_GRAFT_NO_ARTIFACT_CACHE` fallback. */
   private[graft] def ngramFilteredStore(spark: SparkSession,
-      dir: String): DataFrame =
-    ArtifactStore.cached(spark, ngramFilteredStorePath(dir))(
-      dfFilteredPostings(ngramPostingStore(spark, dir)))
+      dir: String): DataFrame = {
+    val inv = ngramPostingStore(spark, dir)
+    ngramFilteredMaintainedAppend(spark, ngramFilteredStorePath(dir),
+      inv.where(!isIngestBatch), inv.where(isIngestBatch), IngestBatchTag)
+  }
+
+  /** Batch-side rows of the maintained filtered chain: the batch's raw
+    * postings with `hot` shingles removed and per-doc sizes recomputed
+    * over the surviving set. Row-local per batch DOC (doc ids are
+    * disjoint from the base corpus and sz is a per-doc count), so
+    * append(filtered(base), this) ≡ [[dfFilteredPostings]](base ∪
+    * batch) row-for-row whenever `hot` equals the full corpus's hot
+    * set — the invariant [[ngramFilteredMaintainedAppend]]'s crossing
+    * check certifies before taking the append arm. */
+  private def filteredBatchRows(batchInv: DataFrame,
+      hot: DataFrame): DataFrame =
+    batchInv
+      .join(broadcast(hot.select(col("shingle"))), Seq("shingle"),
+        "left_anti")
+      .select(col("doc_id"), col("len_bucket"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))).as("sz"),
+        col("shingle"))
+
+  /** One maintained ingest step for the df-filtered posting chain at
+    * `path` (the round-14 maintenance item — the hot-set analog of the
+    * embedding family's signature-width maintenance,
+    * [[SimilarityQueries.embSigsMaintainedAppend]]): serves
+    * [[dfFilteredPostings]](base ∪ batch) with the base corpus's rows
+    * never re-filtered when the batch cannot have changed their fate.
+    *
+    * The hot set is a chain-wide parameter — base rows were filtered
+    * (and sized) at the hot set of THEIR build time, and the full-
+    * corpus rule must hold over the whole served frame. df is monotone
+    * in appends and a batch can only move shingles IT contains, so the
+    * dichotomy is exact: when no batch shingle CROSSES the cap
+    * (df ≤ cap before, > cap after), the full corpus's hot set equals
+    * the base's and the batch's filtered rows append as a normal
+    * fingerprint-chained delta; when one does, base rows filtered at
+    * the old hot set are stale (they still carry the newly-hot
+    * shingle, and their sz counts it) and the chain is REBUILT at the
+    * full-corpus hot set ([[graft.ArtifactStore.rebuildChain]], the
+    * batch's tag registered folded so it is never re-appended).
+    *
+    * Per-ingest cost of the check: one aggregation of the batch's
+    * postings plus one pass over the BASE POSTING chain restricted to
+    * the batch's shingles (a semi-join on the shingle column of a
+    * columnar artifact — never the corpus text), vs the two full
+    * posting-store shuffles PLUS a full filtered-store rewrite the
+    * pre-m2 `cached()` form paid at every corpus version. Rebuilds are
+    * rare by construction (a real corpus crosses a df=1000 boundary
+    * once per boilerplate pattern, not per batch); the planted
+    * ArtifactStoreSpec fixture exercises both arms and pins each
+    * against the live full derivation. */
+  private[graft] def ngramFilteredMaintainedAppend(spark: SparkSession,
+      path: String, baseInv: DataFrame, batchInv: DataFrame,
+      batchTag: String, cap: Long = NgramDfCap): DataFrame = {
+    val chained = ArtifactStore.foldedTags(path).contains(batchTag) ||
+      ArtifactStore.load(spark,
+        ArtifactStore.childPathFor(path, batchTag)).isDefined
+    ArtifactStore.load(spark, path) match {
+      case Some(_) if !chained =>
+        // the ingest step proper: the crossing check, then append or
+        // rebuild. `hotB` = the batch's shingles that are hot under
+        // the FULL-corpus rule (existing-hot and newly-crossing alike
+        // — exactly the set the batch's own rows must drop); tiny by
+        // construction (≤ |postings|/cap keys), cached because it
+        // feeds both the crossing test and the append's anti-join.
+        val dfB = batchInv.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df_b"))
+        val dfA = baseInv
+          .join(dfB.select(col("shingle")), Seq("shingle"), "left_semi")
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df_a"))
+        val hotB = dfB.join(dfA, Seq("shingle"), "left")
+          .select(col("shingle"), col("df_b"),
+            coalesce(col("df_a"), lit(0L)).as("df_a"))
+          .where(col("df_a") + col("df_b") > cap)
+        hotB.cache()
+        try {
+          if (hotB.where(col("df_a") <= cap).isEmpty)
+            ArtifactStore.appendedCached(spark, path, batchTag)(
+              sys.error(s"ngram_fpostings base vanished under append: " +
+                path))(
+              filteredBatchRows(batchInv, hotB))
+          else {
+            // a batch shingle crossed the cap: base rows are stale
+            val full = dfFilteredPostings(
+              baseInv.unionByName(batchInv), cap)
+            val rebuilt = ArtifactStore.rebuildChain(spark, path,
+              extraFolded = Set(batchTag))(full)
+            if (rebuilt) ArtifactStore.load(spark, path).getOrElse(
+              sys.error(s"rebuilt ngram_fpostings chain unloadable: " +
+                path))
+            else full
+          }
+        } finally hotB.unpersist()
+      case Some(_) =>
+        // batch already chained or folded: serve the chain (no thunk
+        // runs; a lineage-orphaned delta re-derives at the full rule)
+        ArtifactStore.appendedCached(spark, path, batchTag)(
+          sys.error(s"ngram_fpostings base vanished under serve: $path"))(
+          dfFilteredPostings(baseInv.unionByName(batchInv), cap)
+            .join(batchInv.select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_semi"))
+      case None
+          if !ArtifactStore.cacheDisabled &&
+            !ArtifactStore.isUncacheable(path) =>
+        // cold store: build the base at the BASE corpus's hot set (a
+        // deterministic pre-ingest fact), then take the ingest step
+        ArtifactStore.save(dfFilteredPostings(baseInv, cap), path)
+        ngramFilteredMaintainedAppend(spark, path, baseInv, batchInv,
+          batchTag, cap)
+      case None =>
+        // cache off / uncacheable path: the live full derivation
+        dfFilteredPostings(baseInv.unionByName(batchInv), cap)
+    }
+  }
 
   /** Core of [[dedupNgramJaccard]] over an arbitrary documents frame
     * with (doc_id, text, n_chars) — exposed so specs can plant fixture

@@ -655,6 +655,78 @@ class ArtifactStoreSpec extends AnyFunSuite {
         "its store")
   }
 
+  test("ngram_fpostings maintained append: a batch that keeps the hot " +
+    "set appends ONLY its own filtered rows; a batch that pushes a " +
+    "shingle over the cap rebuilds the chain at the full-corpus hot " +
+    "set — both arms == the live full derivation row-for-row") {
+    import spark.implicits._
+    val D = operators.DedupQueries
+    val root = "target/tmp/test_artifact_store"
+    val cap = 2L
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    def inv(rows: (Long, Long)*) =
+      rows.toDF("doc_id", "shingle").select(col("doc_id"),
+        lit(0).as("len_bucket"), count(lit(1)).over(w).as("sz"),
+        col("shingle"))
+    def sortAll(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id"), col("shingle")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    // shingle 100 sits at df = cap in the base (kept: rule is > cap)
+    val base = inv(1L -> 100L, 1L -> 11L, 1L -> 12L,
+      2L -> 100L, 2L -> 21L, 3L -> 31L, 3L -> 32L, 3L -> 33L)
+
+    // arm 1: fresh-shingle batch — hot set unchanged, append
+    val pA = s"$root/fpostA_src_m2_aaaaaaaaaaaa"
+    rmStore(pA); rmStore(ArtifactStore.childPathFor(pA, "ingestT"))
+    val batchA = inv(5L -> 51L, 5L -> 52L)
+    val servedA = D.ngramFilteredMaintainedAppend(spark, pA, base, batchA,
+      "ingestT", cap)
+    assert(sortAll(servedA) ==
+      sortAll(D.dfFilteredPostings(base.unionByName(batchA), cap)),
+      "append arm diverged from the live full derivation")
+    assert(new java.io.File(
+        s"${ArtifactStore.childPathFor(pA, "ingestT")}/_GRAFT_OK").exists,
+      "no-crossing batch did not append a delta")
+    assert(!ArtifactStore.foldedTags(pA).contains("ingestT"),
+      "no-crossing batch was folded instead of appended")
+    // warm serve: pure chain reads — no hot-set aggregation, no size
+    // window, and the crossing check does not run (it lives behind the
+    // unchained guard)
+    val warmA = D.ngramFilteredMaintainedAppend(spark, pA, base, batchA,
+      "ingestT", cap)
+    val planA = warmA.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode).toLowerCase
+    assert(!planA.contains("window") && !planA.contains("aggregate"),
+      s"warm fpostings serve re-derived instead of reading the chain")
+    assert(sortAll(warmA) == sortAll(servedA))
+
+    // arm 2: the planted boilerplate batch — shingle 100 crosses the
+    // cap (df 2 -> 3), so base rows filtered at the old hot set are
+    // stale (they carry 100 and their sz counts it): rebuild
+    val pB = s"$root/fpostB_src_m2_aaaaaaaaaaaa"
+    rmStore(pB); rmStore(ArtifactStore.childPathFor(pB, "ingestT"))
+    val batchB = inv(5L -> 100L, 5L -> 51L)
+    val servedB = D.ngramFilteredMaintainedAppend(spark, pB, base, batchB,
+      "ingestT", cap)
+    val liveB = D.dfFilteredPostings(base.unionByName(batchB), cap)
+    assert(sortAll(servedB) == sortAll(liveB),
+      "rebuild arm diverged from the live full derivation")
+    assert(sortAll(servedB).forall(_._4 != 100L),
+      "newly-hot shingle survived the rebuild")
+    assert(ArtifactStore.foldedTags(pB).contains("ingestT"),
+      "crossing batch's tag not registered folded by the rebuild")
+    assert(!new java.io.File(
+        s"${ArtifactStore.childPathFor(pB, "ingestT")}/_GRAFT_OK").exists,
+      "crossing batch wrote a delta dir despite the rebuild")
+    // and the rebuilt chain serves warm without re-deriving
+    val warmB = D.ngramFilteredMaintainedAppend(spark, pB, base, batchB,
+      "ingestT", cap)
+    assert(sortAll(warmB) == sortAll(liveB))
+    rmStore(pA); rmStore(ArtifactStore.childPathFor(pA, "ingestT"))
+    rmStore(pB)
+  }
+
   test("span anchor store: full + admission span profiles == the " +
     "text-deriving forms on derive AND load paths; serving plans never " +
     "read the corpus text; the admission profile IS the full profile " +
