@@ -702,6 +702,70 @@ object EventStreams {
       .where(col("cos_sim") >= S.EmbDupTau)
   }
 
+  /** Streaming NGRAM/JACCARD near-dup admission — the lexical edge
+    * family's own dual (its admission was previously streamed only
+    * indirectly, through the minhash-based near stage of
+    * [[corpusCleanStreamAppend]]): each arriving doc's word-3 shingle
+    * set is a ROW-LOCAL projection (the same tokenize → xxhash64 →
+    * distinct as the batch store build), its BOILERPLATE shingles are
+    * removed in-flight (`array_except` against the `hot` literal —
+    * the [[graft.operators.DedupQueries.NgramDfCap]] rule), its ±1
+    * length-bucket probes explode and equi-join the STATIC df-filtered
+    * posting store on (shingle, bucket) — the batch candidate join's
+    * exact shape — and candidates verify with the exact Jaccard over
+    * the FILTERED sets (`array_intersect` against the static per-doc
+    * array table, sizes from the store) at the family's ≥ 0.5
+    * threshold. Every join is stream-static and STATELESS. Emits one
+    * (doc_id, match_id, jaccard) row per SHARED SHINGLE (each shared
+    * shingle matches exactly one of the three bucket probes); compose
+    * with `dropDuplicatesWithinWatermark` to collapse multi-hit pairs,
+    * the family convention. In-stream matches are the batch operator's
+    * in-batch term, exactly as in every other dual.
+    *
+    * `hot` is the CURRENT store's corpus-df fact — collected
+    * driver-side from [[graft.operators.DedupQueries.hotShinglesOf]]
+    * over the posting store (tiny by construction: ≤ |postings|/cap
+    * keys; a bounded catalog read, the codebook convention) — and
+    * `corpusFiltered`/`corpusArrays` MUST be filtered at exactly that
+    * set (the simhash level / embedding width rule, same reasoning):
+    * an ingest that pushes a shingle over the cap REBUILDS the
+    * filtered store (the maintained-append dichotomy), and the
+    * restarted stream must re-read the hot set with it — never carry
+    * one across corpus versions. The arriving doc itself is not yet
+    * appended, so the stream's hot set is the corpus's — identical to
+    * the batch operator's grown-corpus rule whenever the batch does
+    * not itself cross the cap (the append-arm invariant; a crossing
+    * batch rebuilds and re-serves before the next probe). StreamMlSpec
+    * pins stream matches ≡ the batch incremental operator's corpus
+    * matches on a planted near-dup + boilerplate-only-overlap
+    * fixture. */
+  def ngramStreamAppend(docs: DataFrame, corpusFiltered: DataFrame,
+      corpusArrays: DataFrame, hot: Seq[Long]): DataFrame = {
+    import graft.operators.{DedupQueries => D}
+    D.shingledOn(docs.select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars")))
+      .select(col("doc_id"), col("len_bucket"),
+        array_except(col("sh"), typedLit(hot)).as("fsh"))
+      .where(size(col("fsh")) >= 1)
+      .select(col("doc_id"), col("fsh"),
+        size(col("fsh")).cast("long").as("sz_a"),
+        explode(array(col("len_bucket") - 1, col("len_bucket"),
+          col("len_bucket") + 1)).as("probe_bucket"))
+      .select(col("doc_id"), col("fsh"), col("sz_a"), col("probe_bucket"),
+        explode(col("fsh")).as("shingle"))
+      .join(corpusFiltered.select(col("shingle"),
+        col("len_bucket").as("probe_bucket"),
+        col("doc_id").as("match_id")), Seq("shingle", "probe_bucket"))
+      .join(corpusArrays.select(col("doc_id").as("match_id"),
+        col("fsh").as("fsh_b"), col("sz_b")), Seq("match_id"))
+      .withColumn("n_common",
+        size(array_intersect(col("fsh"), col("fsh_b"))).cast("double"))
+      .select(col("doc_id"), col("match_id"),
+        (col("n_common") / (col("sz_a").cast("double")
+          + col("sz_b").cast("double") - col("n_common"))).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       value: Double)
   case class SessionState(sessionIdx: Long, lastTs: Long, n: Long,

@@ -780,6 +780,70 @@ class StreamMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming NGRAM admission: in-flight row-local shingling + " +
+    "boilerplate removal + bucket probe of the static filtered posting " +
+    "store reproduces the batch admission operator's corpus matches; " +
+    "boilerplate-only overlap stays silent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val D = operators.DedupQueries
+    val cap = 2L
+    val boiler = "license header boilerplate text block"
+    def words(seed: Int, n: Int) =
+      (0 until n).map(i => f"s$seed%02dw$i%02d").mkString(" ")
+    def withChars(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+    // existing (ids ≢ 0 mod 5): ALL THREE carry the boilerplate block
+    // (its shingles' corpus df = 3 > cap → hot); doc 1 has real content
+    val existing = Seq(
+      1L -> s"${words(1, 20)} $boiler",
+      2L -> s"${words(2, 12)} $boiler",
+      3L -> s"${words(3, 12)} $boiler")
+    // incoming (ids ≡ 0 mod 5): 5 = light edit of doc 1 (a true
+    // near-dup via surviving shingles); 10 shares ONLY the boilerplate
+    // (silent under the df-cap contract); 15 unrelated
+    val incoming = Seq(
+      5L -> s"${words(1, 20).replace("s01w07", "edited")} $boiler",
+      10L -> s"${words(9, 12)} $boiler",
+      15L -> words(8, 12))
+    val baseInv = D.ngramPostingsOn(
+      withChars(existing.toDF("doc_id", "text")))
+    val hotSeq = D.hotShinglesOf(baseInv, cap)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hotSeq.nonEmpty, "fixture lost its planted hot shingles")
+    val corpusFiltered = D.dfFilteredPostings(baseInv, cap)
+    val corpusArrays = D.filteredArraysOf(corpusFiltered)
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.EventStreams.ngramStreamAppend(
+        src.toDF.toDF("doc_id", "text"), corpusFiltered, corpusArrays,
+        hotSeq)
+      .writeStream.format("memory").queryName("ngram_sink")
+      .outputMode("append").start()
+    try {
+      src.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("ngram_sink")
+        .select("doc_id", "match_id", "jaccard").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val all = withChars((existing ++ incoming).toDF("doc_id", "text"))
+      val batch = D.incrementalNgramOfEdges(
+          D.ngramJaccardTouchingOfPostings(
+            D.dfFilteredPostings(D.ngramPostingsOn(all), cap)))
+        .where($"match_src" === "corpus")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+        .toSet
+      assert(batch.exists(m => m._1 == 5L && m._2 == 1L),
+        s"fixture lost its planted near-dup match: $batch")
+      assert(!batch.exists(_._1 == 10L),
+        s"boilerplate-only overlap leaked into the batch matches: $batch")
+      assert(got == batch,
+        s"stream matches $got != batch corpus matches $batch")
+    } finally q.stop()
+  }
+
   test("ModelStore round-trips an all-numeric product catalog as strings " +
     "(partition-column inference would read \"0123\" back as \"123\")") {
     import spark.implicits._
