@@ -724,8 +724,15 @@ object ScaleRehearsal {
           baseInv, batchInv, "ingA").count()
         val secAppend = (System.nanoTime() - t1) / 1e9
         val appended = !ArtifactStore.foldedTags(chainA).contains("ingA")
+        // the pre-m2 reference pays derive + a FULL store rewrite at
+        // every corpus version — include the write (the corpus-sized
+        // write amplification is the cost the append path deletes)
+        val chainC = s"$dir/store/fpostfull_v1_eeeeeeeeeeee"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(chainC))
         val t2 = System.nanoTime()
-        D.dfFilteredPostings(baseInv.unionByName(batchInv)).count()
+        ArtifactStore.save(
+          D.dfFilteredPostings(baseInv.unionByName(batchInv)), chainC)
         val secFull = (System.nanoTime() - t2) / 1e9
         val chainB = s"$dir/store/fpostboil_v1_dddddddddddd"
         org.apache.commons.io.FileUtils.deleteQuietly(
