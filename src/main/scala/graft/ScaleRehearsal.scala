@@ -172,7 +172,8 @@ object ScaleRehearsal {
       adaptiveScales.filter(_ => famFilter.forall(_.exists(f =>
         adaptiveFams(f) || f == "dedup_simhash_incremental"))) ++
       admissionScales.filter(_ =>
-        famActive("admission") || famActive("fpost_maintain")))
+        famActive("admission") || famActive("fpost_maintain") ||
+          famActive("admit_full")))
       .distinct.sorted
     val outRoot = "/tmp/graft_scale"
     val spark = SparkSession.builder()
@@ -756,11 +757,41 @@ object ScaleRehearsal {
       s""","fpost_maintain":{${fpostRows.mkString(",")}}"""
     }
 
+    // ---- composed admission battery at scale ---------------------------
+    // pipe_admit_full end-to-end per scale: the COLD call pays every
+    // once-per-corpus-version store derivation for the rehearsal
+    // corpus (digests, ngram postings + filtered chain, base labels,
+    // shingles, span anchors, simhash chunks, emb sigs — the corpora
+    // are regenerated each run, so fresh fingerprints make the first
+    // call genuinely cold); the WARM call is the production per-batch
+    // shape — one batch text scan plus seven store probes. The claim
+    // the numbers back: warm tracks the batch and the probe volumes,
+    // not the corpus re-derivations.
+    val admitActive = famActive("admit_full")
+    val admitJson = if (!admitActive) "" else {
+      val admitScales = admissionScales.filter(Seq(1, 10, 30).contains)
+      val admitRows = for (k <- admitScales) yield {
+        val dir = s"$outRoot/x$k"
+        val nDocs = Tables.documents(spark, dir).count()
+        val t0 = System.nanoTime()
+        val out = D.pipeAdmitFull(spark, dir).count()
+        val secCold = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        D.pipeAdmitFull(spark, dir).count()
+        val secWarm = (System.nanoTime() - t1) / 1e9
+        System.err.println(s"[scale] admit_full x$k: docs=$nDocs " +
+          s"out=$out cold=${j(secCold)} warm=${j(secWarm)}")
+        s""""x$k":{"n_docs":$nDocs,"out":$out,""" +
+          s""""sec_cold":${j(secCold)},"sec_warm":${j(secWarm)}}"""
+      }
+      s""","admit_full":{${admitRows.mkString(",")}}"""
+    }
+
     val line =
       s"""{"metric":"scale_rehearsal","scales":[${scales.mkString(",")}],""" +
         s""""adaptive_scales":[${adaptiveScales.mkString(",")}],""" +
         s""""base":"$baseDir","cpus":$cpus,"families":{$famJson}""" +
-        s"""$incJson$admJson$chainJson$widthJson$fpostJson}"""
+        s"""$incJson$admJson$chainJson$widthJson$fpostJson$admitJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE10.json"),
       (line + "\n").getBytes("UTF-8"))
     println(line)

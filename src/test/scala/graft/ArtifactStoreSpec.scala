@@ -723,8 +723,38 @@ class ArtifactStoreSpec extends AnyFunSuite {
     val warmB = D.ngramFilteredMaintainedAppend(spark, pB, base, batchB,
       "ingestT", cap)
     assert(sortAll(warmB) == sortAll(liveB))
-    rmStore(pA); rmStore(ArtifactStore.childPathFor(pA, "ingestT"))
-    rmStore(pB)
+
+    // arm 3: REPEATED ingest on the append chain — batch 2 arrives
+    // after batch 1 was appended, so its "base" is base ∪ batch 1;
+    // its shingle 51 reaches df 2 = cap (kept — strict >) and the
+    // served chain still equals the live full derivation
+    val batchC = inv(15L -> 51L, 15L -> 61L)
+    val servedC = D.ngramFilteredMaintainedAppend(spark, pA,
+      base.unionByName(batchA), batchC, "ingestU", cap)
+    assert(sortAll(servedC) == sortAll(D.dfFilteredPostings(
+      base.unionByName(batchA).unionByName(batchC), cap)),
+      "second-append arm diverged from the live full derivation")
+    assert(new java.io.File(
+        s"${ArtifactStore.childPathFor(pA, "ingestU")}/_GRAFT_OK").exists,
+      "second no-crossing batch did not append a delta")
+    // and a third batch that pushes 51 over the cap (df 2 -> 3)
+    // rebuilds the two-delta chain at the new hot set
+    val batchD = inv(20L -> 51L, 20L -> 71L)
+    val servedD = D.ngramFilteredMaintainedAppend(spark, pA,
+      base.unionByName(batchA).unionByName(batchC), batchD, "ingestV",
+      cap)
+    val liveD = D.dfFilteredPostings(base.unionByName(batchA)
+      .unionByName(batchC).unionByName(batchD), cap)
+    assert(sortAll(servedD) == sortAll(liveD),
+      "chain rebuild after two appends diverged from the live form")
+    assert(sortAll(servedD).forall(_._4 != 51L),
+      "shingle crossing the cap on the THIRD batch survived the rebuild")
+    assert(ArtifactStore.foldedTags(pA) == Set("ingestT", "ingestU",
+      "ingestV"),
+      "rebuild must fold every chained tag plus the crossing batch's")
+    Seq("ingestT", "ingestU", "ingestV").foreach(t =>
+      rmStore(ArtifactStore.childPathFor(pA, t)))
+    rmStore(pA); rmStore(pB)
   }
 
   test("span anchor store: full + admission span profiles == the " +
