@@ -71,10 +71,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    environment hoards neither dead corpora's artifacts nor dead
   *    algorithm versions';
   *  - the store is SINGLE-WRITER per artifact, enforced: every rewrite
-  *    holds `_GRAFT_LOCK` (atomic create-new; stale locks of crashed
-  *    writers taken over after [[StaleLockMs]]) and a second concurrent
-  *    writer FAILS LOUDLY instead of racing the data-dir allocation and
-  *    state flip. Readers never lock;
+  *    holds an OS advisory FileLock on `_GRAFT_LOCK` (released by the
+  *    OS if the writer dies — crashed writers never wedge the store)
+  *    and a second concurrent writer FAILS LOUDLY instead of racing
+  *    the data-dir allocation and state flip; pruning skips siblings
+  *    whose lock is held. Readers never lock;
   *  - `SPARK_GRAFT_NO_ARTIFACT_CACHE=1` disables loads entirely — the
   *    ablation gates set it so interpreted/codegen parity runs exercise
   *    the full derivation, not a parquet read.
@@ -203,50 +204,79 @@ object ArtifactStore {
         (sKey == key || (!key.contains("--") && sKey.startsWith(key + "--")) ||
           SupersededVariants.exists(s.getName.contains))
       if !s.getName.startsWith(f.getName + "--") // never this version's own deltas
+      if !lockedElsewhere(s) // never trash a sibling under its live writer
     } trashThenDelete(s)
   }
 
   // ---- the single-writer guard -----------------------------------------
 
-  /** Age past which a `_GRAFT_LOCK` is presumed to belong to a CRASHED
-    * writer and is taken over (rewrites here run seconds, not tens of
-    * minutes). */
-  private[graft] val StaleLockMs: Long = 30L * 60 * 1000
-
-  /** The store's SINGLE-WRITER contract, enforced: every rewrite
-    * (save, compaction, rebuild) holds an exclusive advisory lock file
-    * for the artifact dir, acquired with an atomic create-new. Two
-    * concurrent ingests appending to one chain would otherwise race
-    * [[nextDataDir]] and the state flip — interleavings that can point
-    * the state at the other writer's half-written dir (the repo's
-    * BENCH notes record exactly this when two Spark JVMs shared
-    * target/tmp/artifact_store). Contention FAILS LOUDLY here instead
-    * of corrupting silently: serialize ingests per artifact, or give
-    * concurrent jobs separate store roots. A lock older than
-    * [[StaleLockMs]] is a crashed writer's and is taken over. Readers
-    * never lock — the atomic state flip already gives them a complete
-    * view at every instant. */
+  /** The store's SINGLE-WRITER contract, enforced with an OS ADVISORY
+    * FILE LOCK (`java.nio.channels.FileLock`) on the artifact's
+    * `_GRAFT_LOCK`: every rewrite (save, compaction, rebuild) must
+    * hold it. Two concurrent ingests appending to one chain would
+    * otherwise race [[nextDataDir]] and the state flip —
+    * interleavings that can point the state at the other writer's
+    * half-written dir (the repo's BENCH notes record exactly this
+    * when two Spark JVMs shared target/tmp/artifact_store).
+    * Contention — a live holder in this process or another — FAILS
+    * LOUDLY instead of corrupting silently: serialize ingests per
+    * artifact, or give concurrent jobs separate store roots.
+    *
+    * A FileLock is released by the OS when its holder dies, so a
+    * CRASHED writer leaves an orphan lock FILE but no held lock —
+    * recovery is immediate and there is no staleness heuristic at
+    * all. (The previous mtime-based takeover had a
+    * delete-then-recreate window in which two contenders observing
+    * the same stale lock could both enter, and the second deleter
+    * could even remove the first's FRESH lock.) The lock file itself
+    * is never deleted: locks live on its inode, and unlinking it
+    * would let a late contender lock the orphaned inode while a new
+    * writer locks a fresh file at the same path — two "holders" at
+    * once. Advisory locks are reliable on local filesystems (this
+    * store's contract); NFS semantics vary. Readers never lock — the
+    * atomic state flip already gives them a complete view at every
+    * instant. */
   private def withWriteLock[T](path: String)(body: => T): T = {
     new java.io.File(path).mkdirs()
     val lock = java.nio.file.Paths.get(s"$path/_GRAFT_LOCK")
-    def tryAcquire(): Boolean =
-      try {
-        java.nio.file.Files.write(lock,
-          s"${ProcessHandle.current.pid}\n".getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (!tryAcquire()) {
-      val age =
-        try System.currentTimeMillis -
-          java.nio.file.Files.getLastModifiedTime(lock).toMillis
-        catch { case _: java.io.IOException => 0L }
-      if (age <= StaleLockMs || { deleteIfExists(lock.toString); !tryAcquire() })
-        sys.error(s"artifact store: a concurrent writer holds $lock " +
-          s"(age ${age} ms) — single-writer contract: serialize rewrites " +
-          "of one artifact, or give concurrent jobs separate store roots")
+    val ch = java.nio.channels.FileChannel.open(lock,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held =
+      try ch.tryLock()
+      catch {
+        case _: java.nio.channels.OverlappingFileLockException => null
+      }
+    if (held == null) {
+      ch.close()
+      sys.error(s"artifact store: a concurrent writer holds $lock — " +
+        "single-writer contract: serialize rewrites of one artifact, " +
+        "or give concurrent jobs separate store roots")
     }
-    try body finally deleteIfExists(lock.toString)
+    try body finally { held.release(); ch.close() }
+  }
+
+  /** True when another writer currently HOLDS `dir`'s _GRAFT_LOCK —
+    * the [[pruneSiblings]] guard: a sibling mid-rewrite (its lock
+    * held in this or another JVM) must not be trashed under the
+    * writer; it is skipped this round and swept by a later save.
+    * Errors probing the lock read as "locked" (skip — pruning is
+    * best-effort hygiene, never worth corrupting a live writer). */
+  private def lockedElsewhere(dir: java.io.File): Boolean = {
+    val lf = new java.io.File(dir, "_GRAFT_LOCK")
+    lf.exists && {
+      try {
+        val ch = java.nio.channels.FileChannel.open(lf.toPath,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val fl = ch.tryLock()
+          if (fl == null) true else { fl.release(); false }
+        } finally ch.close()
+      } catch {
+        case _: java.nio.channels.OverlappingFileLockException => true
+        case _: java.io.IOException => true
+      }
+    }
   }
 
   private def write(path: String, content: String): Unit =

@@ -520,8 +520,7 @@ object ScaleRehearsal {
         val supScanned = D.containmentSupProbe(sh).count()
         // uncapped reference: every corpus doc's prefix postings (the
         // pre-round-14 sup-probe scan volume, batch-independent)
-        val kExpr = greatest(col("sz") - expr("(sz * 4 + 4) div 5")
-          + lit(1L), lit(1L)).cast("int")
+        val kExpr = D.containPrefixLen("sz")
         val supUncapped = sh.where(pmod(col("doc_id"), lit(5)) =!= 0)
           .select(explode(slice(col("hs"), lit(1), kExpr)).as("h")).count()
         val supSmall = D.containmentSupProbe(shOf(batchSmall)).count()
@@ -715,8 +714,15 @@ object ScaleRehearsal {
         val baseInv = spark.read.parquet(postPath)
         val batchInv = D.ngramPostingsOn(batchDocs)
         val chainA = s"$dir/store/fpostadm_v1_cccccccccccc"
+        // delete the DELTA dirs too: they are siblings of the base
+        // (`--tag` suffix), so deleting the base alone leaves last
+        // run's delta complete and lineage-matched — the maintained
+        // append would then SERVE it and sec_append would measure a
+        // metadata chain read instead of the check + delta write
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(chainA))
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(ArtifactStore.childPathFor(chainA, "ingA")))
         val t0 = System.nanoTime()
         ArtifactStore.save(D.dfFilteredPostings(baseInv), chainA)
         val secBase = (System.nanoTime() - t0) / 1e9
@@ -738,6 +744,8 @@ object ScaleRehearsal {
         val chainB = s"$dir/store/fpostboil_v1_dddddddddddd"
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(chainB))
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(ArtifactStore.childPathFor(chainB, "ingB")))
         ArtifactStore.save(D.dfFilteredPostings(baseInv), chainB)
         val t3 = System.nanoTime()
         D.ngramFilteredMaintainedAppend(spark, chainB, baseInv, boilInv,

@@ -361,14 +361,8 @@ object DedupQueries {
     * read the result through [[ngramFilteredStore]] so the two
     * shuffles here run once per corpus version, not per call. */
   private[graft] def dfFilteredPostings(inv: DataFrame,
-      cap: Long = NgramDfCap): DataFrame = {
-    val hot = hotShinglesOf(inv, cap)
-    inv.join(broadcast(hot), Seq("shingle"), "left_anti")
-      .select(col("doc_id"), col("len_bucket"),
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))).as("sz"),
-        col("shingle"))
-  }
+      cap: Long = NgramDfCap): DataFrame =
+    filteredBatchRows(inv, hotShinglesOf(inv, cap))
 
   /** Variant m2: the maintained base/delta layout below — an m1-era
     * artifact at the same path held the FULL corpus's filtered rows
@@ -2013,9 +2007,8 @@ object DedupQueries {
     // sizes: IEEE 1.0−0.8 = 0.1999…96, so any sz divisible by 5 gets
     // k one short (sz=5 → k=1 not 2), silently voiding the pigeonhole
     // guarantee. With t = 4/5 exactly: ⌈4·sz/5⌉ = (4·sz+4) div 5.
-    require(ContainT == 0.8, "integer prefix math below assumes t = 4/5")
-    val k = greatest(
-      col("sz") - expr("(sz * 4 + 4) div 5") + lit(1L), lit(1L)).cast("int")
+    // The shared form lives in [[containPrefixLen]].
+    val k = containPrefixLen("sz")
     val probe = sh.select(col("doc_id").as("a"), col("sz").as("sz_a"),
       explode(slice(col("hs"), lit(1), k)).as("h"))
     val full = sh.select(col("doc_id").as("b"), col("sz").as("sz_b"),
@@ -2090,6 +2083,19 @@ object DedupQueries {
     incrementalContainmentOfSh(
       containmentShOfShingles(shingleStore(spark, dir)))
 
+  /** Integer-exact pigeonhole prefix length at [[ContainT]] = 4/5 —
+    * ⌊(1−t)·sz⌋+1 computed as sz − ⌈t·sz⌉ + 1 = sz − (sz·4+4) div 5
+    * + 1, floored at 1, over the named size column. Every consumer
+    * (the full query's candidates, the admission candidates, the sup
+    * probe, the streaming dual, and the scale rehearsal's uncapped
+    * reference) derives it HERE, so the t = 4/5 integer-math
+    * assumption is asserted exactly once. */
+  private[graft] def containPrefixLen(szCol: String): Column = {
+    require(ContainT == 0.8, "integer prefix math assumes t = 4/5")
+    greatest(col(szCol) - expr(s"($szCol * 4 + 4) div 5") + lit(1L),
+      lit(1L)).cast("int")
+  }
+
   /** The SUPERSET-direction probe's corpus-side prefix postings AFTER
     * the batch-derived size cap — the rows that actually enter the
     * sup join, exposed so the scale rehearsal can count them. The cap
@@ -2105,8 +2111,7 @@ object DedupQueries {
     * corpus doc's postings at the scan. */
   private[graft] def containmentSupProbe(sh: DataFrame): DataFrame = {
     def isBatch(c: Column) = pmod(c, lit(5)) === 0
-    val k = greatest(
-      col("sz") - expr("(sz * 4 + 4) div 5") + lit(1L), lit(1L)).cast("int")
+    val k = containPrefixLen("sz")
     val maxB = sh.where(isBatch(col("doc_id")))
       .agg(max(col("sz")).as("max_bsz"))
     sh.where(!isBatch(col("doc_id")))
@@ -2125,10 +2130,8 @@ object DedupQueries {
     * the candidate pairs with ≥ 1 batch endpoint. Exposed so the
     * admission rehearsal can measure candidate growth per scale. */
   private[graft] def incrementalContainmentCandidates(sh: DataFrame): DataFrame = {
-    require(ContainT == 0.8, "integer prefix math below assumes t = 4/5")
     def isBatch(c: Column) = pmod(c, lit(5)) === 0
-    val k = greatest(
-      col("sz") - expr("(sz * 4 + 4) div 5") + lit(1L), lit(1L)).cast("int")
+    val k = containPrefixLen("sz")
     val probe = sh.select(col("doc_id").as("a"), col("sz").as("sz_a"),
       explode(slice(col("hs"), lit(1), k)).as("h"))
     val full = sh.select(col("doc_id").as("b"), col("sz").as("sz_b"),
@@ -2566,6 +2569,17 @@ object DedupQueries {
   /** Word-boundary CTE rename for composing oracle fragments whose
     * chains reuse CTE names (tok/sh/e/cr/ib appear in several family
     * replays) into one statement — the pipe_admit_full composition. */
+  /** Whole-word CTE renaming for the pipe_admit_full composition.
+    * CAUTION — this is a TEXTUAL rewrite over the whole fragment, not
+    * a parse: every word-boundary occurrence of `from` is replaced,
+    * including column names, aliases, and the inside of string
+    * literals, and several keys are single letters (`e`, `u`, `a`).
+    * The current shared fragments are verified collision-free, but
+    * when EDITING a shared oracle fragment, never introduce a column,
+    * alias, or quoted literal that equals a rename key used at the
+    * composition site (:2983-3010) — the standalone oracle would stay
+    * green while the composed pipe_admit_full statement silently
+    * mangles, surfacing only in a full Verify run. */
   private def renameCtes(sql: String, renames: (String, String)*): String =
     renames.foldLeft(sql) { case (s, (from, to)) =>
       s.replaceAll("\\b" + java.util.regex.Pattern.quote(from) + "\\b", to) }

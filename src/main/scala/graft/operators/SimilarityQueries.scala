@@ -2047,7 +2047,7 @@ object SimilarityQueries {
   /** The exact-cosine verify select of the embedding admission —
     * references `u` and `e`. No ORDER BY so it can wrap as a CTE. */
   private[operators] lazy val EmbIncSelectSql: String =
-    """SELECT vec_id, match_id, match_src, cos_sim FROM (
+    s"""SELECT vec_id, match_id, match_src, cos_sim FROM (
       |  SELECT u.vec_id, u.match_id, u.match_src,
       |    floor((list_dot_product(ea.vec, eb.vec)
       |           / (sqrt(list_dot_product(ea.vec, ea.vec))
@@ -2055,7 +2055,7 @@ object SimilarityQueries {
       |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
       |  FROM u JOIN e ea ON u.vec_id = ea.vec_id
       |         JOIN e eb ON u.match_id = eb.vec_id) t
-      |WHERE cos_sim >= 0.3""".stripMargin
+      |WHERE cos_sim >= $EmbDupTau""".stripMargin
 
   private lazy val embeddingDedupOracles: Map[String, String] = Map(
     ("dedup_embedding_cosine" ->
@@ -2072,7 +2072,7 @@ object SimilarityQueries {
          |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
          |  FROM cand c JOIN e ea ON c.vec_a = ea.vec_id
          |              JOIN e eb ON c.vec_b = eb.vec_id) t
-         |WHERE cos_sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin),
+         |WHERE cos_sim >= $EmbDupTau ORDER BY vec_a, vec_b""".stripMargin),
     // the dedup_embedding_cosine replay composed with the mod-5
     // base/batch split: batch->corpus blocked candidates + in-batch
     // pairs, exact cosine verify on candidates at the same threshold.

@@ -565,9 +565,7 @@ object EventStreams {
       .where(size(col("sh")) >= 1)
       .select(col("doc_id"), sort_array(col("sh")).as("hs_a"),
         size(col("sh")).cast("long").as("sz_a"))
-    val k = greatest(
-      col("sz_a") - expr("(sz_a * 4 + 4) div 5") + lit(1L), lit(1L))
-      .cast("int")
+    val k = D.containPrefixLen("sz_a")
     val index = corpusSh.select(col("doc_id").as("match_id"),
       col("sz").as("sz_b"), explode(col("hs")).as("h"))
     signed

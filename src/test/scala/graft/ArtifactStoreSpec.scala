@@ -204,44 +204,69 @@ class ArtifactStoreSpec extends AnyFunSuite {
     tags.foreach(t => rmStore(ArtifactStore.childPathFor(parent, t)))
   }
 
-  test("single-writer guard: a concurrent writer's fresh _GRAFT_LOCK " +
-    "makes a rewrite FAIL LOUDLY (the interleaving that previously " +
-    "raced the state flip); a crashed writer's stale lock is taken " +
-    "over; the lock is released after a successful rewrite") {
+  test("single-writer guard: a HELD _GRAFT_LOCK (OS FileLock) makes a " +
+    "rewrite FAIL LOUDLY; a crashed writer's orphan lock file (no held " +
+    "lock) does not block at all; the lock is re-acquirable after a " +
+    "successful rewrite; a locked SIBLING survives pruning until its " +
+    "writer releases") {
     import spark.implicits._
     val path = "target/tmp/test_artifact_store/lock_src_v1_eeeeeeeeeeee"
     rmStore(path)
     val df = Seq((1L, 2L)).toDF("doc_id", "component_id")
-    // simulate the second writer of a concurrent-append interleaving:
-    // a live (fresh) lock held by another JVM
     new java.io.File(path).mkdirs()
     val lock = java.nio.file.Paths.get(s"$path/_GRAFT_LOCK")
-    java.nio.file.Files.write(lock, "999\n".getBytes("UTF-8"))
-    val ex = intercept[RuntimeException] { ArtifactStore.save(df, path) }
-    assert(ex.getMessage.contains("concurrent writer"), ex.getMessage)
-    assert(ArtifactStore.load(spark, path).isEmpty,
-      "the refused writer must not have produced a complete artifact")
-    // a crashed writer's lock (older than StaleLockMs) is taken over
-    java.nio.file.Files.setLastModifiedTime(lock,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis - ArtifactStore.StaleLockMs - 60000))
+    def holding[T](p: java.nio.file.Path)(f: => T): T = {
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val fl = ch.tryLock()
+      assert(fl != null, s"test could not take the lock $p")
+      try f finally { fl.release(); ch.close() }
+    }
+    // a live writer (this thread, via a separate channel) blocks save
+    holding(lock) {
+      val ex = intercept[RuntimeException] { ArtifactStore.save(df, path) }
+      assert(ex.getMessage.contains("concurrent writer"), ex.getMessage)
+      assert(ArtifactStore.load(spark, path).isEmpty,
+        "the refused writer must not have produced a complete artifact")
+    }
+    // a CRASHED writer leaves an orphan lock FILE but no held lock —
+    // the OS released it with the process; acquisition is immediate
+    // (no staleness heuristic, no takeover race)
+    assert(java.nio.file.Files.exists(lock), "orphan lock file expected")
     ArtifactStore.save(df, path)
     assert(ArtifactStore.load(spark, path).nonEmpty,
-      "stale-lock takeover failed")
-    assert(!java.nio.file.Files.exists(lock),
-      "lock not released after a successful rewrite")
-    // compaction takes the same lock: a fresh lock blocks it too
+      "orphan lock file wrongly blocked a writer")
+    // the lock is re-acquirable: a second rewrite succeeds
+    ArtifactStore.save(df, path)
+    // compaction takes the same lock: a held lock blocks it too
     val child = ArtifactStore.childPathFor(path, "c1")
     rmStore(child)
     ArtifactStore.appendedCached(spark, path, "c1")(
       { fail("base re-derived"); df })(Seq((9L, 9L))
       .toDF("doc_id", "component_id"))
-    java.nio.file.Files.write(lock, "999\n".getBytes("UTF-8"))
-    val ex2 = intercept[RuntimeException] {
-      ArtifactStore.compactChain(spark, path)
+    holding(lock) {
+      val ex2 = intercept[RuntimeException] {
+        ArtifactStore.compactChain(spark, path)
+      }
+      assert(ex2.getMessage.contains("concurrent writer"), ex2.getMessage)
     }
-    assert(ex2.getMessage.contains("concurrent writer"), ex2.getMessage)
-    java.nio.file.Files.delete(lock)
+    // pruning never trashes a sibling under its LIVE writer: an
+    // old-fingerprint sibling whose lock is held survives the new
+    // version's save; once released, the next save sweeps it
+    val oldVer = "target/tmp/test_artifact_store/lock_src_v1_000000000000"
+    rmStore(oldVer)
+    new java.io.File(oldVer).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$oldVer/_GRAFT_OK"), Array.empty[Byte])
+    holding(java.nio.file.Paths.get(s"$oldVer/_GRAFT_LOCK")) {
+      ArtifactStore.save(df, path)
+      assert(new java.io.File(oldVer).exists,
+        "pruneSiblings trashed a sibling mid-rewrite (lock held)")
+    }
+    ArtifactStore.save(df, path)
+    assert(!new java.io.File(oldVer).exists,
+      "released sibling not swept by the next save")
   }
 
   test("save() after a compaction sweeps the retained folded delta dirs " +
