@@ -844,6 +844,76 @@ class StreamMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming NGRAM admission restart contract: a STALE hot set / " +
+    "filtered store from before a cap-crossing ingest admits " +
+    "boilerplate-only matches the current corpus rule suppresses — the " +
+    "docstring's re-read-with-the-store rule is load-bearing, not " +
+    "hygiene") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val D = operators.DedupQueries
+    val cap = 2L
+    val boiler = "license header boilerplate text block"
+    def words(seed: Int, n: Int) =
+      (0 until n).map(i => f"s$seed%02dw$i%02d").mkString(" ")
+    def withChars(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+    // BEFORE the crossing ingest: boiler df = 2 = cap (kept — strict
+    // >). Doc 2 is boilerplate ALONE — the wrapped-license shape whose
+    // admission verdict the cap rule exists to flip.
+    val before = Seq(1L -> s"${words(1, 12)} $boiler", 2L -> boiler)
+    // the crossing ingest adds doc 3: boiler df = 3 > cap → the
+    // maintained store REBUILDS with boiler classified boilerplate
+    val after = before :+ (3L -> s"${words(3, 12)} $boiler")
+    // the incoming doc IS the boilerplate — under the stale state it
+    // jaccard-1.0-matches doc 2; under the current rule it has no
+    // surviving shingles at all
+    val incoming = Seq(10L -> boiler)
+    def state(corpus: Seq[(Long, String)]) = {
+      val inv = D.ngramPostingsOn(withChars(corpus.toDF("doc_id", "text")))
+      val hot = D.hotShinglesOf(inv, cap).collect().map(_.getLong(0)).toSeq
+      val filt = D.dfFilteredPostings(inv, cap)
+      (filt, D.filteredArraysOf(filt), hot)
+    }
+    val (staleF, staleA, staleH) = state(before)
+    val (freshF, freshA, freshH) = state(after)
+    assert(staleH.isEmpty && freshH.nonEmpty,
+      "fixture must cross the cap exactly at the third doc")
+    def run(name: String, f: org.apache.spark.sql.DataFrame,
+        a: org.apache.spark.sql.DataFrame, h: Seq[Long]): Set[(Long, Long)] = {
+      val src = MemoryStream[(Long, String)]
+      val q = streaming.EventStreams.ngramStreamAppend(
+          src.toDF.toDF("doc_id", "text"), f, a, h)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        src.addData(incoming: _*)
+        q.processAllAvailable()
+        spark.table(name).select("doc_id", "match_id").distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    val staleGot = run("ngram_stale_sink", staleF, staleA, staleH)
+    val freshGot = run("ngram_fresh_sink", freshF, freshA, freshH)
+    assert(freshGot.isEmpty,
+      s"current-corpus rule must suppress boilerplate-only matches: " +
+        freshGot)
+    assert(staleGot.nonEmpty,
+      "stale state was expected to admit the boilerplate-only match " +
+        "(the hazard the restart rule exists for)")
+    // and fresh ≡ the batch admission operator on the grown corpus
+    val all = withChars((after ++ incoming).toDF("doc_id", "text"))
+    val batchM = D.incrementalNgramOfEdges(
+        D.ngramJaccardTouchingOfPostings(
+          D.dfFilteredPostings(D.ngramPostingsOn(all), cap)))
+      .where($"match_src" === "corpus")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(freshGot == batchM,
+      s"fresh stream $freshGot != batch on the grown corpus $batchM")
+  }
+
   test("ModelStore round-trips an all-numeric product catalog as strings " +
     "(partition-column inference would read \"0123\" back as \"123\")") {
     import spark.implicits._
