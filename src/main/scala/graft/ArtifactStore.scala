@@ -190,6 +190,35 @@ object ArtifactStore {
       val target = if (s.renameTo(trash)) trash else s
       org.apache.commons.io.FileUtils.deleteQuietly(target)
     }
+    // Trash a sibling only while HOLDING its lock (registry + OS, the
+    // same discipline as withWriteLock): a probe-release-then-delete
+    // would leave a window in which a legitimate writer acquires the
+    // lock and has its dir renamed mid-rewrite. A sibling with no
+    // lock file has never had a writer — trash directly. Any
+    // contention or probe error reads as "live writer": skip, a later
+    // save re-sweeps.
+    def trashWhileLocked(s: java.io.File): Unit = {
+      if (!new java.io.File(s, "_GRAFT_LOCK").exists) { trashThenDelete(s); return }
+      val canon = canonicalLockPath(s.getPath)
+      if (!heldLocks.add(canon)) return // same-JVM writer live — skip
+      try {
+        var ch: java.nio.channels.FileChannel = null
+        try {
+          ch = java.nio.channels.FileChannel.open(
+            java.nio.file.Paths.get(canon),
+            java.nio.file.StandardOpenOption.WRITE)
+          val fl =
+            try ch.tryLock()
+            catch {
+              case _: java.nio.channels.OverlappingFileLockException => null
+            }
+          if (fl != null)
+            try trashThenDelete(s) finally fl.release()
+        } finally if (ch != null) ch.close()
+      } catch {
+        case _: java.io.IOException => () // probe error → treat as live
+      } finally heldLocks.remove(canon)
+    }
     // sweep crash-orphaned trash first (rename succeeded, delete never ran)
     for {
       sibs <- Option(parent.listFiles()).toSeq
@@ -204,8 +233,7 @@ object ArtifactStore {
         (sKey == key || (!key.contains("--") && sKey.startsWith(key + "--")) ||
           SupersededVariants.exists(s.getName.contains))
       if !s.getName.startsWith(f.getName + "--") // never this version's own deltas
-      if !lockedElsewhere(s) // never trash a sibling under its live writer
-    } trashThenDelete(s)
+    } trashWhileLocked(s)
   }
 
   // ---- the single-writer guard -----------------------------------------
@@ -222,6 +250,21 @@ object ArtifactStore {
     * LOUDLY instead of corrupting silently: serialize ingests per
     * artifact, or give concurrent jobs separate store roots.
     *
+    * GRANULARITY is per ARTIFACT DIR, which for appends means per
+    * BATCH: each delta is its own artifact with its own lock, so two
+    * ingests of the SAME batch tag contend (the second fails loudly
+    * mid-write of the first; its retry after completion serves the
+    * landed batch — [[appendedCached]]'s served path — never
+    * re-signs it), while ingests of DIFFERENT batches write disjoint
+    * delta dirs concurrently without contention — the chain resolve
+    * is a deterministic sorted union, so either completion order
+    * yields the same chain. The shared-parent REWRITES (save,
+    * compaction, rebuild) take the parent's lock; a different-batch
+    * append can therefore still fail loudly at its auto-compaction
+    * step if another writer is rewriting the base — its own delta is
+    * already durably landed at that point, and a retry serves.
+    * ArtifactStoreSpec's interleaving test pins all three behaviors.
+    *
     * A FileLock is released by the OS when its holder dies, so a
     * CRASHED writer leaves an orphan lock FILE but no held lock —
     * recovery is immediate and there is no staleness heuristic at
@@ -235,47 +278,49 @@ object ArtifactStore {
     * once. Advisory locks are reliable on local filesystems (this
     * store's contract); NFS semantics vary. Readers never lock — the
     * atomic state flip already gives them a complete view at every
-    * instant. */
+    * instant.
+    *
+    * SAME-JVM coordination runs through [[heldLocks]], never the OS:
+    * per the FileLock javadoc, CLOSING ANY CHANNEL on a file releases
+    * every lock this JVM holds on that file — so a contender (or a
+    * prune probe) that opened a second channel on a held lock file
+    * and closed it would silently drop the live writer's OS lock,
+    * voiding the cross-process guarantee exactly under contention.
+    * Both [[withWriteLock]] and [[pruneSiblings]]' trashWhileLocked
+    * therefore consult the registry FIRST and never open a second
+    * channel on a lock path this JVM already holds. */
+  private val heldLocks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def canonicalLockPath(path: String): String =
+    new java.io.File(path, "_GRAFT_LOCK").getCanonicalPath
+
   private def withWriteLock[T](path: String)(body: => T): T = {
     new java.io.File(path).mkdirs()
-    val lock = java.nio.file.Paths.get(s"$path/_GRAFT_LOCK")
-    val ch = java.nio.channels.FileChannel.open(lock,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    val held =
-      try ch.tryLock()
-      catch {
-        case _: java.nio.channels.OverlappingFileLockException => null
-      }
-    if (held == null) {
-      ch.close()
-      sys.error(s"artifact store: a concurrent writer holds $lock — " +
+    val canon = canonicalLockPath(path)
+    def contendedError(): Nothing =
+      sys.error(s"artifact store: a concurrent writer holds $canon — " +
         "single-writer contract: serialize rewrites of one artifact, " +
         "or give concurrent jobs separate store roots")
-    }
-    try body finally { held.release(); ch.close() }
-  }
-
-  /** True when another writer currently HOLDS `dir`'s _GRAFT_LOCK —
-    * the [[pruneSiblings]] guard: a sibling mid-rewrite (its lock
-    * held in this or another JVM) must not be trashed under the
-    * writer; it is skipped this round and swept by a later save.
-    * Errors probing the lock read as "locked" (skip — pruning is
-    * best-effort hygiene, never worth corrupting a live writer). */
-  private def lockedElsewhere(dir: java.io.File): Boolean = {
-    val lf = new java.io.File(dir, "_GRAFT_LOCK")
-    lf.exists && {
-      try {
-        val ch = java.nio.channels.FileChannel.open(lf.toPath,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val fl = ch.tryLock()
-          if (fl == null) true else { fl.release(); false }
-        } finally ch.close()
-      } catch {
-        case _: java.nio.channels.OverlappingFileLockException => true
-        case _: java.io.IOException => true
-      }
+    // Registry is the same-JVM gate: claim the path before touching
+    // the OS lock so no second channel ever opens on a held file.
+    if (!heldLocks.add(canon)) contendedError()
+    var ch: java.nio.channels.FileChannel = null
+    try {
+      ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(canon),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val held =
+        try ch.tryLock()
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException => null
+        }
+      if (held == null) contendedError()
+      try body finally held.release()
+    } finally {
+      if (ch != null) ch.close()
+      heldLocks.remove(canon)
     }
   }
 

@@ -9,6 +9,27 @@ import org.scalatest.funsuite.AnyFunSuite
   * saves, APPENDS ingest deltas without re-signing the base (round 11),
   * prunes stale sibling versions, and never caches an unfingerprintable
   * source. */
+/** Task-side gate for the concurrent-append interleaving test: a udf
+  * in writer A's delta parks the writing Spark task inside A's held
+  * lock until the main thread releases it. TOP-LEVEL object (not a
+  * captured latch, not suite-nested) so the udf closure serializes by
+  * static reference in local mode. */
+private[graft] object ConcurrentAppendGate {
+  @volatile private var entered = new java.util.concurrent.CountDownLatch(1)
+  @volatile private var released = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = {
+    entered = new java.util.concurrent.CountDownLatch(1)
+    released = new java.util.concurrent.CountDownLatch(1)
+  }
+  def enter(): Unit = {
+    entered.countDown()
+    released.await(60, java.util.concurrent.TimeUnit.SECONDS)
+  }
+  def awaitEntered(sec: Int): Boolean =
+    entered.await(sec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+  def release(): Unit = released.countDown()
+}
+
 class ArtifactStoreSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -267,6 +288,67 @@ class ArtifactStoreSpec extends AnyFunSuite {
     ArtifactStore.save(df, path)
     assert(!new java.io.File(oldVer).exists,
       "released sibling not swept by the next save")
+  }
+
+  test("concurrent APPENDs to one chain (the production race): a second " +
+    "ingest of the SAME batch fails LOUDLY while the first is mid-write " +
+    "— via the held-lock registry, so no probe channel ever opens on " +
+    "the held lock file — and a retry after completion SERVES the " +
+    "landed batch without re-running it; ingests of DIFFERENT batches " +
+    "land in disjoint delta dirs even while the first writer is still " +
+    "inside its lock, and the chain ends exactly-once either way") {
+    import spark.implicits._
+    val parent = "target/tmp/test_artifact_store/concur_src_v1_cccccccccccc"
+    rmStore(parent)
+    Seq("ca", "cb").foreach(t =>
+      rmStore(ArtifactStore.childPathFor(parent, t)))
+    val base = Seq((1L, 1L)).toDF("doc_id", "component_id")
+    ArtifactStore.cached(spark, parent)(base).count()
+    // writer A's delta write parks inside its held child lock: the
+    // gate udf runs during save()'s parquet write, which withWriteLock
+    // wraps, so A demonstrably HOLDS the ca lock while parked
+    ConcurrentAppendGate.reset()
+    val gate = udf((x: Long) => { ConcurrentAppendGate.enter(); x })
+    val aErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val a = new Thread(() => {
+      try ArtifactStore.appendedCached(spark, parent, "ca",
+          autoCompactAt = 0)(sys.error("base re-derived"))(
+          Seq((2L, 2L)).toDF("doc_id", "component_id")
+            .withColumn("doc_id", gate(col("doc_id")))).count()
+      catch { case t: Throwable => aErr.set(t) }
+    })
+    a.start()
+    assert(ConcurrentAppendGate.awaitEntered(30),
+      "writer A never reached its delta write")
+    // same batch, second ingest: loud refusal (registry hit — the OS
+    // lock is never probed, so A's live lock cannot be dropped by a
+    // contender's channel close)
+    val ex = intercept[RuntimeException] {
+      ArtifactStore.appendedCached(spark, parent, "ca", autoCompactAt = 0)(
+        sys.error("base re-derived"))(
+        Seq((99L, 99L)).toDF("doc_id", "component_id"))
+    }
+    assert(ex.getMessage.contains("concurrent writer"), ex.getMessage)
+    // different batch, same chain, A still parked: lands fine (deltas
+    // are per-batch artifacts with per-artifact locks)
+    ArtifactStore.appendedCached(spark, parent, "cb", autoCompactAt = 0)(
+      sys.error("base re-derived"))(
+      Seq((3L, 3L)).toDF("doc_id", "component_id")).count()
+    ConcurrentAppendGate.release()
+    a.join(60000)
+    assert(aErr.get == null, s"writer A failed: ${aErr.get}")
+    // the refused ingest retries: the landed ca batch is SERVED (both
+    // thunks poison-pilled), never re-signed — and the resolved chain
+    // holds base + ca + cb exactly once
+    val resolved = ArtifactStore.appendedCached(spark, parent, "ca",
+      autoCompactAt = 0)(sys.error("base re-derived"))(
+      sys.error("landed batch re-signed"))
+    assert(resolved.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList ==
+      List((1L, 1L), (2L, 2L), (3L, 3L)))
+    rmStore(parent)
+    Seq("ca", "cb").foreach(t =>
+      rmStore(ArtifactStore.childPathFor(parent, t)))
   }
 
   test("save() after a compaction sweeps the retained folded delta dirs " +
