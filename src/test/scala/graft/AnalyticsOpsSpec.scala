@@ -867,30 +867,40 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       "containment admission must be partition-invariant")
   }
 
-  test("containment sup-probe cap: corpus docs too big to fit in any " +
-    "batch doc never enter the sup join, and the admission output is " +
-    "unchanged") {
+  test("containment sup-probe prunes: corpus docs too big to fit in any " +
+    "batch doc, AND size-eligible docs sharing no hash with the batch, " +
+    "never enter the sup join; the admission output is unchanged") {
     val D = operators.DedupQueries
-    // corpus: doc 1 oversized (18 shingles), doc 2 small (6); batch:
-    // doc 10 (10 shingles) ⊇ doc 2 — max_bsz 10, so the cap
-    // sz_a*4 <= max_bsz*5 keeps doc 2 (24 <= 50) and prunes doc 1
-    // (72 > 50), which the pairwise bound would reject anyway
-    val big  = (1 to 20).map(i => f"w$i%02d").mkString(" ")
-    val smal = (1 to 8).map(i => s"m$i").mkString(" ")
-    val sup  = ((1 to 8).map(i => s"m$i") ++
+    // corpus: doc 1 oversized (18 shingles), doc 2 small (6), doc 3
+    // small (6) but lexically UNRELATED to the batch; batch: doc 10
+    // (10 shingles) ⊇ doc 2 — max_bsz 10, so the size cap
+    // sz_a*4 <= max_bsz*5 prunes doc 1 (72 > 50) and keeps docs 2 and
+    // 3 (24 <= 50); the batch-membership semi-join then prunes doc 3
+    // (no shared hash → provably no sup candidate). Both prunes are
+    // rejections the pairwise bound / candidate join would make
+    // anyway — output-preserving by construction.
+    val big   = (1 to 20).map(i => f"w$i%02d").mkString(" ")
+    val smal  = (1 to 8).map(i => s"m$i").mkString(" ")
+    val alien = (1 to 8).map(i => s"z$i").mkString(" ")
+    val sup   = ((1 to 8).map(i => s"m$i") ++
       (1 to 4).map(i => s"x$i")).mkString(" ")
-    val docs = Seq(1L -> big, 2L -> smal, 10L -> sup)
+    val docs = Seq(1L -> big, 2L -> smal, 3L -> alien, 10L -> sup)
       .toDF("doc_id", "text")
     val sh = D.containmentShOn(docs)
-    // only the small corpus doc's prefix postings survive the cap
+    // only the small RELATED corpus doc's prefix postings survive
     val probed = D.containmentSupProbe(sh)
       .select("a").distinct().collect().map(_.getLong(0)).toSet
     assert(probed == Set(2L), s"probed=$probed")
-    // the size cap sits in the plan (below the posting join by
-    // construction: it filters sh before the explode/join)
+    // both prunes sit in the plan below the sup candidate join: the
+    // size cap (broadcast max_bsz filter) and the batch-membership
+    // LEFT-SEMI, each filtering the corpus postings before they meet
+    // the batch index
     val out = D.incrementalContainmentOfSh(sh)
-    assert(out.queryExecution.executedPlan.toString.contains("max_bsz"),
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("max_bsz"),
       "batch-size cap missing from the sup-probe plan")
+    assert(plan.contains("LeftSemi"),
+      "batch-membership semi-join missing from the sup-probe plan")
     val got = out.collect().map(r => (r.getLong(0), r.getLong(1),
       r.getString(3))).toList
     assert(got == List((10L, 2L, "sup")), got.toString)

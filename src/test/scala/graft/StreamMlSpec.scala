@@ -914,6 +914,28 @@ class StreamMlSpec extends AnyFunSuite {
       s"fresh stream $freshGot != batch on the grown corpus $batchM")
   }
 
+  test("streaming NGRAM admission hot-set guard: a hot set past " +
+    "NgramHotMaxKeys fails LOUDLY at construction (a truncated literal " +
+    "would silently admit boilerplate); at the bound it constructs") {
+    import spark.implicits._
+    val E = streaming.EventStreams
+    val docs = Seq(1L -> "some arriving doc text here")
+      .toDF("doc_id", "text")
+    val filt = Seq((7L, 0L, 2L)).toDF("shingle", "len_bucket", "doc_id")
+    val arrs = Seq((2L, Seq(7L), 1L)).toDF("doc_id", "fsh", "sz_b")
+    val over = (0L until (E.NgramHotMaxKeys + 1L)).toSeq
+    val ex = intercept[IllegalArgumentException] {
+      E.ngramStreamAppend(docs, filt, arrs, over)
+    }
+    assert(ex.getMessage.contains("NgramHotMaxKeys"), ex.getMessage)
+    assert(ex.getMessage.contains("batch admission"), ex.getMessage)
+    // exactly at the bound: plan constructs (the budget is inclusive)
+    val atBound = E.ngramStreamAppend(docs, filt, arrs,
+      (0L until E.NgramHotMaxKeys.toLong).toSeq)
+    assert(atBound.columns.toSeq ==
+      Seq("doc_id", "match_id", "jaccard"))
+  }
+
   test("ModelStore round-trips an all-numeric product catalog as strings " +
     "(partition-column inference would read \"0123\" back as \"123\")") {
     import spark.implicits._
