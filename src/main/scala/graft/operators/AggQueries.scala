@@ -802,10 +802,11 @@ object AggQueries {
       .groupBy(col("bucket"))
       .agg(sum(when(col("early"), lit(1L)).otherwise(lit(0L))).as("n_early"),
         sum(when(!col("early"), lit(1L)).otherwise(lit(0L))).as("n_late"))
-    // era totals = Σ bucket counts: a windowed sum over the ≤10-row
-    // aggregate, so the fact table is scanned exactly ONCE (a second
-    // totals aggregate would re-read it; the single-partition window
-    // is over bucket-grain rows, never data-sized)
+    // bounded-global-window: era totals = Σ bucket counts — a windowed
+    // sum over the ≤10-row aggregate, so the fact table is scanned
+    // exactly ONCE (a second totals aggregate would re-read it; the
+    // single-partition window is over bucket-grain rows, never
+    // data-sized)
     val all = Window.partitionBy()
     val pS = (col("n_early").cast("double") + lit(1.0)) /
       (col("tot_early").cast("double") + lit(10.0))
@@ -850,6 +851,8 @@ object AggQueries {
       .groupBy(col("bucket"))
       .agg(sum(when(col("early"), lit(1L)).otherwise(lit(0L))).as("n_early"),
         sum(when(!col("early"), lit(1L)).otherwise(lit(0L))).as("n_late"))
+    // bounded-global-window: both windows run over the ≤100-row bucket
+    // aggregate (the KS statistic's CDF grid), never the observations
     val cum = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy()

@@ -365,6 +365,9 @@ object JoinWindowQueries {
     val firstSeen = Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(min(date_trunc("hour", col("ts"))).as("hour"))
+    // bounded-global-window: |distinct hours| rows (calendar-sized,
+    // per the scaladoc) — the WindowExec single-partition warning
+    // this site emits is over bucket grain, never data grain
     val w = Window.orderBy(col("hour"))
       .rowsBetween(Window.unboundedPreceding, 0)
     firstSeen.groupBy(col("hour"))
@@ -625,6 +628,10 @@ object JoinWindowQueries {
         least(floor(col("monetary_cents") / lit(100000.0)), lit(9999.0))
           .cast("long").as("monetary_k"))
     def quartileMap(metric: String, score: String): DataFrame = {
+      // bounded-global-window: input is the per-distinct-metric-value
+      // aggregate (recency ≤ calendar days, monetary_k capped at 9999,
+      // frequency ≤ distinct order counts) — quantile grain, never the
+      // customer table
       val cum = Window.orderBy(col(metric))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val all = Window.partitionBy()

@@ -90,8 +90,8 @@ object PipelineOps {
     val agg = sampled.groupBy(col("corpus"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("n_tokens"))
-    // Unpartitioned window ON THE AGGREGATE: its input is |corpus
-    // classes| rows (2), so the single partition is trivially bounded.
+    // bounded-global-window: unpartitioned window ON THE AGGREGATE —
+    // its input is |corpus classes| rows (2), trivially bounded.
     // A broadcast cross join of a separate total would re-execute the
     // whole scan+aggregate subtree (no CSE across join branches) —
     // verified by explain: that variant scans documents twice.
@@ -131,6 +131,8 @@ object PipelineOps {
     docs.join(rates, Seq("lang"))
       .groupBy(col("lang"), col("n_total"), col("rate_bp"))
       .agg(count(when(hash10k(col("doc_id")) < col("rate_bp"), 1)).as("n_kept"))
+      // bounded-global-window: normalization over the |languages|-row
+      // aggregate, the pipeMixture shape
       .withColumn("pct_kept",
         Tables.round6(col("n_kept") / sum(col("n_kept")).over(Window.partitionBy())))
       .orderBy(col("lang"))

@@ -499,6 +499,8 @@ object TextQueries {
       .orderBy(col("n").desc, col("token"))
       .limit(1000)
     val q = top
+      // bounded-global-window: ranks the limit(1000) head only — the
+      // vocabulary-sized aggregate never reaches this window
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n").desc, col("token"))))
       .select(

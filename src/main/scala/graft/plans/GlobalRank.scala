@@ -38,8 +38,10 @@ object GlobalRank {
       .withColumn("__gr_pid", spark_partition_id())
     val within = Window.partitionBy(col("__gr_pid")).orderBy(order: _*)
     val withRn = ranged.withColumn("__gr_rn", row_number().over(within))
-    // P rows — one per range partition; the running-sum window here is
-    // over the PARTITION-COUNT frame, not the data. Built from `ranged`
+    // bounded-global-window: P rows — one per range partition; the
+    // running-sum window is over the PARTITION-COUNT frame, not the
+    // data (the expected WindowExec single-partition warning is this
+    // P-row frame). Built from `ranged`
     // (not the windowed frame) so the offsets branch re-uses the range
     // exchange without re-running the within-partition sort.
     val offsets = ranged

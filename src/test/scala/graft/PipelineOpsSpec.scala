@@ -47,8 +47,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = operators.PipelineOps.tokenBudgetOn(docs).collect()
       .map(r => r.getString(0) ->
         (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
-    // independent naive replication: ONE global window per language —
-    // the formulation the decomposition exists to avoid
+    // deliberate-naive-oracle: independent naive replication — ONE
+    // big window per language, the formulation the production
+    // decomposition exists to avoid; any window-shape noise this spec
+    // emits is the ORACLE side, not the plan under test
     val t = docs
       .select(col("doc_id"), col("lang"),
         size(functions.TextFunctions.tokens(col("text"))).cast("long").as("nt"),

@@ -364,6 +364,10 @@ class PipelineSpec extends AnyFunSuite {
     // real corpus: independent whole-corpus per-doc funnel, restricted
     val docs = Tables.documents(spark, sf)
     val t = tokens(col("text"))
+    // deliberate-naive-oracle: whole-corpus per-digest window — the
+    // naive frame-equality oracle the incremental funnel is pinned
+    // against; window-shape noise here is the oracle side, not the
+    // plan under test
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h"))
     def asInt(c: org.apache.spark.sql.Column) = when(c, 1).otherwise(0)
