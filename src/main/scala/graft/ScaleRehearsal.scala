@@ -859,7 +859,26 @@ object ScaleRehearsal {
       val ingScales = admissionScales.filter(Seq(1, 10, 30).contains)
       val tag = D.IngestBatchTag
       val ingRows = for (k <- ingScales) yield {
-        val dir = s"$outRoot/x$k"
+        // FIXED-batch protocol (the admission rows' own): the x$k
+        // corpora's mod-5 batch grows with the corpus (20% of every
+        // replica), which would confound per-ingest cost with batch
+        // size — so each scale gets an ingest dir whose documents =
+        // the x$k corpus's non-batch rows ∪ the STANDARD batch
+        // (replica 999, ids re-keyed ≡ 0 mod 5), and likewise for
+        // the battery's embeddings. Corpus grows 30×, batch constant.
+        val dir = s"$outRoot/x${k}_ing"
+        Tables.documents(spark, s"$outRoot/x$k")
+          .where(pmod(col("doc_id"), lit(5)) =!= 0)
+          .unionByName(docReplica(Tables.documents(spark, baseDir), 999)
+            .withColumn("doc_id", col("doc_id") * 5))
+          .repartition(8 * k)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        Tables.embeddings(spark, s"$outRoot/x$k")
+          .where(pmod(col("vec_id"), lit(5)) =!= 0)
+          .unionByName(embReplica(Tables.embeddings(spark, baseDir), 999)
+            .withColumn("vec_id", col("vec_id") * 5))
+          .repartition(4 * k)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         val docs = Tables.documents(spark, dir)
         val nDocs = docs.count()
         val nBatch = docs.where(pmod(col("doc_id"), lit(5)) === 0).count()
