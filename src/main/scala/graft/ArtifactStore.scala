@@ -199,7 +199,14 @@ object ArtifactStore {
     // save re-sweeps.
     def trashWhileLocked(s: java.io.File): Unit = {
       if (!new java.io.File(s, "_GRAFT_LOCK").exists) { trashThenDelete(s); return }
-      val canon = canonicalLockPath(s.getPath)
+      // resolving the sibling's canonical lock path is itself an I/O
+      // probe: an error there reads as "live writer — skip" like every
+      // other probe failure below, never as an abort of the caller's
+      // own save (r15 advice: getCanonicalPath outside the handler
+      // propagated and broke the best-effort prune contract)
+      val canon =
+        try canonicalLockPath(s.getPath)
+        catch { case _: java.io.IOException => return }
       if (!heldLocks.add(canon)) return // same-JVM writer live — skip
       try {
         var ch: java.nio.channels.FileChannel = null

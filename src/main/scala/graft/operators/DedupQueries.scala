@@ -1859,17 +1859,68 @@ object DedupQueries {
     * BANDED threshold form `levenshtein(a, b, k)` — O(len·k) per pair
     * with early exit, vs O(len²) for the unbounded form (returns -1
     * past the threshold, so the match filter is `dist != -1`).
-    * Measured 2.6 s → 0.5 s steady-state at sf0.1 together. */
+    * Measured 2.6 s → 0.5 s steady-state at sf0.1 together.
+    *
+    * HOT-BLOCK defense ([[EntityBlockCap]]): the suffix-alphabet bound
+    * on block size holds only when names are unique modulo suffix — a
+    * duplicated name ("John Smith", a default/empty value) grows ONE
+    * block with its multiplicity, and because the candidate equi-join
+    * hash-partitions by `blk`, that block's O(B²) compare lands on a
+    * SINGLE partition (one straggler task at crawl scale). Blocks past
+    * the cap are therefore classified HOT and excluded from the
+    * pairwise compare — the [[NgramDfCap]]/[[SpanDfCap]] rule applied
+    * to the structured-record family, replayed by the DuckDB oracle
+    * and measured by the SCALE10 `entity_hot` planted rehearsal. */
   val dedupEntityBlock: Q = (spark, dir) =>
     entityBlockOn(Tables.customer(spark, dir))
 
-  /** Blocked candidate pairs of [[dedupEntityBlock]] — the block-key
-    * equi-join BEFORE the banded levenshtein compare (the per-block
-    * quadratic term the alphabet bound caps). */
-  private[graft] def entityBlockCandidatesOn(customer: DataFrame): DataFrame = {
-    val c = customer
+  /** Block-frequency cap for the entity-linkage family: a block key
+    * shared by MORE than this many records is a HOT block — a
+    * degenerate entity cluster (names identical modulo their last two
+    * characters: a default or empty name replicated corpus-wide) whose
+    * pair expansion is O(B²) rows of an already-known fact, landing on
+    * one hash partition. Hot blocks are EXCLUDED from candidate
+    * generation in all three family forms (full, incremental,
+    * streaming), and the DuckDB oracle replays the same rule — the
+    * contract change is in the intended direction (a 10⁶-member name
+    * block is reported as hot, not pair-expanded into 5·10¹¹ rows).
+    * Value matches [[NgramDfCap]]/[[SpanDfCap]]; the digit-suffix
+    * blocking bounds real test-SF blocks at 10² ≤ cap, so every
+    * test-SF result is numerically unchanged — only the planted
+    * hot-name rehearsal (SCALE10 `entity_hot`) crosses it. */
+  val EntityBlockCap = 1000L
+
+  /** The family's shared (c_custkey, c_name, blk) projection. */
+  private[graft] def entityBlocked(customer: DataFrame): DataFrame =
+    customer
       .select(col("c_custkey"), col("c_name"))
       .withColumn("blk", expr("substring(c_name, 1, length(c_name) - 2)"))
+
+  /** HOT block keys of a blocked frame — blocks with more than `cap`
+    * members. Tiny by construction (≤ n / cap keys), so its anti-join
+    * broadcasts (the [[hotShinglesOf]] convention). */
+  private[graft] def hotEntityBlocksOf(blocked: DataFrame,
+      cap: Long = EntityBlockCap): DataFrame =
+    blocked.groupBy(col("blk")).agg(count(lit(1)).as("bf"))
+      .where(col("bf") > cap)
+      .select(col("blk"))
+
+  /** Blocked rows surviving the hot-block cap — the frame that
+    * actually enters the candidate equi-join (exposed so the SCALE10
+    * rehearsal can measure max entering block size directly). */
+  private[graft] def entityBlockedCapped(customer: DataFrame,
+      cap: Long = EntityBlockCap): DataFrame = {
+    val c = entityBlocked(customer)
+    c.join(broadcast(hotEntityBlocksOf(c, cap)), Seq("blk"), "left_anti")
+  }
+
+  /** Blocked candidate pairs of [[dedupEntityBlock]] — the block-key
+    * equi-join BEFORE the banded levenshtein compare (the per-block
+    * quadratic term the alphabet bound caps), over the hot-block-
+    * filtered rows. */
+  private[graft] def entityBlockCandidatesOn(customer: DataFrame,
+      cap: Long = EntityBlockCap): DataFrame = {
+    val c = entityBlockedCapped(customer, cap)
     // explicit width: AQE would coalesce a 15k-row exchange to one
     // partition (it sizes on exchange BYTES, but the quadratic compare
     // cost materializes after the exchange) — pin the configured
@@ -1885,8 +1936,9 @@ object DedupQueries {
       .where(col("custkey_a") < col("custkey_b"))
   }
 
-  private[graft] def entityBlockOn(customer: DataFrame): DataFrame =
-    entityBlockCandidatesOn(customer)
+  private[graft] def entityBlockOn(customer: DataFrame,
+      cap: Long = EntityBlockCap): DataFrame =
+    entityBlockCandidatesOn(customer, cap)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1))
       .where(col("dist") =!= -1)
       .select(col("custkey_a"), col("custkey_b"), col("dist"))
@@ -1905,18 +1957,21 @@ object DedupQueries {
     * only; block sizes stay alphabet-bounded, so the per-ingest work
     * is O(batch × block), never a table-wide compare. FULLY oracled:
     * the entity replay restricted to batch-touching pairs with the
-    * direction mapping. */
+    * direction mapping. The [[EntityBlockCap]] hot-block rule applies
+    * with the hot set computed over the GROWN table (corpus ∪ batch —
+    * the [[spanSpreadOn]] discipline: block frequency is a fact of the
+    * current full table, so the admission's verdicts match what a full
+    * recompute over the grown corpus would say). */
   val dedupEntityIncremental: Q = (spark, dir) =>
     incrementalEntityBlockOn(Tables.customer(spark, dir))
 
   /** Blocked candidate pairs of [[dedupEntityIncremental]] — the
     * batch-probe block join BEFORE the banded levenshtein, exposed so
     * the admission rehearsal can measure candidate growth. */
-  private[graft] def incrementalEntityCandidatesOn(customer: DataFrame): DataFrame = {
+  private[graft] def incrementalEntityCandidatesOn(customer: DataFrame,
+      cap: Long = EntityBlockCap): DataFrame = {
     def isBatchK(c: Column) = pmod(c, lit(5)) === 0
-    val c = customer
-      .select(col("c_custkey"), col("c_name"))
-      .withColumn("blk", expr("substring(c_name, 1, length(c_name) - 2)"))
+    val c = entityBlockedCapped(customer, cap)
     val probe = c.where(isBatchK(col("c_custkey")))
       .select(col("blk"), col("c_custkey").as("ka"), col("c_name").as("na"))
       .repartition(
@@ -1932,9 +1987,10 @@ object DedupQueries {
 
   /** Core of [[dedupEntityIncremental]] over an explicit customer
     * frame — the planted-fixture spec form. */
-  private[graft] def incrementalEntityBlockOn(customer: DataFrame): DataFrame = {
+  private[graft] def incrementalEntityBlockOn(customer: DataFrame,
+      cap: Long = EntityBlockCap): DataFrame = {
     def isBatchK(c: Column) = pmod(c, lit(5)) === 0
-    incrementalEntityCandidatesOn(customer)
+    incrementalEntityCandidatesOn(customer, cap)
       .withColumn("dist", levenshtein(col("na"), col("nb"), 1))
       .where(col("dist") =!= -1)
       .select(col("ka").as("custkey"), col("kb").as("match_id"),
@@ -2741,27 +2797,35 @@ object DedupQueries {
          |$ContainIncCtesSql
          |$ContainIncSelectSql
          |ORDER BY 1, 3, 2, 4""".stripMargin,
+    // the hot-block CTE replays [[EntityBlockCap]]: blocks past the
+    // cap are excluded from the pairwise compare (both entity keys)
     "dedup_entity_block" ->
-      """WITH c AS (
-        |  SELECT c_custkey, c_name,
-        |         substring(c_name, 1, length(c_name) - 2) AS blk
-        |  FROM customer)
-        |SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
-        |       levenshtein(a.c_name, b.c_name) AS dist
-        |FROM c a JOIN c b USING (blk)
-        |WHERE a.c_custkey < b.c_custkey
-        |  AND levenshtein(a.c_name, b.c_name) <= 1
-        |ORDER BY custkey_a, custkey_b""".stripMargin,
+      s"""WITH c0 AS (
+         |  SELECT c_custkey, c_name,
+         |         substring(c_name, 1, length(c_name) - 2) AS blk
+         |  FROM customer),
+         |hot AS (SELECT blk FROM c0 GROUP BY blk
+         |        HAVING count(*) > $EntityBlockCap),
+         |c AS (SELECT * FROM c0 WHERE blk NOT IN (SELECT blk FROM hot))
+         |SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+         |       levenshtein(a.c_name, b.c_name) AS dist
+         |FROM c a JOIN c b USING (blk)
+         |WHERE a.c_custkey < b.c_custkey
+         |  AND levenshtein(a.c_name, b.c_name) <= 1
+         |ORDER BY custkey_a, custkey_b""".stripMargin,
     // the entity replay restricted to batch-touching pairs, re-keyed:
     // corpus matches point the batch key at the corpus key; in-batch
     // matches the later at the earlier (jp keeps ka < kb, so the later
     // is kb)
     "dedup_entity_incremental" ->
-      """WITH c AS (
-        |  SELECT c_custkey, c_name,
-        |         substring(c_name, 1, length(c_name) - 2) AS blk
-        |  FROM customer),
-        |jp AS (
+      s"""WITH c0 AS (
+         |  SELECT c_custkey, c_name,
+         |         substring(c_name, 1, length(c_name) - 2) AS blk
+         |  FROM customer),
+         |hot AS (SELECT blk FROM c0 GROUP BY blk
+         |        HAVING count(*) > $EntityBlockCap),
+         |c AS (SELECT * FROM c0 WHERE blk NOT IN (SELECT blk FROM hot)),
+         |jp AS (
         |  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
         |         levenshtein(a.c_name, b.c_name) AS dist
         |  FROM c a JOIN c b USING (blk)

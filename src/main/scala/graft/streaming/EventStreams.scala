@@ -628,20 +628,38 @@ object EventStreams {
     * in-stream duplicates are the batch operator's in-batch term,
     * exactly as in every other dual. StreamMlSpec pins stream matches
     * ≡ the batch admission operator's corpus rows on a planted
-    * fixture. */
-  def entityStreamAppend(records: DataFrame,
-      corpusIndex: DataFrame): DataFrame =
+    * fixture.
+    *
+    * HOT-BLOCK rule (the solo-record image of
+    * [[graft.operators.DedupQueries.EntityBlockCap]], same convention
+    * as [[spansStreamAppend]]'s verdicts): the arriving record's own
+    * row would enter the table with block frequency bf + 1, so the
+    * batch rule "grown bf > cap" reads here as "corpus bf ≥ cap" —
+    * exactly equivalent for a record not yet appended. The filter
+    * lives on the STATIC side (hot corpus blocks are removed from the
+    * probed index before the stream-static join), so a stream record
+    * in a hot block simply finds no partners — stateless, no stream-
+    * side aggregation. */
+  def entityStreamAppend(records: DataFrame, corpusIndex: DataFrame,
+      cap: Long = graft.operators.DedupQueries.EntityBlockCap): DataFrame = {
+    import graft.operators.{DedupQueries => D}
+    val blocked = D.entityBlocked(corpusIndex)
+    val safe = blocked.join(
+      broadcast(blocked.groupBy(col("blk")).agg(count(lit(1)).as("bf"))
+        .where(col("bf") >= cap).select(col("blk"))),
+      Seq("blk"), "left_anti")
     records
       .select(col("c_custkey").as("custkey"), col("c_name").as("na"),
         expr("substring(c_name, 1, length(c_name) - 2)").as("blk"))
-      .join(corpusIndex
+      .join(safe
         .select(col("c_custkey").as("match_id"), col("c_name").as("nb"),
-          expr("substring(c_name, 1, length(c_name) - 2)").as("blk")),
+          col("blk")),
         Seq("blk"))
       .where(col("custkey") =!= col("match_id"))
       .withColumn("dist", levenshtein(col("na"), col("nb"), 1))
       .where(col("dist") =!= -1)
       .select(col("custkey"), col("match_id"), col("dist"))
+  }
 
   /** Streaming EMBEDDING near-dup admission — the vector-space dual,
     * completing the streaming column for EVERY near-dup family (exact,

@@ -156,6 +156,44 @@ class PipelineSpec extends AnyFunSuite {
       s"entity blocking must plan as an equi-join:\n$plan")
   }
 
+  test("entity hot-block cap: over-cap blocks are excluded from the " +
+    "pairwise compare in the full AND incremental forms; under-cap " +
+    "blocks are untouched") {
+    import spark.implicits._
+    val D = operators.DedupQueries
+    // block "JohnSmith" (4 members, pairwise dist 1) crosses cap = 3
+    // → hot, excluded; block "AcmeCorp" (2 members, dist 1) survives
+    val cust = Seq(
+      1L -> "JohnSmith01", 2L -> "JohnSmith02", 3L -> "JohnSmith03",
+      4L -> "JohnSmith04", 6L -> "AcmeCorp01", 7L -> "AcmeCorp02")
+      .toDF("c_custkey", "c_name")
+    val capped = D.entityBlockOn(cust, cap = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((6L, 7L)), s"hot block leaked pairs: $capped")
+    // uncapped control: the hot block's quadratic expansion is real —
+    // C(4,2) = 6 pairs from the planted block alone
+    assert(D.entityBlockOn(cust, cap = Long.MaxValue).count() == 7L)
+    // incremental form: batch keys ≡ 0 mod 5. With cap = 4 the GROWN
+    // JohnSmith block (4 corpus + 1 batch = 5 > 4) is hot — batch
+    // record 5 reports nothing — while batch record 10 matches both
+    // AcmeCorp corpus rows (grown block 3 ≤ 4)
+    val grown = cust.union(Seq(5L -> "JohnSmith05", 10L -> "AcmeCorp03")
+      .toDF("c_custkey", "c_name"))
+    val inc = D.incrementalEntityBlockOn(grown, cap = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == Set((10L, 6L), (10L, 7L)), s"incremental cap: $inc")
+    // the hot set itself: exactly the planted block key
+    val hot = D.hotEntityBlocksOf(D.entityBlocked(grown), cap = 4L)
+      .collect().map(_.getString(0)).toSet
+    assert(hot == Set("JohnSmith"), s"hot block keys: $hot")
+    // the DEFAULT cap (1000) leaves the real sf fixture unchanged —
+    // the digit-suffix alphabet bounds genuine blocks at 100 — which
+    // is also what the blocked-vs-naive equality test above certifies
+    assert(D.entityBlockOn(Tables.customer(spark, sf)).count() ==
+      D.entityBlockOn(Tables.customer(spark, sf), cap = Long.MaxValue)
+        .count())
+  }
+
   test("LSH ANN recall@10 vs brute force is high on sf0.001") {
     val brute = operators.SimilarityQueries.simKnnBrute(spark, sf)
       .select("query_id", "vec_id").collect()

@@ -727,6 +727,47 @@ class StreamMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ENTITY admission hot-block cap: a corpus block at " +
+    "bf >= cap vanishes from the probed index — the solo-record image " +
+    "of the batch rule (grown bf > cap), pinned equal to the batch " +
+    "admission operator at the same cap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val D = operators.DedupQueries
+    // cap = 3: the HotName corpus block has bf = 3 ≥ 3 — an arriving
+    // record would grow it to 4 > 3, so both forms must silence it;
+    // the AcmeCorp block (bf = 1) stays live
+    val existing = Seq(1L -> "AcmeCorp01",
+      2L -> "HotName001", 3L -> "HotName002", 4L -> "HotName003")
+    val incoming = Seq(5L -> "AcmeCorp02", 10L -> "HotName004")
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.EventStreams.entityStreamAppend(
+        src.toDF.toDF("c_custkey", "c_name"),
+        existing.toDF("c_custkey", "c_name"), cap = 3L)
+      .writeStream.format("memory").queryName("entity_hot_sink")
+      .outputMode("append").start()
+    try {
+      src.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("entity_hot_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = D.incrementalEntityBlockOn(
+          (existing ++ incoming).toDF("c_custkey", "c_name"), cap = 3L)
+        .where($"match_src" === "corpus")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(batch == Set((5L, 1L, 1)),
+        s"batch rule must keep only the AcmeCorp match: $batch")
+      assert(got == batch, s"stream matches $got != batch $batch")
+      // uncapped control: the hot block's matches are real — the cap,
+      // not the fixture, is what silences them
+      assert(D.incrementalEntityBlockOn(
+          (existing ++ incoming).toDF("c_custkey", "c_name"),
+          cap = Long.MaxValue)
+        .where($"match_src" === "corpus").count() == 4L)
+    } finally q.stop()
+  }
+
   test("streaming EMBEDDING admission: in-flight row-local hyperplane " +
     "signatures probe the static emb_sigs postings; exact-cosine " +
     "verify reproduces the batch admission operator's corpus matches") {
