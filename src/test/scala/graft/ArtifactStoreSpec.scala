@@ -225,6 +225,110 @@ class ArtifactStoreSpec extends AnyFunSuite {
     tags.foreach(t => rmStore(ArtifactStore.childPathFor(parent, t)))
   }
 
+  test("streaming→store loop end-to-end: readStream → foreachBatch → " +
+    "delta append serves IDENTICALLY to the batch-ingest path; a " +
+    "concurrent batch writer holding the next micro-batch's delta lock " +
+    "kills the stream LOUDLY (no silent corruption); the released tag " +
+    "then lands exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def digests(df: DataFrame) =
+      df.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val base = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
+    val batch = Seq((5L, "gamma doc"), (10L, "alpha doc"))
+
+    // batch-ingest reference: one appendedCached call with both rows
+    val refPath =
+      "target/tmp/test_artifact_store/streamloop_ref_v1_aaaaaaaaaaaa"
+    rmStore(refPath); rmStore(ArtifactStore.childPathFor(refPath, "ing"))
+    val ref = ArtifactStore.appendedCached(spark, refPath, "ing")(
+        digests(base))(digests(batch.toDF("doc_id", "text")))
+      .orderBy(col("doc_id")).collect().toSeq
+
+    // streaming path: the PRODUCTION loop — each micro-batch appends
+    // its own tagged delta through the same single-writer store API
+    val strPath =
+      "target/tmp/test_artifact_store/streamloop_str_v1_bbbbbbbbbbbb"
+    rmStore(strPath)
+    for (t <- Seq("sb0", "sb1", "rb0"))
+      rmStore(ArtifactStore.childPathFor(strPath, t))
+    val ckpt = "target/tmp/test_artifact_store/streamloop_ckpt"
+    rmStore(ckpt)
+    ArtifactStore.cached(spark, strPath)(digests(base)) // initial build
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF.toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$ckpt/a")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        ArtifactStore.appendedCached(spark, strPath, s"sb$id")(
+          sys.error("stream ingest must never re-derive the base"))(
+          digests(b))
+        ()
+      }
+      .start()
+    try {
+      src.addData(batch.head)   // micro-batch 0 → delta sb0
+      q.processAllAvailable()
+      src.addData(batch(1))     // micro-batch 1 → delta sb1
+      q.processAllAvailable()
+    } finally q.stop()
+    // a fresh reader resolves base ∪ sb0 ∪ sb1 — row-for-row the
+    // batch-ingest path's frame (tags/deltas differ; the SERVED data
+    // must not)
+    def servedRows() = ArtifactStore.appendedCached(spark, strPath, "sb0")(
+        { fail("read must serve, not re-derive"); base })(
+        { fail("read must not re-sign a landed batch"); base })
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(servedRows() == ref,
+      "stream-ingested chain diverges from the batch-ingest path")
+
+    // single-writer under concurrent streaming + batch writers: a
+    // batch writer holds the delta lock of the tag the NEXT stream
+    // micro-batch will write → the stream's append must fail LOUDLY
+    // (the store contract: contention is an error, never a silent
+    // interleave), and the stream query surfaces it
+    val rbPath = ArtifactStore.childPathFor(strPath, "rb0")
+    new java.io.File(rbPath).mkdirs()
+    val lockPath = java.nio.file.Paths.get(s"$rbPath/_GRAFT_LOCK")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val fl = ch.tryLock()
+    assert(fl != null, "test could not take the delta lock")
+    val src2 = MemoryStream[(Long, String)]
+    val q2 = src2.toDF.toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$ckpt/b")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        ArtifactStore.appendedCached(spark, strPath, s"rb$id")(
+          sys.error("stream ingest must never re-derive the base"))(
+          digests(b))
+        ()
+      }
+      .start()
+    try {
+      src2.addData(15L -> "delta doc")
+      val ex = intercept[Throwable] { q2.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+      assert(chain(ex).exists(m => m != null && m.contains("concurrent writer")),
+        s"stream did not die on the contended lock: ${chain(ex)}")
+    } finally {
+      q2.stop()
+      fl.release(); ch.close()
+    }
+    assert(servedRows() == ref,
+      "a refused stream append must leave the chain untouched")
+    // after release the same tag lands exactly once via the batch API
+    ArtifactStore.appendedCached(spark, strPath, "rb0")(
+      sys.error("retry must not re-derive the base"))(
+      digests(Seq(15L -> "delta doc").toDF("doc_id", "text")))
+    val after = servedRows()
+    assert(after.size == ref.size + 1 &&
+      after.count(_.getLong(0) == 15L) == 1,
+      s"released tag did not land exactly-once: $after")
+  }
+
   test("single-writer guard: a HELD _GRAFT_LOCK (OS FileLock) makes a " +
     "rewrite FAIL LOUDLY; a crashed writer's orphan lock file (no held " +
     "lock) does not block at all; the lock is re-acquirable after a " +
