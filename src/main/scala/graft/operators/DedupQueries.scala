@@ -2000,6 +2000,30 @@ object DedupQueries {
       .orderBy(col("custkey"), col("match_src"), col("match_id"))
   }
 
+  /** `dedup_entity_hot_blocks`: the LOUD half of the [[EntityBlockCap]]
+    * rule — the degenerate entity clusters the cap excluded from
+    * pairwise linkage, as a first-class queryable report (blk, bf)
+    * rather than a silent absence: a production pipeline routes these
+    * to default-name handling / manual review instead of pair
+    * expansion (a 10⁶-member block is ONE report row here vs 5·10¹¹
+    * pair rows uncapped). One aggregate over the blocked dim — no
+    * join at all. Empty at every test SF (real blocks are digit-
+    * suffix bounded at 100 ≤ cap) — the planted-fixture spec and the
+    * SCALE10 `entity_hot` rehearsal exercise the non-empty path; the
+    * oracle replays the same HAVING rule, so the contract is pinned
+    * even at zero rows (the mm_dedup_phash precedent). */
+  val dedupEntityHotBlocks: Q = (spark, dir) =>
+    hotEntityBlockReportOn(Tables.customer(spark, dir))
+
+  /** [[dedupEntityHotBlocks]] over an explicit customer frame — the
+    * planted-fixture spec form. */
+  private[graft] def hotEntityBlockReportOn(customer: DataFrame,
+      cap: Long = EntityBlockCap): DataFrame =
+    entityBlocked(customer)
+      .groupBy(col("blk")).agg(count(lit(1)).as("bf"))
+      .where(col("bf") > cap)
+      .orderBy(col("blk"))
+
   /** Containment threshold for [[dedupContainment]]. */
   val ContainT = 0.8
 
@@ -2430,6 +2454,7 @@ object DedupQueries {
     "dedup_components_incremental" -> dedupComponentsIncremental,
     "dedup_entity_block"  -> dedupEntityBlock,
     "dedup_entity_incremental" -> dedupEntityIncremental,
+    "dedup_entity_hot_blocks" -> dedupEntityHotBlocks,
     "pipe_corpus_clean"   -> pipeCorpusClean,
     "pipe_corpus_clean_incremental" -> pipeCorpusCleanIncremental,
     "pipe_admit_full"     -> pipeAdmitFull,
@@ -2813,6 +2838,12 @@ object DedupQueries {
          |WHERE a.c_custkey < b.c_custkey
          |  AND levenshtein(a.c_name, b.c_name) <= 1
          |ORDER BY custkey_a, custkey_b""".stripMargin,
+    "dedup_entity_hot_blocks" ->
+      s"""SELECT substring(c_name, 1, length(c_name) - 2) AS blk,
+         |       count(*) AS bf
+         |FROM customer
+         |GROUP BY 1 HAVING count(*) > $EntityBlockCap
+         |ORDER BY blk""".stripMargin,
     // the entity replay restricted to batch-touching pairs, re-keyed:
     // corpus matches point the batch key at the corpus key; in-batch
     // matches the later at the earlier (jp keeps ka < kb, so the later

@@ -186,6 +186,13 @@ class PipelineSpec extends AnyFunSuite {
     val hot = D.hotEntityBlocksOf(D.entityBlocked(grown), cap = 4L)
       .collect().map(_.getString(0)).toSet
     assert(hot == Set("JohnSmith"), s"hot block keys: $hot")
+    // the LOUD half: the hot-blocks report carries (blk, bf) for
+    // exactly the excluded clusters, and is empty at the default cap
+    val report = D.hotEntityBlockReportOn(grown, cap = 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(report == Seq(("JohnSmith", 5L)), s"hot report: $report")
+    assert(D.hotEntityBlockReportOn(Tables.customer(spark, sf)).count() == 0,
+      "real test-SF data must report no hot blocks at the default cap")
     // the DEFAULT cap (1000) leaves the real sf fixture unchanged —
     // the digit-suffix alphabet bounds genuine blocks at 100 — which
     // is also what the blocked-vs-naive equality test above certifies
