@@ -71,7 +71,13 @@ class CoreQueriesSpec extends AnyFunSuite {
     // hash-verified against the oracle's full DCT replay, and
     // JoinWindowSpec's planted-fixture tests prove the operator finds
     // near-dups when they exist. Everything else must return rows.
-    val emptyOkAtTinySf = Set("mm_dedup_phash", "mm_dedup_phash_incremental")
+    // dedup_entity_hot_blocks joins them (round 16): customer blocks
+    // are digit-suffix bounded at 100 ≤ EntityBlockCap at EVERY test
+    // SF, so an empty hot report IS the correct answer — hash-verified
+    // against the oracle's HAVING replay, with the non-empty path
+    // pinned by PipelineSpec's planted fixture and SCALE10 entity_hot.
+    val emptyOkAtTinySf = Set("mm_dedup_phash", "mm_dedup_phash_incremental",
+      "dedup_entity_hot_blocks")
     SparkEntry.queries.foreach { case (name, q) =>
       val df = q(spark, sf)
       assert(df.columns.nonEmpty, s"$name has no columns")
