@@ -137,7 +137,13 @@ object ScaleRehearsal {
       SimilarityQueries => S}
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
+    // ×30 is the default ceiling for the NON-adaptive family grid (the
+    // adaptive pigeonhole families rehearse to ×100 below): the grid
+    // includes pipe_semdedup_fixed_k, the DELIBERATE quadratic-hazard
+    // demo (fixed k ⇒ candidates ∝ n² — ~184M pairs at ×30, ~2×10⁹ at
+    // ×100), so one more decade on the full grid would spend its
+    // runtime demonstrating a hazard the ×30 point already proves.
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10,30")
       .split(",").map(_.trim.toInt).toSeq
     // The two ADAPTIVE-pigeonhole families additionally rehearse (a)
     // both sides of the 2→3-level switch (ThirdLevelMinDocs = 20k docs
