@@ -487,6 +487,52 @@ object ArtifactStore {
           java.nio.file.Paths.get(s"$path/_GRAFT_OK"))) None
     else stateOf(path).map(s => spark.read.parquet(s"$path/${s.data}"))
 
+  /** The ingest batch's OWN delta dir of the chain at `parentPath`, as
+    * a frame — the UPSTREAM-DELTA read (round-17, the r16 `weak`'s
+    * prescribed fix): a DOWNSTREAM store deriving its ingest delta, and
+    * an admission probe selecting its batch side, can read the batch's
+    * already-isolated rows from the upstream chain's delta dir — an
+    * O(batch) parquet read — instead of filtering the RESOLVED chain,
+    * which re-scans the whole base corpus because a batch predicate
+    * like `pmod(doc_id, 5) = 0` prunes nothing in parquet (SCALE10
+    * admit_ingest measured exactly this as the two O(corpus) warm
+    * ingest terms, simhash_chunks 1.9→5.7 s across ×1→×100). None when
+    * the delta is absent, incomplete, lineage-orphaned, already FOLDED
+    * into the base (the isolated rows no longer exist as files), or
+    * the cache is off — callers fall back to the chain filter, which
+    * is row-identical: chain = base [!batch] ∪ delta [batch], so the
+    * batch predicate selects exactly the delta's rows
+    * (ArtifactStoreSpec pins the equivalence per consumer). */
+  def deltaFrame(spark: SparkSession, parentPath: String,
+      batchTag: String): Option[DataFrame] = {
+    val child = childPathFor(parentPath, batchTag)
+    if (foldedTags(parentPath).contains(batchTag) ||
+        !parentPointer(child).contains(new java.io.File(parentPath).getName))
+      None
+    else load(spark, child)
+  }
+
+  /** The resolved chain at `parentPath` EXCLUDING `excludeTag`'s delta
+    * — the PRE-BATCH image an ingest-time check reads (the ngram_df
+    * crossing check probes the corpus document-frequency table AS OF
+    * before this batch; reading the chain as-is would double-count a
+    * batch whose df delta already landed, e.g. on a crash-replay
+    * between the df append and the fpostings append). None when the
+    * base is unloadable or when the excluded tag was already FOLDED
+    * into the base — the pre-batch image no longer exists as files and
+    * the caller must fall back to its direct derivation. */
+  def chainWithoutTag(spark: SparkSession, parentPath: String,
+      excludeTag: String): Option[DataFrame] =
+    if (foldedTags(parentPath).contains(excludeTag)) None
+    else load(spark, parentPath).map { base =>
+      val parentName = new java.io.File(parentPath).getName
+      deltasOf(parentPath)
+        .filter(d => tagOf(parentName, new java.io.File(d).getName)
+          != excludeTag)
+        .foldLeft(base)((acc, d) =>
+          acc.unionByName(spark.read.parquet(dataPath(d))))
+    }
+
   /** Load-or-derive: serve the persisted artifact when present, else
     * derive, save, and serve the RELOADED copy — the first and every
     * later run read the same physical parquet. With the cache disabled

@@ -82,11 +82,14 @@ object DedupQueries {
     * IN-FLIGHT — it is exactly what is being signed — and only digests
     * transit the shuffle either way. */
   val dedupIncremental: Q = (spark, dir) => {
-    val docs = Tables.documents(spark, dir)
+    // both sides are store reads (round-17): the batch's digests are
+    // its own delta dir — the rows THIS ingest appended — so the
+    // admission verdict re-scans no text at all (the signing pass ran
+    // inside digestStore's append); the fallback re-digests in-flight
+    val dg = digestStore(spark, dir)
     incrementalOfDigests(
-      docs.where(isIngestBatch)
-        .select(col("doc_id"), md5(col("text")).as("text_hash")),
-      digestStore(spark, dir).where(!isIngestBatch))
+      storeBatchSide(spark, digestStorePath(dir), dg),
+      dg.where(!isIngestBatch))
   }
 
   /** The corpus's content-digest set as a MAINTAINED, APPENDED
@@ -98,12 +101,15 @@ object DedupQueries {
     * deterministic and row-local, so append(store(base), batch) ≡
     * derive(base ∪ batch) holds row-for-row and the oracle replay is
     * unaffected by which path served the frame. */
+  private[graft] def digestStorePath(dir: String): String =
+    ArtifactStore.pathFor("text_digests", dir, "documents.parquet", "md5")
+
   private[graft] def digestStore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     def digestsOf(d: DataFrame) =
       d.select(col("doc_id"), md5(col("text")).as("text_hash"))
     ArtifactStore.appendedCached(spark,
-      ArtifactStore.pathFor("text_digests", dir, "documents.parquet", "md5"),
+      digestStorePath(dir),
       IngestBatchTag)(
       digestsOf(docs.where(!isIngestBatch)))(
       digestsOf(docs.where(isIngestBatch)))
@@ -394,9 +400,41 @@ object DedupQueries {
   private[graft] def ngramFilteredStore(spark: SparkSession,
       dir: String): DataFrame = {
     val inv = ngramPostingStore(spark, dir)
+    // batch side from the posting chain's own delta dir (round-17:
+    // the mod-5 filter on the resolved chain re-read the whole base
+    // posting store per ingest), crossing check against the maintained
+    // df table instead of a per-ingest corpus aggregation
     ngramFilteredMaintainedAppend(spark, ngramFilteredStorePath(dir),
-      inv.where(!isIngestBatch), inv.where(isIngestBatch), IngestBatchTag)
+      inv.where(!isIngestBatch),
+      storeBatchSide(spark, ngramPostingStorePath(dir), inv),
+      IngestBatchTag, dfStorePath = Some(ngramDfStorePath(dir)))
   }
+
+  /** Path of the corpus's maintained raw-shingle DOCUMENT-FREQUENCY
+    * table — the third maintained parameter artifact of the ngram
+    * family (after the hot set embodied in the filtered chain and the
+    * posting chain itself; round-17, the r16 `weak`'s second named
+    * term): the fpostings crossing check needs each batch shingle's
+    * BASE-corpus df, and before this table existed it re-aggregated
+    * the whole posting chain per ingest (SCALE10: 2.2→3.5 s across
+    * ×1→×100). Layout: PARTIAL (shingle, df) rows — base = the df
+    * aggregate at build time, each ingest appends the BATCH's own df
+    * partial (an O(batch) aggregation) — and readers groupBy-sum,
+    * because an append-only chain cannot rewrite base rows and df is
+    * additive over disjoint doc sets (which also makes compaction's
+    * union fold sum-preserving). Distinct shingles grow far slower
+    * than postings (df ≥ 1 de-duplicates the corpus's repeated
+    * content), so the check's probe scans a table that is both
+    * smaller and 2 thin columns. */
+  private[graft] def ngramDfStorePath(dir: String): String =
+    ArtifactStore.pathFor("ngram_df", dir, "documents.parquet",
+      s"w3b100df$NgramDfCap")
+
+  /** PARTIAL df rows of one posting frame: (shingle, df). Chain
+    * consumers MUST aggregate (groupBy-sum) — see
+    * [[ngramDfStorePath]]. */
+  private[graft] def dfPartialOf(inv: DataFrame): DataFrame =
+    inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
 
   /** Batch-side rows of the maintained filtered chain: the batch's raw
     * postings with `hot` shingles removed and per-doc sizes recomputed
@@ -448,7 +486,8 @@ object DedupQueries {
     * against the live full derivation. */
   private[graft] def ngramFilteredMaintainedAppend(spark: SparkSession,
       path: String, baseInv: DataFrame, batchInv: DataFrame,
-      batchTag: String, cap: Long = NgramDfCap): DataFrame = {
+      batchTag: String, cap: Long = NgramDfCap,
+      dfStorePath: Option[String] = None): DataFrame = {
     val chained = ArtifactStore.foldedTags(path).contains(batchTag) ||
       ArtifactStore.load(spark,
         ArtifactStore.childPathFor(path, batchTag)).isDefined
@@ -462,9 +501,34 @@ object DedupQueries {
         // feeds both the crossing test and the append's anti-join.
         val dfB = batchInv.groupBy(col("shingle"))
           .agg(count(lit(1)).as("df_b"))
-        val dfA = baseInv
+        // base-side df per batch shingle: from the maintained df
+        // table when wired (round-17 — the pre-batch chain image,
+        // [[graft.ArtifactStore.chainWithoutTag]], summed over its
+        // partials), else the direct aggregation of the base posting
+        // frame (the original form — the spec's equivalence baseline
+        // and the no-store fallback). The df store's base partial is
+        // built once here if absent (the one-time O(corpus) cold
+        // build, same moment the fpostings base itself was built).
+        val dfA = dfStorePath.flatMap { dp =>
+          ArtifactStore.cached(spark, dp)(dfPartialOf(baseInv))
+          ArtifactStore.chainWithoutTag(spark, dp, batchTag)
+        }.map { dfChain =>
+          dfChain
+            .join(dfB.select(col("shingle")), Seq("shingle"), "left_semi")
+            .groupBy(col("shingle")).agg(sum(col("df")).as("df_a"))
+        }.getOrElse(baseInv
           .join(dfB.select(col("shingle")), Seq("shingle"), "left_semi")
-          .groupBy(col("shingle")).agg(count(lit(1)).as("df_a"))
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df_a")))
+        // maintain the df table BEFORE branching: the batch's own
+        // partial appends on both arms (df is raw — independent of
+        // the hot set, so an fpostings rebuild does not invalidate
+        // it), and appending first makes a crash-replay safe — the
+        // check above excludes this tag's delta explicitly.
+        dfStorePath.foreach { dp =>
+          ArtifactStore.appendedCached(spark, dp, batchTag)(
+            dfPartialOf(baseInv))(
+            dfB.select(col("shingle"), col("df_b").as("df")))
+        }
         val hotB = dfB.join(dfA, Seq("shingle"), "left")
           .select(col("shingle"), col("df_b"),
             coalesce(col("df_a"), lit(0L)).as("df_a"))
@@ -503,7 +567,7 @@ object DedupQueries {
         // deterministic pre-ingest fact), then take the ingest step
         ArtifactStore.save(dfFilteredPostings(baseInv, cap), path)
         ngramFilteredMaintainedAppend(spark, path, baseInv, batchInv,
-          batchTag, cap)
+          batchTag, cap, dfStorePath)
       case None =>
         // cache off / uncacheable path: the live full derivation
         dfFilteredPostings(baseInv.unionByName(batchInv), cap)
@@ -582,6 +646,23 @@ object DedupQueries {
 
   /** Store tag of the ingest batch's delta artifacts. */
   private[graft] val IngestBatchTag = "ingest5"
+
+  /** The ingest batch's rows of the chain at `path`: the batch's OWN
+    * delta dir when it exists ([[graft.ArtifactStore.deltaFrame]] — an
+    * O(batch) parquet read), else `chain` filtered by
+    * [[isIngestBatch]] — row-identical (the chain is base [!batch] ∪
+    * delta [batch]), but an O(corpus) scan, since the mod-5 predicate
+    * prunes nothing in parquet. Every store-served incremental
+    * consumer's BATCH side routes through here (round-17: the r16
+    * SCALE10 decomposition showed warm ingest paying one full-chain
+    * read per downstream store and per admission probe for rows the
+    * upstream delta dir already isolates); the fallback covers
+    * cache-off runs, rebuild-folded tags, and fresh (non-store)
+    * frames. */
+  private[graft] def storeBatchSide(spark: SparkSession, path: String,
+      chain: DataFrame): DataFrame =
+    ArtifactStore.deltaFrame(spark, path, IngestBatchTag)
+      .getOrElse(chain.where(isIngestBatch))
 
   /** The corpus's replayable shingle sets as a MAINTAINED, APPENDED
     * ARTIFACT — the root of the "one signature pass per corpus
@@ -695,7 +776,11 @@ object DedupQueries {
       "documents.parquet", s"h${NumHashes}b$Bands")
     ArtifactStore.appendedCached(spark, basePath, IngestBatchTag)(
       minhashBandsOfShingles(sh.where(!isIngestBatch)))(
-      minhashBandsOfShingles(sh.where(isIngestBatch)))
+      // batch side from the shingle chain's OWN delta dir (round-17):
+      // the batch's shingles are already isolated there, so signing
+      // the batch reads O(batch), not the whole chain
+      minhashBandsOfShingles(storeBatchSide(spark, shingleStorePath(dir),
+        sh)))
   }
 
   /** Candidate generation over an explicit band-posting frame. */
@@ -1132,18 +1217,26 @@ object DedupQueries {
     * exact-recall anyway. None when store metadata is unavailable
     * (cache disabled / unfingerprintable source): callers fall back to
     * the lazy adaptive probe over the fresh frame. */
+  private[graft] def simhashChunkStorePath(dir: String): String =
+    ArtifactStore.pathFor("simhash_chunks", dir, "documents.parquet", "v1")
+
   private[graft] def simhashChunkStore(spark: SparkSession,
       dir: String): Option[DataFrame] = {
     val sh = shingleStore(spark, dir) // materializes chain + metadata
     ArtifactStore.storedRowCount(shingleStorePath(dir)).map { n =>
       val level = pigeonholeLevelsFor(n)
-      ArtifactStore.appendedCached(spark,
-        ArtifactStore.pathFor("simhash_chunks", dir, "documents.parquet",
-          "v1"),
+      ArtifactStore.appendedCached(spark, simhashChunkStorePath(dir),
         IngestBatchTag)(
         chunksAtLevel(simhashesOfShingles(sh.where(!isIngestBatch)),
           "simhash", level))(
-        chunksAtLevel(simhashesOfShingles(sh.where(isIngestBatch)),
+        // batch side from the shingle chain's OWN delta dir — the r16
+        // `weak`'s first named term (SCALE10: 1.9→5.7 s across
+        // ×1→×100 for this one derivation, because the mod-5 filter
+        // on the resolved chain re-read every base shingle per
+        // ingest); the delta dir holds exactly the batch's rows, so
+        // signing is O(batch)
+        chunksAtLevel(simhashesOfShingles(
+          storeBatchSide(spark, shingleStorePath(dir), sh)),
           "simhash", level))
     }
   }
@@ -1213,8 +1306,14 @@ object DedupQueries {
     * votes and blocks at level 1 — level-invisible by the exact-recall
     * superset + hamming-filter argument the full query already relies
     * on. */
-  val dedupSimhashIncremental: Q = (spark, dir) =>
-    incrementalSimhashOfChunks(simhashChunksStored(spark, dir))
+  val dedupSimhashIncremental: Q = (spark, dir) => {
+    val chunks = simhashChunksStored(spark, dir)
+    // probe side from the chunk store's OWN delta dir (round-17):
+    // only the existing-corpus side still scans the chain — that read
+    // IS the index probe; the batch side is an O(batch) delta read
+    incrementalHammingOfChunks(chunks.where(!isIngestBatch),
+      storeBatchSide(spark, simhashChunkStorePath(dir), chunks), "simhash")
+  }
 
   /** Core of [[dedupSimhashIncremental]] over an explicit posting
     * frame. */
@@ -1228,9 +1327,15 @@ object DedupQueries {
     * the in-batch postings, candidates are exact-hamming verified, and
     * in-batch matches point the LATER doc at the earlier one. */
   private[graft] def incrementalHammingOfChunks(chunks: DataFrame,
-      hashCol: String): DataFrame = {
-    val inC = chunks.where(isIngestBatch)
-    val exC = chunks.where(!isIngestBatch)
+      hashCol: String): DataFrame =
+    incrementalHammingOfChunks(chunks.where(!isIngestBatch),
+      chunks.where(isIngestBatch), hashCol)
+
+  /** [[incrementalHammingOfChunks]] with the existing/batch split
+    * supplied by the caller — the form store-served consumers use to
+    * read the batch side from the chain's own delta dir. */
+  private[graft] def incrementalHammingOfChunks(exC: DataFrame,
+      inC: DataFrame, hashCol: String): DataFrame = {
     def ham = bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol")))
     val cross = inC.as("a").join(exC.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
@@ -1365,10 +1470,13 @@ object DedupQueries {
     * dedup_components_incremental, and the incremental funnel/keeper
     * consumers. Zero text reads when the stores are warm. */
   private[graft] def mergedComponentLabels(spark: SparkSession,
-      dir: String): DataFrame =
+      dir: String): DataFrame = {
+    val inv = ngramFilteredStore(spark, dir)
     incrementalComponentsOf(baseComponentLabels(spark, dir),
-      ngramJaccardTouchingOfPostings(ngramFilteredStore(spark, dir))
+      ngramJaccardTouchingOfPostings(inv,
+        storeBatchSide(spark, ngramFilteredStorePath(dir), inv))
         .select(col("doc_a"), col("doc_b")))
+  }
 
   /** Full-corpus labels via the quotient merge over the shared base
     * artifact + the batch's touching edges — spec-pinned identical to
@@ -1411,7 +1519,14 @@ object DedupQueries {
     * anywhere in the incremental funnel is the batch's own rows for
     * lang/quality flags. */
   private[graft] def ngramJaccardTouchingOfPostings(inv: DataFrame): DataFrame =
-    ngramTouchingCandidatesOfPostings(inv)
+    ngramJaccardTouchingOfPostings(inv, inv.where(isIngestBatch))
+
+  /** [[ngramJaccardTouchingOfPostings]] with the probe (batch) side
+    * supplied by the caller — the form store-served consumers use to
+    * read it from the filtered chain's own delta dir (round-17). */
+  private[graft] def ngramJaccardTouchingOfPostings(inv: DataFrame,
+      batchInv: DataFrame): DataFrame =
+    ngramTouchingCandidatesOfPostings(inv, batchInv)
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_common"))).as("jaccard"))
@@ -1421,8 +1536,14 @@ object DedupQueries {
     * whose cardinality the admission rehearsal measures per scale
     * (one row per batch-touching doc pair sharing ≥ 1 surviving
     * shingle within ±1 length bucket, intersection pre-aggregated). */
-  private[graft] def ngramTouchingCandidatesOfPostings(inv: DataFrame): DataFrame = {
-    val probes = inv.where(isIngestBatch)
+  private[graft] def ngramTouchingCandidatesOfPostings(inv: DataFrame): DataFrame =
+    ngramTouchingCandidatesOfPostings(inv, inv.where(isIngestBatch))
+
+  /** [[ngramTouchingCandidatesOfPostings]] with an explicit probe
+    * (batch) frame. */
+  private[graft] def ngramTouchingCandidatesOfPostings(inv: DataFrame,
+      batchInv: DataFrame): DataFrame = {
+    val probes = batchInv
       .select(col("doc_id"), col("sz"), col("shingle"),
         explode(array(col("len_bucket") - 1, col("len_bucket"),
           col("len_bucket") + 1)).as("probe_bucket"))
@@ -1457,9 +1578,12 @@ object DedupQueries {
     * consumers of the same edge frame). FULLY oracled: the
     * dedup_ngram_jaccard replay restricted to pairs touching the
     * batch, with the same direction mapping. */
-  val dedupNgramIncremental: Q = (spark, dir) =>
+  val dedupNgramIncremental: Q = (spark, dir) => {
+    val inv = ngramFilteredStore(spark, dir)
     incrementalNgramOfEdges(
-      ngramJaccardTouchingOfPostings(ngramFilteredStore(spark, dir)))
+      ngramJaccardTouchingOfPostings(inv,
+        storeBatchSide(spark, ngramFilteredStorePath(dir), inv)))
+  }
 
   /** Direction re-keying of [[dedupNgramIncremental]] over a
     * normalized (doc_a < doc_b, jaccard) touching-edge frame; also the
@@ -2426,7 +2550,10 @@ object DedupQueries {
     * restriction), so the SAME replay oracles it with a mod-5 filter. */
   val dedupSpansIncremental: Q = (spark, dir) => {
     val win = spanAnchorStore(spark, dir)
-    spansProfileOf(win.where(isIngestBatch), win, SpanDfCap)
+    // probe side from the anchor chain's own delta dir (round-17);
+    // the df side (`all`) is the whole chain — that pass IS the query
+    spansProfileOf(storeBatchSide(spark, spanAnchorStorePath(dir), win),
+      win, SpanDfCap)
   }
 
   /** [[dedupSpansIncremental]] over an explicit documents frame (no

@@ -585,16 +585,29 @@ object SimilarityQueries {
     graft.functions.VectorExpressions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-    incrementalEmbOfSigs(embSigsStored(spark, dir), emb)
+    val sigs = embSigsStored(spark, dir)
+    // probe side from the signature chain's own delta dir (round-17):
+    // a width-boundary rebuild folds the tag, in which case the
+    // filter fallback applies — row-identical either way
+    incrementalEmbOfSigs(sigs.where(!isIngestBatchVec),
+      ArtifactStore.deltaFrame(spark, embSigStorePath(dir),
+        DedupQueries.IngestBatchTag)
+        .getOrElse(sigs.where(isIngestBatchVec)),
+      emb)
   }
 
   /** Core of [[dedupEmbIncremental]] over explicit posting + vector
     * frames — the planted-fixture spec form. */
   private[graft] def incrementalEmbOfSigs(sigs: DataFrame,
-      emb: DataFrame): DataFrame = {
+      emb: DataFrame): DataFrame =
+    incrementalEmbOfSigs(sigs.where(!isIngestBatchVec),
+      sigs.where(isIngestBatchVec), emb)
+
+  /** [[incrementalEmbOfSigs]] with the existing/batch split supplied
+    * by the caller. */
+  private[graft] def incrementalEmbOfSigs(exS: DataFrame,
+      inS: DataFrame, emb: DataFrame): DataFrame = {
     import graft.functions.VectorExpressions.cosine_similarity
-    val inS = sigs.where(isIngestBatchVec)
-    val exS = sigs.where(!isIngestBatchVec)
     val onKeys = col("a.table_id") === col("b.table_id") &&
       col("a.sig") === col("b.sig")
     val cross = inS.as("a").join(exS.as("b"), onKeys)

@@ -1116,4 +1116,144 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(fresh.forall { case (d, c) => c <= d },
       "min-label property violated through the store")
   }
+
+  test("ngram_df maintained chain (round-17): the crossing check probes " +
+    "the df store and decides/serves identically to the direct base " +
+    "aggregation on both arms; summed partials == the raw full df; df " +
+    "accumulated ACROSS batches (base + prior deltas) triggers the " +
+    "rebuild exactly when the direct form would") {
+    import spark.implicits._
+    val D = operators.DedupQueries
+    val root = "target/tmp/test_artifact_store"
+    val cap = 2L
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    def inv(rows: (Long, Long)*) =
+      rows.toDF("doc_id", "shingle").select(col("doc_id"),
+        lit(0).as("len_bucket"), count(lit(1)).over(w).as("sz"),
+        col("shingle"))
+    def sortAll(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id"), col("shingle")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    def dfTotals(chain: org.apache.spark.sql.DataFrame) =
+      chain.groupBy(col("shingle")).agg(sum(col("df")).as("df"))
+        .orderBy(col("shingle")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def rawDf(inv: org.apache.spark.sql.DataFrame) =
+      inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .orderBy(col("shingle")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val base = inv(1L -> 100L, 1L -> 11L, 1L -> 12L,
+      2L -> 100L, 2L -> 21L, 3L -> 31L, 3L -> 32L, 3L -> 33L)
+    val tags = Seq("ingestT", "ingestU", "ingestV")
+
+    // arm 1: fresh-shingle batch — append, df chain gains the batch's
+    // partial, and the PRE-BATCH image (chainWithoutTag) is the base df
+    val pA = s"$root/fpostDfA_src_m2_aaaaaaaaaaaa"
+    val dp = s"$root/fpostDfA_df_src_aaaaaaaaaaaa"
+    Seq(pA, dp).foreach { p =>
+      rmStore(p); tags.foreach(t => rmStore(ArtifactStore.childPathFor(p, t)))
+    }
+    val batchA = inv(5L -> 51L, 5L -> 52L)
+    val servedA = D.ngramFilteredMaintainedAppend(spark, pA, base, batchA,
+      "ingestT", cap, dfStorePath = Some(dp))
+    assert(sortAll(servedA) ==
+      sortAll(D.dfFilteredPostings(base.unionByName(batchA), cap)),
+      "df-store-probed append arm diverged from the live full derivation")
+    assert(new java.io.File(
+        s"${ArtifactStore.childPathFor(dp, "ingestT")}/_GRAFT_OK").exists,
+      "batch df partial not appended to the df chain")
+    assert(dfTotals(ArtifactStore.chainWithoutTag(spark, dp, "__none__").get)
+        == rawDf(base.unionByName(batchA)),
+      "df chain's summed partials != the raw full df")
+    assert(dfTotals(ArtifactStore.chainWithoutTag(spark, dp, "ingestT").get)
+        == rawDf(base),
+      "pre-batch df image (chainWithoutTag) != the base-only df")
+
+    // arm 2: accumulation — batch 2 keeps 51 at df = cap (strict >),
+    // batch 3 pushes it over ONLY because the two prior partials count:
+    // df_a must be summed across base + prior deltas for the rebuild
+    // to fire exactly when the direct aggregation's would
+    val batchC = inv(15L -> 51L, 15L -> 61L)
+    val servedC = D.ngramFilteredMaintainedAppend(spark, pA,
+      base.unionByName(batchA), batchC, "ingestU", cap,
+      dfStorePath = Some(dp))
+    assert(sortAll(servedC) == sortAll(D.dfFilteredPostings(
+      base.unionByName(batchA).unionByName(batchC), cap)),
+      "second df-store-probed append diverged from the live derivation")
+    assert(!ArtifactStore.foldedTags(pA).contains("ingestU"),
+      "df = cap batch must append (strict > rule), not rebuild")
+    val batchD = inv(20L -> 51L, 20L -> 71L)
+    val servedD = D.ngramFilteredMaintainedAppend(spark, pA,
+      base.unionByName(batchA).unionByName(batchC), batchD, "ingestV",
+      cap, dfStorePath = Some(dp))
+    val liveD = D.dfFilteredPostings(base.unionByName(batchA)
+      .unionByName(batchC).unionByName(batchD), cap)
+    assert(sortAll(servedD) == sortAll(liveD),
+      "cross-batch-accumulated crossing: rebuild diverged from live")
+    assert(sortAll(servedD).forall(_._4 != 51L),
+      "shingle crossing via accumulated partials survived the rebuild")
+    assert(ArtifactStore.foldedTags(pA)
+        == Set("ingestT", "ingestU", "ingestV"),
+      "rebuild must fold every chained tag plus the crossing batch's")
+    // the df chain is RAW df — an fpostings rebuild must not fold it
+    assert(ArtifactStore.foldedTags(dp).isEmpty,
+      "fpostings rebuild folded the df chain (raw df is hot-set-free)")
+    assert(dfTotals(ArtifactStore.chainWithoutTag(spark, dp, "__none__").get)
+        == rawDf(base.unionByName(batchA).unionByName(batchC)
+          .unionByName(batchD)),
+      "df chain after three ingests != the raw full df")
+    Seq(pA, dp).foreach { p =>
+      tags.foreach(t => rmStore(ArtifactStore.childPathFor(p, t)))
+      rmStore(p)
+    }
+  }
+
+  test("upstream delta dir == resolved chain filtered to batch rows, " +
+    "for EVERY production chain (round-17: the O(batch) ingest read " +
+    "every downstream derivation and admission probe now takes)") {
+    val D = operators.DedupQueries
+    val S = operators.SimilarityQueries
+    // clear the fpost + df chains so the ingest step (the only writer
+    // of ngram_df) runs even on a warm store root
+    Seq(D.ngramFilteredStorePath(sf), D.ngramDfStorePath(sf)).foreach { p =>
+      rmStore(ArtifactStore.childPathFor(p, D.IngestBatchTag)); rmStore(p)
+    }
+    // warm every chain the admission battery and the minhash family use
+    D.pipeAdmitFull(spark, sf).count()
+    D.minhashBands(spark, sf).count()
+    val docKeyed = Seq(
+      "text_digests" -> D.digestStorePath(sf),
+      "ngram_postings" -> D.ngramPostingStorePath(sf),
+      "ngram_fpostings" -> D.ngramFilteredStorePath(sf),
+      "shingles_md5" -> D.shingleStorePath(sf),
+      "span_anchors" -> D.spanAnchorStorePath(sf),
+      "simhash_chunks" -> D.simhashChunkStorePath(sf),
+      "minhash_bands" -> ArtifactStore.pathFor("minhash_bands", sf,
+        "documents.parquet", s"h${D.NumHashes}b${D.Bands}"))
+    def assertDeltaEq(name: String, p: String, idCol: String): Unit = {
+      val delta = ArtifactStore.deltaFrame(spark, p, D.IngestBatchTag)
+      assert(delta.isDefined, s"$name: batch delta dir not servable")
+      val chainBatch = ArtifactStore.chainWithoutTag(spark, p, "__none__")
+        .get.where(pmod(col(idCol), lit(5)) === 0)
+        .select(delta.get.columns.map(col): _*)
+      assert(delta.get.exceptAll(chainBatch).isEmpty &&
+        chainBatch.exceptAll(delta.get).isEmpty,
+        s"$name: delta dir rows != chain filtered to batch rows")
+    }
+    docKeyed.foreach { case (n, p) => assertDeltaEq(n, p, "doc_id") }
+    assertDeltaEq("emb_sigs", S.embSigStorePath(sf), "vec_id")
+    // ngram_df's delta is a df PARTIAL (shingle-keyed): it must equal
+    // the df aggregate of the posting chain's own delta
+    val dfDelta = ArtifactStore.deltaFrame(spark, D.ngramDfStorePath(sf),
+      D.IngestBatchTag)
+    assert(dfDelta.isDefined, "ngram_df: batch partial not servable")
+    val postDelta = ArtifactStore.deltaFrame(spark,
+      D.ngramPostingStorePath(sf), D.IngestBatchTag).get
+    val expected = D.dfPartialOf(postDelta)
+      .select(dfDelta.get.columns.map(col): _*)
+    assert(dfDelta.get.exceptAll(expected).isEmpty &&
+      expected.exceptAll(dfDelta.get).isEmpty,
+      "ngram_df delta != df partial of the posting chain's delta")
+  }
 }
