@@ -164,7 +164,13 @@ object Bench {
     val thermSpread =
       if (thermSeq.isEmpty || thermSeq.min == 0) -1.0
       else (thermSeq.max - thermSeq.min) / thermSeq.min
-    val thermFields = f""","thermometer":{"t_start":$thermStart%.3f,"t_mid":$thermMid%.3f,"t_end":$thermEnd%.3f,"spread":$thermSpread%.3f}"""
+    // an unmeasured mid-probe (empty SPARK_GRAFT_ONLY set never
+    // reaches the midpoint) is emitted as null, not the -1.0 sentinel
+    // — downstream tooling must not need a sentinel convention to
+    // tell "not measured" from a reading (r16 advice)
+    val thermMidField =
+      if (thermMid > 0) f"$thermMid%.3f" else "null"
+    val thermFields = f""","thermometer":{"t_start":$thermStart%.3f,"t_mid":$thermMidField,"t_end":$thermEnd%.3f,"spread":$thermSpread%.3f}"""
     val loadFields = f""","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"nproc_start":$nprocStart,"nproc_end":$nprocEnd,"store_state":"$storeStateStart"$thermFields"""
     def line(qs: String, extra: String) =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$nErr,"families":$fams,"queries":$qs$extra$onlyField$loadFields,"sf":"$sfDir"}"""

@@ -175,13 +175,21 @@ object ScaleRehearsal {
     val admissionScales = sys.env.getOrElse("SPARK_GRAFT_ADMISSION_SCALES",
         "1,3,10,30,100")
       .split(",").map(_.trim.toInt).toSeq
+    // entity_hot extends past the non-adaptive grid's ×30 ceiling: its
+    // uncapped control is an AGGREGATE (never materialized), so one
+    // more decade costs only the capped-linear work (round-17 item 5 —
+    // "linear to ×30" → "linear across two orders" for the newest cap)
+    val entityHotScales = sys.env.getOrElse("SPARK_GRAFT_ENTITY_HOT_SCALES",
+        "1,3,10,30,100")
+      .split(",").map(_.trim.toInt).toSeq
     val allScales = (scales.filter(_ => famFilter.forall(_.exists(f =>
         !adaptiveFams(f)))) ++
       adaptiveScales.filter(_ => famFilter.forall(_.exists(f =>
         adaptiveFams(f) || f == "dedup_simhash_incremental"))) ++
       admissionScales.filter(_ =>
         famActive("admission") || famActive("fpost_maintain") ||
-          famActive("admit_full") || famActive("admit_ingest")))
+          famActive("admit_full") || famActive("admit_ingest")) ++
+      entityHotScales.filter(_ => famActive("entity_hot")))
       .distinct.sorted
     val outRoot = "/tmp/graft_scale"
     val spark = SparkSession.builder()
@@ -654,7 +662,7 @@ object ScaleRehearsal {
     val entityHotActive = famActive("entity_hot")
     val entityHotJson = if (!entityHotActive) "" else {
       import graft.operators.{DedupQueries => DD}
-      val hotRows = for (k <- scales) yield {
+      val hotRows = for (k <- entityHotScales) yield {
         val dir = s"$outRoot/x$k"
         val cust = Tables.customer(spark, dir)
           .withColumn("c_name",
@@ -952,14 +960,13 @@ object ScaleRehearsal {
         val nBatch = docs.where(pmod(col("doc_id"), lit(5)) === 0).count()
         D.pipeAdmitFull(spark, dir).count() // warm every base store
         val storeBases = Seq(
-          "digests" -> ArtifactStore.pathFor("text_digests", dir,
-            "documents.parquet", "md5"),
+          "digests" -> D.digestStorePath(dir),
           "ngram_postings" -> D.ngramPostingStorePath(dir),
           "ngram_fpostings" -> D.ngramFilteredStorePath(dir),
+          "ngram_df" -> D.ngramDfStorePath(dir),
           "shingles" -> D.shingleStorePath(dir),
           "span_anchors" -> D.spanAnchorStorePath(dir),
-          "simhash_chunks" -> ArtifactStore.pathFor("simhash_chunks", dir,
-            "documents.parquet", "v1"),
+          "simhash_chunks" -> D.simhashChunkStorePath(dir),
           "emb_sigs" -> S.embSigStorePath(dir))
         def rewindDeltas(): Seq[String] = {
           val resetToBase = storeBases.collect {
@@ -1015,6 +1022,10 @@ object ScaleRehearsal {
         val perStore = Seq[(String, () => Any)](
           "digests" -> (() => D.digestStore(spark, dir)),
           "ngram_postings" -> (() => D.ngramPostingStore(spark, dir)),
+          // fpostings' append runs the crossing check against the
+          // maintained ngram_df chain and lands the batch's df
+          // partial in the same step (round-17) — the df append has
+          // no separate accessor, so its cost lands on this clock
           "ngram_fpostings" -> (() => D.ngramFilteredStore(spark, dir)),
           "shingles" -> (() => D.shingleStore(spark, dir)),
           "span_anchors" -> (() => D.spanAnchorStore(spark, dir)),
@@ -1028,18 +1039,44 @@ object ScaleRehearsal {
         val t2 = System.nanoTime()
         D.pipeAdmitFull(spark, dir).count()
         val secProbes = (System.nanoTime() - t2) / 1e9
+        // pass 3 — the PROBE decomposition (round-17: the r16 verdict
+        // asked for the remaining sec_probes growth, 4.3→7.2 s across
+        // ×1→×100, to name itself the way the appends did): with every
+        // append landed, each admission family's own verdict query on
+        // its own clock. Each probe's batch side is now an O(batch)
+        // delta-dir read; what remains per family is the corpus-side
+        // INDEX scan of its candidate join — the growth (if any) below
+        // is that scan, itemized.
+        val perProbe = Seq[(String, () => Long)](
+          "digest" -> (() => D.dedupIncremental(spark, dir).count()),
+          "core_clean" -> (() =>
+            D.pipeCorpusCleanIncremental(spark, dir).count()),
+          "ngram" -> (() => D.dedupNgramIncremental(spark, dir).count()),
+          "simhash" -> (() => D.dedupSimhashIncremental(spark, dir).count()),
+          "containment" -> (() =>
+            D.dedupContainmentIncremental(spark, dir).count()),
+          "spans" -> (() => D.dedupSpansIncremental(spark, dir).count()),
+          "emb" -> (() => S.dedupEmbIncremental(spark, dir).count())
+        ).map { case (n, f) =>
+          val ts = System.nanoTime()
+          f()
+          n -> (System.nanoTime() - ts) / 1e9
+        }
         val perStoreJson = perStore
+          .map { case (n, s) => s""""$n":${j(s)}""" }.mkString("{", ",", "}")
+        val perProbeJson = perProbe
           .map { case (n, s) => s""""$n":${j(s)}""" }.mkString("{", ",", "}")
         val rebuiltJson = rebuilt.map(n => s""""$n"""").mkString("[", ",", "]")
         System.err.println(s"[scale] admit_ingest x$k: docs=$nDocs " +
           s"batch=$nBatch out=$out ingest=${j(secIngest)} " +
           s"warm=${j(secWarm)} probes=${j(secProbes)} " +
-          s"per_store=$perStoreJson rebuilt=$rebuiltJson")
+          s"per_store=$perStoreJson per_probe=$perProbeJson " +
+          s"rebuilt=$rebuiltJson")
         s""""x$k":{"n_docs":$nDocs,"n_batch":$nBatch,"out":$out,""" +
           s""""sec_ingest":${j(secIngest)},"sec_warm":${j(secWarm)},""" +
           s""""sec_append_sum":${j(perStore.map(_._2).sum)},""" +
           s""""sec_probes":${j(secProbes)},"per_store":$perStoreJson,""" +
-          s""""rebuilt_chains":$rebuiltJson}"""
+          s""""per_probe":$perProbeJson,"rebuilt_chains":$rebuiltJson}"""
       }
       s""","admit_ingest":{${ingRows.mkString(",")}}"""
     }

@@ -768,6 +768,62 @@ class StreamMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ENTITY hot-block cap, multi-record micro-batch: the " +
+    "solo-record approximation's documented divergence — a block the " +
+    "batch rule suppresses only via the micro-batch's own multiplicity " +
+    "(corpus bf + N > cap, corpus bf < cap) still matches in the " +
+    "stream; it closes at the next ingest (r16 advice, pinned as the " +
+    "contract the docstring states)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val D = operators.DedupQueries
+    // cap = 3: WarmName corpus bf = 2 < 3 → live for the stream
+    // (solo-record rule: grown-by-one 3 is NOT > 3). The micro-batch
+    // carries TWO WarmName records, so the batch operator's grown bf
+    // is 2 + 2 = 4 > 3 → suppressed there. Both behaviors asserted.
+    val existing = Seq(1L -> "WarmName001", 2L -> "WarmName002")
+    val incoming = Seq(5L -> "WarmName003", 10L -> "WarmName004")
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.EventStreams.entityStreamAppend(
+        src.toDF.toDF("c_custkey", "c_name"),
+        existing.toDF("c_custkey", "c_name"), cap = 3L)
+      .writeStream.format("memory").queryName("entity_warm_sink")
+      .outputMode("append").start()
+    try {
+      src.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("entity_warm_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // stream: both arriving records match both corpus records —
+      // the solo-record rule keeps the bf=2 block live
+      assert(got == Set((5L, 1L), (5L, 2L), (10L, 1L), (10L, 2L)),
+        s"stream under-/over-matched the warm block: $got")
+      // batch: the SAME ingest suppresses the block (grown bf 4 > 3)
+      val batch = D.incrementalEntityBlockOn(
+          (existing ++ incoming).toDF("c_custkey", "c_name"), cap = 3L)
+        .where($"match_src" === "corpus").count()
+      assert(batch == 0L,
+        s"batch rule must suppress the grown-past-cap block: $batch rows")
+      // and the divergence CLOSES at the next corpus version: with the
+      // batch absorbed, the block sits at bf = 4 ≥ cap — a later
+      // stream probe of the grown index finds no partners
+      val grownIndex = (existing ++ incoming).toDF("c_custkey", "c_name")
+      val later = MemoryStream[(Long, String)]
+      val q2 = streaming.EventStreams.entityStreamAppend(
+          later.toDF.toDF("c_custkey", "c_name"),
+          grownIndex, cap = 3L)
+        .writeStream.format("memory").queryName("entity_warm_sink2")
+        .outputMode("append").start()
+      try {
+        later.addData(Seq(15L -> "WarmName005"): _*)
+        q2.processAllAvailable()
+        assert(spark.table("entity_warm_sink2").isEmpty,
+          "grown-index probe must silence the now-hot block")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("streaming EMBEDDING admission: in-flight row-local hyperplane " +
     "signatures probe the static emb_sigs postings; exact-cosine " +
     "verify reproduces the batch admission operator's corpus matches") {
