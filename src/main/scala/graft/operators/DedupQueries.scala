@@ -513,11 +513,16 @@ object DedupQueries {
           ArtifactStore.cached(spark, dp)(dfPartialOf(baseInv))
           ArtifactStore.chainWithoutTag(spark, dp, batchTag)
         }.map { dfChain =>
+          // broadcast semi: the batch's distinct shingles are a few MB
+          // of hashes, so the df table streams map-side — the probe
+          // pays one columnar scan, never a corpus shuffle
           dfChain
-            .join(dfB.select(col("shingle")), Seq("shingle"), "left_semi")
+            .join(broadcast(dfB.select(col("shingle"))), Seq("shingle"),
+              "left_semi")
             .groupBy(col("shingle")).agg(sum(col("df")).as("df_a"))
         }.getOrElse(baseInv
-          .join(dfB.select(col("shingle")), Seq("shingle"), "left_semi")
+          .join(broadcast(dfB.select(col("shingle"))), Seq("shingle"),
+            "left_semi")
           .groupBy(col("shingle")).agg(count(lit(1)).as("df_a")))
         // maintain the df table BEFORE branching: the batch's own
         // partial appends on both arms (df is raw — independent of
@@ -554,7 +559,17 @@ object DedupQueries {
         } finally hotB.unpersist()
       case Some(_) =>
         // batch already chained or folded: serve the chain (no thunk
-        // runs; a lineage-orphaned delta re-derives at the full rule)
+        // runs; a lineage-orphaned delta re-derives at the full rule).
+        // The df chain is kept in LOCKSTEP first: an admitted batch
+        // (fpost tag present) whose df partial went missing (external
+        // rewind of one chain but not the other) would silently
+        // undercount df_a for every FUTURE batch's crossing check —
+        // self-heal by re-deriving the O(batch) partial; a metadata
+        // probe when already present.
+        dfStorePath.foreach { dp =>
+          ArtifactStore.appendedCached(spark, dp, batchTag)(
+            dfPartialOf(baseInv))(dfPartialOf(batchInv))
+        }
         ArtifactStore.appendedCached(spark, path, batchTag)(
           sys.error(s"ngram_fpostings base vanished under serve: $path"))(
           dfFilteredPostings(baseInv.unionByName(batchInv), cap)
@@ -1337,12 +1352,19 @@ object DedupQueries {
   private[graft] def incrementalHammingOfChunks(exC: DataFrame,
       inC: DataFrame, hashCol: String): DataFrame = {
     def ham = bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol")))
-    val cross = inC.as("a").join(exC.as("b"),
+    // the batch side is broadcast EXPLICITLY (round-17, from the
+    // per_probe decomposition: this probe was the battery's slowest
+    // term at ×100 — 13.4 s — because the default plan shuffled the
+    // corpus-side index, 256 postings/doc at level 4, to meet the
+    // batch; batch postings are bounded by batch size × level
+    // multiplicity, so shipping THEM lets the corpus index stream
+    // map-side with no exchange)
+    val cross = broadcast(inC.as("a")).join(exC.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"),
         lit("corpus").as("match_src"), ham.as("hamming"))
-    val inBatch = inC.as("a").join(inC.as("b"),
+    val inBatch = inC.as("a").join(broadcast(inC.as("b")),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1363,12 +1385,12 @@ object DedupQueries {
     val inC = chunks.where(isIngestBatch)
     val exC = chunks.where(!isIngestBatch)
     def ham = bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol")))
-    inC.as("a").join(exC.as("b"),
+    broadcast(inC.as("a")).join(exC.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"),
         ham.as("hamming"))
-      .unionByName(inC.as("a").join(inC.as("b"),
+      .unionByName(inC.as("a").join(broadcast(inC.as("b")),
           col("a.chunk_idx") === col("b.chunk_idx") &&
             col("a.chunk_val") === col("b.chunk_val") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -1547,7 +1569,10 @@ object DedupQueries {
       .select(col("doc_id"), col("sz"), col("shingle"),
         explode(array(col("len_bucket") - 1, col("len_bucket"),
           col("len_bucket") + 1)).as("probe_bucket"))
-    probes.as("a").join(inv.as("b"),
+    // batch probes broadcast (round-17 per_probe decomposition): the
+    // corpus posting chain streams map-side instead of shuffling to
+    // meet a batch-bounded probe set
+    broadcast(probes.as("a")).join(inv.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.probe_bucket") === col("b.len_bucket") &&
           col("a.doc_id") =!= col("b.doc_id") &&
@@ -2362,9 +2387,12 @@ object DedupQueries {
     def bound(c: DataFrame) = c.where(col("a") =!= col("b") &&
       col("sz_b").cast("double") >= col("sz_a").cast("double") * lit(ContainT))
       .select(col("a"), col("b"))
-    bound(probe.where(isBatch(col("a"))).join(full, Seq("h")))
+    // both terms' batch-bounded sides broadcast (round-17): sub = the
+    // batch's prefix hashes vs the streamed corpus index; sup = the
+    // pre-pruned corpus postings vs the batch's own index
+    bound(broadcast(probe.where(isBatch(col("a")))).join(full, Seq("h")))
       .unionByName(bound(containmentSupProbe(sh)
-        .join(full.where(isBatch(col("b"))), Seq("h"))))
+        .join(broadcast(full.where(isBatch(col("b")))), Seq("h"))))
       .distinct()
   }
 

@@ -610,10 +610,12 @@ object SimilarityQueries {
     import graft.functions.VectorExpressions.cosine_similarity
     val onKeys = col("a.table_id") === col("b.table_id") &&
       col("a.sig") === col("b.sig")
-    val cross = inS.as("a").join(exS.as("b"), onKeys)
+    // batch signatures broadcast (round-17 per_probe decomposition):
+    // the corpus posting store streams map-side, no exchange
+    val cross = broadcast(inS.as("a")).join(exS.as("b"), onKeys)
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("match_id"),
         lit("corpus").as("match_src"))
-    val inBatch = inS.as("a").join(inS.as("b"),
+    val inBatch = inS.as("a").join(broadcast(inS.as("b")),
         onKeys && col("a.vec_id") < col("b.vec_id"))
       .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("match_id"),
         lit("batch").as("match_src"))
@@ -635,9 +637,9 @@ object SimilarityQueries {
     val exS = sigs.where(!isIngestBatchVec)
     val onKeys = col("a.table_id") === col("b.table_id") &&
       col("a.sig") === col("b.sig")
-    inS.as("a").join(exS.as("b"), onKeys)
+    broadcast(inS.as("a")).join(exS.as("b"), onKeys)
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("match_id"))
-      .unionByName(inS.as("a").join(inS.as("b"),
+      .unionByName(inS.as("a").join(broadcast(inS.as("b")),
           onKeys && col("a.vec_id") < col("b.vec_id"))
         .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("match_id")))
       .distinct()

@@ -1170,6 +1170,21 @@ class ArtifactStoreSpec extends AnyFunSuite {
         == rawDf(base),
       "pre-batch df image (chainWithoutTag) != the base-only df")
 
+    // lockstep self-heal: an admitted batch's df partial lost to an
+    // external rewind of ONE chain is re-derived (O(batch)) on the
+    // next warm serve — future crossing checks must never undercount
+    rmStore(ArtifactStore.childPathFor(dp, "ingestT"))
+    val servedHeal = D.ngramFilteredMaintainedAppend(spark, pA, base,
+      batchA, "ingestT", cap, dfStorePath = Some(dp))
+    assert(sortAll(servedHeal) == sortAll(servedA),
+      "serve arm changed served rows while healing the df chain")
+    assert(new java.io.File(
+        s"${ArtifactStore.childPathFor(dp, "ingestT")}/_GRAFT_OK").exists,
+      "warm serve did not re-land the missing df partial")
+    assert(dfTotals(ArtifactStore.chainWithoutTag(spark, dp, "__none__").get)
+        == rawDf(base.unionByName(batchA)),
+      "healed df chain != the raw full df")
+
     // arm 2: accumulation — batch 2 keeps 51 at df = cap (strict >),
     // batch 3 pushes it over ONLY because the two prior partials count:
     // df_a must be summed across base + prior deltas for the rebuild
