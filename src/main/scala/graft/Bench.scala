@@ -39,6 +39,38 @@ object Bench {
     sec
   }
 
+  /** PARALLEL thermometer: the same LCG burst on EVERY core at once
+    * (round-17 protocol item — the r17 capture session measured
+    * windows whose single-thread probe sat at the committed 0.57-class
+    * level while untouched families ran ~17% slower: multicore/IO
+    * contention is invisible to a single-thread probe, and THIS is the
+    * axis host windows actually vary on). Each thread runs the
+    * standard 4·10⁸-step loop; the reading is wall seconds for ALL
+    * threads to finish — on an idle host ≈ the single-thread level
+    * (independent register-bound loops), under multicore contention it
+    * rises with the contended share. Gate guidance (BENCH_NOTES): a
+    * clean capture's t_par should sit within ~15% of the committed
+    * history's level; spread gating stays on the single-thread
+    * trio. */
+  private def thermometerParSec(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { t =>
+      val th = new Thread(() => {
+        var acc = 0x9E3779B97F4A7C15L + t
+        var i = 0
+        while (i < 400000000) {
+          acc = acc * 6364136223846793005L + 1442695040888963407L
+          i += 1
+        }
+        if (acc == 0L) System.err.println("")
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Artifact-store temperature at bench start — capture provenance
     * (round-12 judge item: the r11 clean capture ran warm-store, making
     * its headline not like-for-like with r10's cold one). "cold" =
@@ -116,6 +148,7 @@ object Bench {
     // loop itself must not land in the start reading)
     thermometerSec()
     val thermStart = thermometerSec()
+    val thermParStart = thermometerParSec()
     var thermMid = -1.0
     // Each entry is either a seconds Double or the string "err" — a
     // failing query must be visible in the output, not silently timed.
@@ -133,6 +166,7 @@ object Bench {
       name -> (if (ok) elapsed.toString else "\"err\"")
     }
     val thermEnd = thermometerSec()
+    val thermParEnd = thermometerParSec()
     def fmt(v: String): String =
       if (v == "\"err\"") v else f"${v.toDouble}%.3f"
     def jmap(kvs: Seq[(String, String)]): String =
@@ -170,7 +204,7 @@ object Bench {
     // tell "not measured" from a reading (r16 advice)
     val thermMidField =
       if (thermMid > 0) f"$thermMid%.3f" else "null"
-    val thermFields = f""","thermometer":{"t_start":$thermStart%.3f,"t_mid":$thermMidField,"t_end":$thermEnd%.3f,"spread":$thermSpread%.3f}"""
+    val thermFields = f""","thermometer":{"t_start":$thermStart%.3f,"t_mid":$thermMidField,"t_end":$thermEnd%.3f,"spread":$thermSpread%.3f,"t_par_start":$thermParStart%.3f,"t_par_end":$thermParEnd%.3f}"""
     val loadFields = f""","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"nproc_start":$nprocStart,"nproc_end":$nprocEnd,"store_state":"$storeStateStart"$thermFields"""
     def line(qs: String, extra: String) =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","errors":$nErr,"families":$fams,"queries":$qs$extra$onlyField$loadFields,"sf":"$sfDir"}"""
