@@ -137,9 +137,13 @@ object Bench {
     // its explode→collect materialization + array_intersect verify is a
     // distinct codegen shape (~9 s of one-time compile measured by
     // BenchOne at round 8 — iter 1 12.3 s vs steady state 2.6 s)
+    // win_lag_features added round 18: the 14-lag window pipeline is its
+    // own codegen shape (~4 s of one-time compile measured by the
+    // ForecastPhaseProbe lag phase, 6.7 s iter 1 vs 2.1 s steady) and
+    // alphabetical order lands it on ml_forecast, the largest bench line
     for (q <- Seq("dedup_ngram_jaccard", "dedup_containment",
         "sim_knn_brute", "agg_daily_product",
-        "evt_sessionize", "txt_chunk_overlap"))
+        "evt_sessionize", "txt_chunk_overlap", "win_lag_features"))
       try SparkEntry.queries(q)(spark, warmDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] WARMUP $q failed on $warmDir: ${e.getMessage}")

@@ -25,6 +25,7 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftConf(spark)
+    GraftConf.applyEnvOverrides(spark) // ablation parity with Bench/Verify
     val fn = SparkEntry.queries(name)
     for (i <- 1 to n) {
       val t0 = System.nanoTime()

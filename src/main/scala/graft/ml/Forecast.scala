@@ -190,13 +190,55 @@ object Forecast {
     val tc = maxDate.toLocalDate.minusDays(14).toEpochDay
     val vc = maxDate.toLocalDate.minusDays(28).toEpochDay
     val grid = Grid
+    // Group-by-product via an EXPLICIT repartition + partition-local
+    // grouping instead of groupByKey/flatMapGroups: the typed
+    // groupByKey exchange carries only ~8 MB at sf0.1, so AQE's
+    // partition coalescing (parallelismFirst floor = 1 MB) folds it to
+    // ~3 post-shuffle partitions and the per-product grid fits — the
+    // CPU cost of this query — serialize onto 3 cores (measured:
+    // train stage 3 partitions, trainPerProduct 6.8 s steady at
+    // local[32]). A user-specified partition count is exempt from AQE
+    // coalescing, so the training stage keeps the session's shuffle
+    // parallelism; the count tracks spark.sql.shuffle.partitions
+    // (cores locally, cluster-sized on a cluster), never a constant.
+    // Per-product rows are contiguous after sortWithinPartitions, so
+    // partition-local grouping sees exactly the groups flatMapGroups
+    // did, and each group's body is unchanged (same sort, same seeds,
+    // same fits — StreamMlSpec's bit-determinism pin covers it).
     feats.select(col("product"), col("sale_date"),
         col("total_quantity").cast("double").as("label"),
         array(LagCols.map(c => col(c).cast("double")): _*).as("x"))
       .as[Obs]
-      .groupByKey(_.product)
-      .flatMapGroups { (p: String, it: Iterator[Obs]) =>
-        val rows = it.toArray.sortBy(_.sale_date.toLocalDate.toEpochDay)
+      // xxhash64(product), not product: a repartition keyed exactly like
+      // the upstream Window's requirement is ABSORBED into the Window's
+      // ENSURE_REQUIREMENTS exchange (plan-verified), which AQE then
+      // coalesces — the hashed key keeps a REPARTITION_BY_NUM exchange
+      // of its own (exempt from coalescing) while still co-locating
+      // every product's rows
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        xxhash64(col("product")))
+      .sortWithinPartitions(col("product"), col("sale_date"))
+      .mapPartitions { (part: Iterator[Obs]) =>
+        val in = part.buffered
+        new Iterator[Iterator[ModelStore.ProductModel]] {
+          def hasNext: Boolean = in.hasNext
+          def next(): Iterator[ModelStore.ProductModel] = {
+            val p = in.head.product
+            val rows = scala.collection.mutable.ArrayBuffer.empty[Obs]
+            while (in.hasNext && in.head.product == p)
+              rows += in.next()
+            trainOneProduct(p, rows.toArray, vc, tc, grid)
+          }
+        }.flatten
+      }
+  }
+
+  /** One product's full-grid training body — the per-group work the
+    * flatMapGroups form ran, factored out so the partition-local
+    * grouping above can call it. */
+  private def trainOneProduct(p: String, obs: Array[Obs], vc: Long,
+      tc: Long, grid: Seq[Config]): Iterator[ModelStore.ProductModel] = {
+        val rows = obs.sortBy(_.sale_date.toLocalDate.toEpochDay)
         val xs = rows.map(_.x)
         val y = rows.map(_.label)
         val day = rows.map(_.sale_date.toLocalDate.toEpochDay)
@@ -288,7 +330,6 @@ object Forecast {
             ProductWinner(p, winner.family, winner.toString,
               vMape, testIdx.length.toLong, tMape, rmse), refit))
         }
-      }
   }
 
   /** Winner-report view of [[trainPerProductModels]] (the `ml_forecast`
