@@ -512,6 +512,36 @@ object ArtifactStore {
     else load(spark, child)
   }
 
+  /** Recorded row count of the delta [[deltaFrame]] would serve — the
+    * metadata a consumer uses to decide whether the batch side is
+    * small enough to carry an explicit broadcast hint (r17 advice: an
+    * UNCONDITIONAL hint on a batch side that grows with the corpus
+    * hard-fails at Spark's 8 GB broadcast cap instead of degrading to
+    * a shuffle join). None whenever [[deltaFrame]] would return None. */
+  def deltaRowCount(parentPath: String, batchTag: String): Option[Long] = {
+    val child = childPathFor(parentPath, batchTag)
+    if (cacheDisabled || isUncacheable(child) ||
+        foldedTags(parentPath).contains(batchTag) ||
+        !parentPointer(child).contains(new java.io.File(parentPath).getName))
+      None
+    else metaRows(child)
+  }
+
+  /** Whether `batchTag` has already LANDED on the chain at
+    * `parentPath` — as a live, lineage-verified delta or folded into
+    * the base. The streaming ingest loop's idempotence probe
+    * ([[graft.streaming.EventStreams.ingestAdmissionBatch]]): once a
+    * tag is chained, [[appendedCached]] serves the existing delta and
+    * never runs the derive thunk, so a SECOND non-empty batch under
+    * the same tag would be silently dropped — callers must fail
+    * loudly instead. */
+  def tagChained(spark: SparkSession, parentPath: String,
+      batchTag: String): Boolean =
+    foldedTags(parentPath).contains(batchTag) ||
+      (parentPointer(childPathFor(parentPath, batchTag))
+        .contains(new java.io.File(parentPath).getName) &&
+        load(spark, childPathFor(parentPath, batchTag)).isDefined)
+
   /** The resolved chain at `parentPath` EXCLUDING `excludeTag`'s delta
     * — the PRE-BATCH image an ingest-time check reads (the ngram_df
     * crossing check probes the corpus document-frequency table AS OF

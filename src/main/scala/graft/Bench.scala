@@ -218,12 +218,31 @@ object Bench {
     // repo file; STDOUT carries one short parseable line whose
     // "queries" holds the slowest 12 (errors always included).
     val fullLine = line(allQs, "")
-    java.nio.file.Files.write(java.nio.file.Paths.get(fullMapFile),
+    // A capture failing its own thermometer spread gate (≤ 0.05, the
+    // committed-pair protocol) must not land as the NEWEST full-map
+    // artifact — the r17 driver slot recorded a polluted window
+    // (spread 0.175, ml_forecast 2.7× its clean-pair value) as the
+    // round's bench. Rejected captures go to rejected/ with a
+    // timestamped name; the stdout line (the driver contract) is
+    // printed either way, so nothing is hidden — the repo just never
+    // serves a window-polluted file as its current bench.
+    val gateClean = thermSpread >= 0 && thermSpread <= 0.05
+    val outFile =
+      if (gateClean || only.isDefined) fullMapFile
+      else {
+        new java.io.File("rejected").mkdirs()
+        val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+          .format(new java.util.Date())
+        System.err.println(s"[bench] thermometer spread " +
+          f"$thermSpread%.3f > 0.05 — full map diverted to rejected/")
+        s"rejected/${fullMapFile.stripSuffix(".json")}_$ts.json"
+      }
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))
     val slow = ok.sortBy(-_._2.toDouble).take(12) ++
       results.filter(_._2 == "\"err\"")
     val slowQs = jmap(slow.sortBy(_._1).map { case (k, v) => k -> fmt(v) })
-    println(line(slowQs, s""","n_queries":${results.size},"queries_full":"$fullMapFile""""))
+    println(line(slowQs, s""","n_queries":${results.size},"queries_full":"$outFile""""))
     spark.stop()
   }
 }

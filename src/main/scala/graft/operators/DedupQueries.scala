@@ -674,10 +674,47 @@ object DedupQueries {
     * upstream delta dir already isolates); the fallback covers
     * cache-off runs, rebuild-folded tags, and fresh (non-store)
     * frames. */
+  /** Row budget for carrying an explicit broadcast hint on a
+    * store-delta batch side: 4M rows of (ids + a hash + pigeonhole
+    * keys) is ~150 MB built — comfortably under Spark's hard 8 GB /
+    * 512M-row broadcast cap and a sane executor budget. The hint is
+    * gated on the delta's RECORDED row count (store metadata, no scan)
+    * because the test-SF ingest batch is a fixed fraction of the
+    * corpus: an unconditional hint would grow with corpus size and
+    * hard-fail at the cap instead of degrading to a shuffle join
+    * (r17 advice). Past the budget the planner/AQE chooses — exactly
+    * the demote-to-shuffle behavior the 100 TB story wants. */
+  private[graft] val BatchBroadcastMaxRows = 4000000L
+
+  /** The same budget for ARRAY-row stores (the shingle store holds one
+    * (doc_id, hs[], sz) row per doc, ~100 hashes × 8 B per row): far
+    * fewer rows fit the same broadcast bytes. 500k docs ≈ 400 MB
+    * built. */
+  private[graft] val BatchArrayBroadcastMaxRows = 500000L
+
   private[graft] def storeBatchSide(spark: SparkSession, path: String,
       chain: DataFrame): DataFrame =
     ArtifactStore.deltaFrame(spark, path, IngestBatchTag)
+      .map { delta =>
+        if (ArtifactStore.deltaRowCount(path, IngestBatchTag)
+            .exists(_ <= BatchBroadcastMaxRows)) broadcast(delta)
+        else delta
+      }
       .getOrElse(chain.where(isIngestBatch))
+
+  /** Re-raise a broadcast hint at a join input when the frame's plan
+    * already carries one (from [[storeBatchSide]]'s gated hint):
+    * Spark's hint extraction only looks through a whitelist of unary
+    * nodes, so a hint buried under a Generate/Aggregate in a derived
+    * probe frame would not reach the join. A frame with NO hint —
+    * the fresh-filter fallback, a cache-off run — is returned as-is,
+    * leaving the join strategy to the planner/AQE (the gated-hint
+    * contract, r17 advice). */
+  private[graft] def carryBroadcastHint(df: DataFrame): DataFrame =
+    if (df.queryExecution.analyzed.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ResolvedHint]))
+      broadcast(df)
+    else df
 
   /** The corpus's replayable shingle sets as a MAINTAINED, APPENDED
     * ARTIFACT — the root of the "one signature pass per corpus
@@ -1267,6 +1304,27 @@ object DedupQueries {
       adaptiveChunksOf(simhashesOfShingles(sh), "simhash", sh)
     }
 
+  /** The (existing, batch) split of the simhash posting frame, kept
+    * COHERENT with whichever source [[simhashChunkStore]] actually
+    * served (r17 advice): pairing the fresh adaptive frame with an
+    * independently re-probed store delta would mix pigeonhole levels
+    * when store metadata is unavailable while a previously persisted
+    * chunk delta still loads — mismatched (chunk_idx, chunk_val) keys
+    * silently miss matches. The delta-dir batch side is taken ONLY
+    * when the chain itself came from the store; the fresh fallback
+    * splits the one frame it derived. */
+  private[graft] def simhashChunksSplit(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    simhashChunkStore(spark, dir) match {
+      case Some(chain) =>
+        (chain.where(!isIngestBatch),
+          storeBatchSide(spark, simhashChunkStorePath(dir), chain))
+      case None =>
+        val sh = shingleStore(spark, dir)
+        val chunks = adaptiveChunksOf(simhashesOfShingles(sh), "simhash", sh)
+        (chunks.where(!isIngestBatch), chunks.where(isIngestBatch))
+    }
+
   /** SimHash candidate pairs of an explicit chunk frame (distinct,
     * pre-hamming-filter) — the blocked candidate set the scale
     * rehearsal measures. */
@@ -1322,12 +1380,15 @@ object DedupQueries {
     * superset + hamming-filter argument the full query already relies
     * on. */
   val dedupSimhashIncremental: Q = (spark, dir) => {
-    val chunks = simhashChunksStored(spark, dir)
     // probe side from the chunk store's OWN delta dir (round-17):
     // only the existing-corpus side still scans the chain — that read
-    // IS the index probe; the batch side is an O(batch) delta read
-    incrementalHammingOfChunks(chunks.where(!isIngestBatch),
-      storeBatchSide(spark, simhashChunkStorePath(dir), chunks), "simhash")
+    // IS the index probe; the batch side is an O(batch) delta read.
+    // The split comes from [[simhashChunksSplit]] so the batch side is
+    // only a delta-dir read when the chain itself was store-served
+    // (r17 advice: a stale delta against a fresh adaptive frame would
+    // mix pigeonhole levels).
+    val (exC, inC) = simhashChunksSplit(spark, dir)
+    incrementalHammingOfChunks(exC, inC, "simhash")
   }
 
   /** Core of [[dedupSimhashIncremental]] over an explicit posting
@@ -1352,19 +1413,23 @@ object DedupQueries {
   private[graft] def incrementalHammingOfChunks(exC: DataFrame,
       inC: DataFrame, hashCol: String): DataFrame = {
     def ham = bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol")))
-    // the batch side is broadcast EXPLICITLY (round-17, from the
-    // per_probe decomposition: this probe was the battery's slowest
-    // term at ×100 — 13.4 s — because the default plan shuffled the
+    // the batch side carries a broadcast hint when it is a
+    // store-delta read under the metadata row budget
+    // ([[storeBatchSide]] attaches it — round-17's per_probe
+    // decomposition measured the unhinted plan shuffling the
     // corpus-side index, 256 postings/doc at level 4, to meet the
-    // batch; batch postings are bounded by batch size × level
-    // multiplicity, so shipping THEM lets the corpus index stream
-    // map-side with no exchange)
-    val cross = broadcast(inC.as("a")).join(exC.as("b"),
+    // batch: 13.4 s at ×100); the hint is GATED there rather than
+    // forced here because the test-SF batch is a fixed fraction of
+    // the corpus, so an unconditional hint grows with corpus size and
+    // hard-fails at the 8 GB broadcast cap instead of demoting to a
+    // shuffle join (r17 advice) — fresh-frame callers get the
+    // planner/AQE choice
+    val cross = carryBroadcastHint(inC.as("a")).join(exC.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"),
         lit("corpus").as("match_src"), ham.as("hamming"))
-    val inBatch = inC.as("a").join(broadcast(inC.as("b")),
+    val inBatch = inC.as("a").join(carryBroadcastHint(inC.as("b")),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1385,12 +1450,12 @@ object DedupQueries {
     val inC = chunks.where(isIngestBatch)
     val exC = chunks.where(!isIngestBatch)
     def ham = bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol")))
-    broadcast(inC.as("a")).join(exC.as("b"),
+    carryBroadcastHint(inC.as("a")).join(exC.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"),
         ham.as("hamming"))
-      .unionByName(inC.as("a").join(broadcast(inC.as("b")),
+      .unionByName(inC.as("a").join(carryBroadcastHint(inC.as("b")),
           col("a.chunk_idx") === col("b.chunk_idx") &&
             col("a.chunk_val") === col("b.chunk_val") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -1569,10 +1634,12 @@ object DedupQueries {
       .select(col("doc_id"), col("sz"), col("shingle"),
         explode(array(col("len_bucket") - 1, col("len_bucket"),
           col("len_bucket") + 1)).as("probe_bucket"))
-    // batch probes broadcast (round-17 per_probe decomposition): the
-    // corpus posting chain streams map-side instead of shuffling to
-    // meet a batch-bounded probe set
-    broadcast(probes.as("a")).join(inv.as("b"),
+    // batch probes carry the store-delta broadcast hint when the
+    // delta metadata says they fit (round-17 per_probe decomposition:
+    // the corpus posting chain streams map-side instead of shuffling
+    // to meet a batch-bounded probe set; r17 advice: the hint is
+    // gated, not forced)
+    carryBroadcastHint(probes.as("a")).join(inv.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.probe_bucket") === col("b.len_bucket") &&
           col("a.doc_id") =!= col("b.doc_id") &&
@@ -2311,8 +2378,18 @@ object DedupQueries {
     * dedup_containment all-pairs replay restricted to batch-touching
     * pairs with the same direction re-keying. */
   val dedupContainmentIncremental: Q = (spark, dir) =>
+    // the family's batch-bounded broadcast sides are gated on the
+    // shingle-store delta's recorded row count (r17 advice): the
+    // mod-5 batch is a fixed FRACTION of the corpus, so an unforced
+    // hint must not grow past the broadcast cap — above the budget
+    // the planner/AQE chooses the join strategy. None (no store
+    // metadata — fresh corpus, cache off) keeps the hint: those runs
+    // are the test-SF fixtures the hint was measured on.
     incrementalContainmentOfSh(
-      containmentShOfShingles(shingleStore(spark, dir)))
+      containmentShOfShingles(shingleStore(spark, dir)),
+      hintBatch = ArtifactStore
+        .deltaRowCount(shingleStorePath(dir), IngestBatchTag)
+        .forall(_ <= BatchArrayBroadcastMaxRows))
 
   /** Integer-exact pigeonhole prefix length at [[ContainT]] = 4/5 —
     * ⌊(1−t)·sz⌋+1 computed as sz − ⌈t·sz⌉ + 1 = sz − (sz·4+4) div 5
@@ -2354,9 +2431,13 @@ object DedupQueries {
     * share content with the batch (what dedup exists to find), not by
     * corpus size — the scale rehearsal's `sup_scanned` measures
     * exactly this staying flat as the corpus grows 30×. */
-  private[graft] def containmentSupProbe(sh: DataFrame): DataFrame = {
+  private[graft] def containmentSupProbe(sh: DataFrame,
+      hintBatch: Boolean = true): DataFrame = {
     def isBatch(c: Column) = pmod(c, lit(5)) === 0
+    def hinted(df: DataFrame) = if (hintBatch) broadcast(df) else df
     val k = containPrefixLen("sz")
+    // maxB is a 1-row scalar — always broadcastable regardless of the
+    // batch-size gate
     val maxB = sh.where(isBatch(col("doc_id")))
       .agg(max(col("sz")).as("max_bsz"))
     val batchHashes = sh.where(isBatch(col("doc_id")))
@@ -2366,7 +2447,7 @@ object DedupQueries {
       .where(col("sz") * lit(4L) <= col("max_bsz") * lit(5L))
       .select(col("doc_id").as("a"), col("sz").as("sz_a"),
         explode(slice(col("hs"), lit(1), k)).as("h"))
-      .join(broadcast(batchHashes), Seq("h"), "left_semi")
+      .join(hinted(batchHashes), Seq("h"), "left_semi")
   }
 
   /** Core of [[dedupContainmentIncremental]] over an explicit
@@ -2377,8 +2458,10 @@ object DedupQueries {
     * pre-capped by the batch's max size — sup term): together exactly
     * the candidate pairs with ≥ 1 batch endpoint. Exposed so the
     * admission rehearsal can measure candidate growth per scale. */
-  private[graft] def incrementalContainmentCandidates(sh: DataFrame): DataFrame = {
+  private[graft] def incrementalContainmentCandidates(sh: DataFrame,
+      hintBatch: Boolean = true): DataFrame = {
     def isBatch(c: Column) = pmod(c, lit(5)) === 0
+    def hinted(df: DataFrame) = if (hintBatch) broadcast(df) else df
     val k = containPrefixLen("sz")
     val probe = sh.select(col("doc_id").as("a"), col("sz").as("sz_a"),
       explode(slice(col("hs"), lit(1), k)).as("h"))
@@ -2387,18 +2470,20 @@ object DedupQueries {
     def bound(c: DataFrame) = c.where(col("a") =!= col("b") &&
       col("sz_b").cast("double") >= col("sz_a").cast("double") * lit(ContainT))
       .select(col("a"), col("b"))
-    // both terms' batch-bounded sides broadcast (round-17): sub = the
-    // batch's prefix hashes vs the streamed corpus index; sup = the
-    // pre-pruned corpus postings vs the batch's own index
-    bound(broadcast(probe.where(isBatch(col("a")))).join(full, Seq("h")))
-      .unionByName(bound(containmentSupProbe(sh)
-        .join(broadcast(full.where(isBatch(col("b")))), Seq("h"))))
+    // both terms' batch-bounded sides broadcast when under the gate
+    // (round-17; gate r18): sub = the batch's prefix hashes vs the
+    // streamed corpus index; sup = the pre-pruned corpus postings vs
+    // the batch's own index
+    bound(hinted(probe.where(isBatch(col("a")))).join(full, Seq("h")))
+      .unionByName(bound(containmentSupProbe(sh, hintBatch)
+        .join(hinted(full.where(isBatch(col("b")))), Seq("h"))))
       .distinct()
   }
 
-  private[graft] def incrementalContainmentOfSh(sh: DataFrame): DataFrame = {
+  private[graft] def incrementalContainmentOfSh(sh: DataFrame,
+      hintBatch: Boolean = true): DataFrame = {
     def isBatch(c: Column) = pmod(c, lit(5)) === 0
-    val verified = incrementalContainmentCandidates(sh)
+    val verified = incrementalContainmentCandidates(sh, hintBatch)
       .join(sh.select(col("doc_id").as("a"), col("hs").as("hs_a"),
         col("sz").as("sz_a")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("hs").as("hs_b")),

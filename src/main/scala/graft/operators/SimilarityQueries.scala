@@ -588,10 +588,19 @@ object SimilarityQueries {
     val sigs = embSigsStored(spark, dir)
     // probe side from the signature chain's own delta dir (round-17):
     // a width-boundary rebuild folds the tag, in which case the
-    // filter fallback applies — row-identical either way
+    // filter fallback applies — row-identical either way. The
+    // broadcast hint rides the delta only under the metadata row
+    // budget (r17 advice: an unforced hint must not grow with the
+    // corpus past the broadcast cap).
     incrementalEmbOfSigs(sigs.where(!isIngestBatchVec),
       ArtifactStore.deltaFrame(spark, embSigStorePath(dir),
         DedupQueries.IngestBatchTag)
+        .map { d =>
+          if (ArtifactStore.deltaRowCount(embSigStorePath(dir),
+              DedupQueries.IngestBatchTag)
+              .exists(_ <= DedupQueries.BatchBroadcastMaxRows)) broadcast(d)
+          else d
+        }
         .getOrElse(sigs.where(isIngestBatchVec)),
       emb)
   }
@@ -610,12 +619,16 @@ object SimilarityQueries {
     import graft.functions.VectorExpressions.cosine_similarity
     val onKeys = col("a.table_id") === col("b.table_id") &&
       col("a.sig") === col("b.sig")
-    // batch signatures broadcast (round-17 per_probe decomposition):
-    // the corpus posting store streams map-side, no exchange
-    val cross = broadcast(inS.as("a")).join(exS.as("b"), onKeys)
+    // batch signatures carry the store-delta broadcast hint when the
+    // delta metadata says they fit (round-17 per_probe decomposition:
+    // the corpus posting store streams map-side, no exchange; r17
+    // advice: gated, not forced — fresh-frame callers get the
+    // planner/AQE choice)
+    val cross = DedupQueries.carryBroadcastHint(inS.as("a"))
+      .join(exS.as("b"), onKeys)
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("match_id"),
         lit("corpus").as("match_src"))
-    val inBatch = inS.as("a").join(broadcast(inS.as("b")),
+    val inBatch = inS.as("a").join(DedupQueries.carryBroadcastHint(inS.as("b")),
         onKeys && col("a.vec_id") < col("b.vec_id"))
       .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("match_id"),
         lit("batch").as("match_src"))
@@ -637,9 +650,9 @@ object SimilarityQueries {
     val exS = sigs.where(!isIngestBatchVec)
     val onKeys = col("a.table_id") === col("b.table_id") &&
       col("a.sig") === col("b.sig")
-    broadcast(inS.as("a")).join(exS.as("b"), onKeys)
+    DedupQueries.carryBroadcastHint(inS.as("a")).join(exS.as("b"), onKeys)
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("match_id"))
-      .unionByName(inS.as("a").join(broadcast(inS.as("b")),
+      .unionByName(inS.as("a").join(DedupQueries.carryBroadcastHint(inS.as("b")),
           onKeys && col("a.vec_id") < col("b.vec_id"))
         .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("match_id")))
       .distinct()

@@ -781,6 +781,19 @@ object EventStreams {
     import graft.ArtifactStore
     import graft.operators.{DedupQueries => D, SimilarityQueries => S}
     val tag = D.IngestBatchTag
+    // ONE non-empty micro-batch per corpus version is the store
+    // contract here (the tag is fixed): once the tag is chained,
+    // appendedCached serves the landed delta and never runs a derive
+    // thunk, so a second non-empty batch would be SILENTLY DROPPED —
+    // fail loudly instead (r17 advice). An EMPTY micro-batch (stream
+    // start-up, idle trigger) is a no-op either way: landing it would
+    // chain the tag with zero rows and doom the real batch to the
+    // silent-drop path.
+    if (batch.isEmpty) return
+    if (ArtifactStore.tagChained(spark, D.digestStorePath(dir), tag))
+      sys.error(s"stream ingest: batch tag '$tag' already chained for " +
+        s"$dir — one non-empty micro-batch per corpus version; a second " +
+        "batch under the same tag would be silently dropped")
     def land(path: String)(delta: => DataFrame): Unit = {
       ArtifactStore.appendedCached(spark, path, tag)(
         sys.error(s"stream ingest requires a prebuilt base: $path"))(delta)

@@ -144,5 +144,28 @@ class StreamIngestSpec extends AnyFunSuite {
     val byId = ref.map(r => r.head.asInstanceOf[Long] -> r).toMap
     assert(byId(10L)(1) == 0, s"exact dup not caught: ${byId(10L)}")
     assert(byId(20L)(1) == 1, s"fresh doc not kept: ${byId(20L)}")
+
+    // ---- the r17-advice multi-batch guard, pinned on the SAME
+    // just-ingested corpus (tag now chained at dirB):
+    // an EMPTY micro-batch (stream start-up, idle trigger) is a
+    // no-op — it must neither throw nor disturb the landed chains —
+    // and a SECOND non-empty micro-batch under the fixed tag FAILS
+    // LOUDLY instead of being silently dropped by appendedCached
+    // serving the existing delta.
+    val emptyBatch = spark.range(0)
+      .select(col("id").as("doc_id"), lit("x").as("text"),
+        lit(1L).as("n_chars"))
+      .where(lit(false))
+    streaming.EventStreams.ingestAdmissionBatch(spark, dirB, emptyBatch)
+    assert(verdicts(dirB) == ref,
+      "empty micro-batch disturbed the landed chains")
+    val secondBatch = spark.range(1)
+      .select((col("id") + 25L).as("doc_id"),
+        lit("late second batch content").as("text"), lit(25L).as("n_chars"))
+    val ex = intercept[RuntimeException] {
+      streaming.EventStreams.ingestAdmissionBatch(spark, dirB, secondBatch)
+    }
+    assert(ex.getMessage.contains("already chained"),
+      s"second non-empty batch must fail loudly, got: ${ex.getMessage}")
   }
 }

@@ -12,21 +12,32 @@
 # Round-17 hardening (r16 ADVICE medium: the old form discarded every
 # sbt exit status and scored stale /tmp output dirs, so a crashed
 # Verify run could print a false PASS from the previous round's
-# parquet): set -eo pipefail, every output dir is wiped before its run,
-# every sbt exit code is checked (nonzero => the pass is recorded
-# FAILED, the battery continues so one broken ablation doesn't hide
-# the others, and the battery exits nonzero), and the verdicts land in
-# GATES_r{N}.json (r16 item 3: round-close evidence as an artifact,
-# not commit-message prose).
+# parquet): set -uo pipefail (-e deliberately omitted — a failing gate
+# must record FAILED and keep the battery running, not abort it),
+# every output dir is wiped before its run, every sbt exit code is
+# checked (nonzero => the pass is recorded FAILED, the battery
+# continues so one broken ablation doesn't hide the others, and the
+# battery exits nonzero), and the verdicts land in GATES_r{N}.json
+# (r16 item 3: round-close evidence as an artifact, not
+# commit-message prose).
 #
-# Usage: tools/gate_battery.sh [round-number]   (default: 17)
+# Usage: tools/gate_battery.sh [round-number]   (default: 18)
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-ROUND="${1:-17}"
+ROUND="${1:-18}"
 GATES="GATES_r${ROUND}.json"
 OVERALL=0
 ROWS=()
+
+# JSON-escape free-form tool output before embedding it in the GATES
+# artifact (r17 advice: a raw "$line" interpolation containing quotes
+# or backslashes — a python traceback, an sbt error — yields invalid
+# JSON exactly when the artifact matters most). Emits a QUOTED JSON
+# string, so call sites use "key":$(jesc "$text") with no extra quotes.
+jesc() {
+  printf '%s' "$1" | python3 -c 'import json,sys; print(json.dumps(sys.stdin.read()))'
+}
 
 record() { # name, status, detail-json
   ROWS+=("{\"gate\":\"$1\",\"status\":\"$2\",$3}")
@@ -51,7 +62,7 @@ run_pass() {
   if [ "$f" = "0" ] && [ "$p" -gt 0 ]; then
     record "$label" "PASS" "\"pass\":$p,\"fail\":$f,\"rows_only\":$s" "($line)"
   else
-    record "$label" "FAILED" "\"pass\":$p,\"fail\":$f,\"rows_only\":$s,\"raw\":\"$line\""
+    record "$label" "FAILED" "\"pass\":$p,\"fail\":$f,\"rows_only\":$s,\"raw\":$(jesc "$line")"
   fi
 }
 
@@ -97,7 +108,7 @@ EOF
   if [ "$f" = "0" ] && [ "$p" -gt 0 ]; then
     record "sf0.1_TRIMMED" "PASS" "\"pass\":$p,\"fail\":$f,\"rows_only\":$s" "($line)"
   else
-    record "sf0.1_TRIMMED" "FAILED" "\"pass\":$p,\"fail\":$f,\"rows_only\":$s,\"raw\":\"$line\""
+    record "sf0.1_TRIMMED" "FAILED" "\"pass\":$p,\"fail\":$f,\"rows_only\":$s,\"raw\":$(jesc "$line")"
   fi
 fi
 
@@ -107,9 +118,9 @@ audit=$(SPARK_GRAFT_PLAN_ONLY=all sbt -batch 'runMain graft.PlanProbe /root/test
 rc=$?
 census=$(echo "$audit" | grep -oE 'queries=[0-9]+ bnlj=[0-9]+ cartesian=[0-9]+ violations=[0-9]+' | tail -1)
 if [ $rc -eq 0 ] && [ -n "$census" ]; then
-  record "plan_audit" "PASS" "\"census\":\"$census\"" "($census)"
+  record "plan_audit" "PASS" "\"census\":$(jesc "$census")" "($census)"
 else
-  record "plan_audit" "FAILED" "\"rc\":$rc,\"census\":\"${census:-none}\""
+  record "plan_audit" "FAILED" "\"rc\":$rc,\"census\":$(jesc "${census:-none}")"
 fi
 
 # full test suite
@@ -120,7 +131,7 @@ fails=$(echo "$tests" | grep -oE 'failed [0-9]+' | grep -oE '[0-9]+' || echo -1)
 if [ $rc -eq 0 ] && [ "$fails" = "0" ] && [ "$succ" -gt 0 ]; then
   record "sbt_test" "PASS" "\"succeeded\":$succ,\"failed\":$fails" "($tests)"
 else
-  record "sbt_test" "FAILED" "\"succeeded\":$succ,\"failed\":$fails,\"raw\":\"$tests\""
+  record "sbt_test" "FAILED" "\"succeeded\":$succ,\"failed\":$fails,\"raw\":$(jesc "$tests")"
 fi
 
 # SCALE10 completeness guard (r16 item 7: filtered SPARK_GRAFT_FAMILIES
@@ -154,16 +165,27 @@ EOF
 if [ $? -eq 0 ]; then
   record "scale10_complete" "PASS" '"detail":"all sections present"'
 else
-  record "scale10_complete" "FAILED" "\"detail\":\"$scale_check\""
+  record "scale10_complete" "FAILED" "\"detail\":$(jesc "$scale_check")"
 fi
 
 # bench-pair thermometer gate (r16 item 2: committed clean pairs
 # measure spread 0.021-0.027 while a known-polluted pair passed the
 # old <=0.2 band at 0.161 — the gate now reflects the thermometer's
-# measured discriminating power: spread <= 0.05 on BOTH halves)
+# measured discriminating power: spread <= 0.05 on BOTH halves).
+# Round-18 extension (r17 item 2): the single-thread probe cannot see
+# multicore/IO contention — a 231 s cold run passed it at the
+# committed 0.57 class — so each half's MULTI-thread probe readings
+# (t_par_start/t_par_end) must additionally sit within +/-15% of the
+# committed level in tools/therm_history.json's latest entry.
 therm_check=$(python3 - <<'EOF'
 import json, sys
 bad = []
+try:
+    hist = json.load(open("tools/therm_history.json"))["history"]
+    level = hist[-1]["t_par_level"]
+except Exception as e:
+    level = None
+    bad.append(f"therm_history.json unreadable: {e}")
 for f in ("BENCH_CLEAN.json", "BENCH_CLEAN_WARM.json"):
     try:
         d = json.load(open(f))
@@ -174,15 +196,23 @@ for f in ("BENCH_CLEAN.json", "BENCH_CLEAN_WARM.json"):
         bad.append(f"{f}: no thermometer"); continue
     if t.get("spread", 99) > 0.05:
         bad.append(f"{f}: spread {t['spread']} > 0.05")
+    if level is not None:
+        for k in ("t_par_start", "t_par_end"):
+            v = t.get(k)
+            if v is None:
+                bad.append(f"{f}: no {k}")
+            elif abs(v - level) / level > 0.15:
+                bad.append(f"{f}: {k} {v} outside +/-15% of "
+                           f"committed t_par level {level}")
 if bad:
     print("; ".join(bad)); sys.exit(1)
-print("both halves spread <= 0.05")
+print(f"both halves spread <= 0.05 and t_par within 15% of {level}")
 EOF
 )
 if [ $? -eq 0 ]; then
-  record "bench_thermometer" "PASS" "\"detail\":\"$therm_check\""
+  record "bench_thermometer" "PASS" "\"detail\":$(jesc "$therm_check")"
 else
-  record "bench_thermometer" "FAILED" "\"detail\":\"$therm_check\""
+  record "bench_thermometer" "FAILED" "\"detail\":$(jesc "$therm_check")"
 fi
 
 # emit the artifact
