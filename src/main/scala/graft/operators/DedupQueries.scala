@@ -1325,13 +1325,32 @@ object DedupQueries {
         (chunks.where(!isIngestBatch), chunks.where(isIngestBatch))
     }
 
+  /** The pigeonhole key pair (chunk_idx, chunk_val) FUSED into one
+    * LONG — `chunk_idx << 48 | chunk_val` — the hamming families' join
+    * key (round-18, guide §1.1/§3.1 measured): a two-column equi key
+    * builds an UnsafeHashedRelation whose per-row probe cost dominated
+    * the ×100 admission floor (the r17 verdict's `weak` — 16.2 s for
+    * the simhash probe, of which the index SCAN was only ~1 s; the
+    * byte-keyed hash probe of 102.4M stream rows was the other 15), a
+    * single long key builds a LongHashedRelation (16.2 → 2.2 s
+    * measured, ProbeFloorProbe). INJECTIVE by construction, so the
+    * fused equi-join is row-identical to the pair join: chunk_idx is
+    * at most 255 (level 4 = 256 slots) and chunk_val is at most
+    * 43 bits wide (the staged widths: 15-bit ch + 12-bit sub + 9-bit
+    * ss + 7-bit sss at level 4; narrower at lower levels), so the two
+    * fields never overlap in the 64-bit fusion. Used on BOTH sides of
+    * every hamming-family candidate join (simhash + pHash, full and
+    * incremental); PipelineSpec pins fused ≡ pair-keyed candidates. */
+  private[graft] def fusedChunkKey(side: String): Column =
+    shiftleft(col(s"$side.chunk_idx").cast("long"), 48)
+      .bitwiseOR(col(s"$side.chunk_val"))
+
   /** SimHash candidate pairs of an explicit chunk frame (distinct,
     * pre-hamming-filter) — the blocked candidate set the scale
     * rehearsal measures. */
   private[graft] def simhashCandidatesOfChunks(chunks: DataFrame): DataFrame =
     chunks.as("a").join(chunks.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
+        fusedChunkKey("a") === fusedChunkKey("b") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
@@ -1424,14 +1443,14 @@ object DedupQueries {
     // hard-fails at the 8 GB broadcast cap instead of demoting to a
     // shuffle join (r17 advice) — fresh-frame callers get the
     // planner/AQE choice
+    // single fused LONG join key (see [[fusedChunkKey]]): the two-col
+    // key's UnsafeHashedRelation probe was the measured ×100 floor
     val cross = carryBroadcastHint(inC.as("a")).join(exC.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk_val") === col("b.chunk_val"))
+        fusedChunkKey("a") === fusedChunkKey("b"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"),
         lit("corpus").as("match_src"), ham.as("hamming"))
     val inBatch = inC.as("a").join(carryBroadcastHint(inC.as("b")),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
+        fusedChunkKey("a") === fusedChunkKey("b") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("b.doc_id").as("doc_id"), col("a.doc_id").as("match_id"),
         lit("batch").as("match_src"), ham.as("hamming"))
@@ -1451,13 +1470,11 @@ object DedupQueries {
     val exC = chunks.where(!isIngestBatch)
     def ham = bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol")))
     carryBroadcastHint(inC.as("a")).join(exC.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk_val") === col("b.chunk_val"))
+        fusedChunkKey("a") === fusedChunkKey("b"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"),
         ham.as("hamming"))
       .unionByName(inC.as("a").join(carryBroadcastHint(inC.as("b")),
-          col("a.chunk_idx") === col("b.chunk_idx") &&
-            col("a.chunk_val") === col("b.chunk_val") &&
+          fusedChunkKey("a") === fusedChunkKey("b") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("b.doc_id").as("doc_id"), col("a.doc_id").as("match_id"),
           ham.as("hamming")))
@@ -2286,11 +2303,23 @@ object DedupQueries {
     * [[shingledMd5On]]'s row-for-row (ArtifactStoreSpec), so the
     * aggregate below is bit-identical through either input. */
   private[graft] def containmentShOfShingles(shingled: DataFrame): DataFrame =
+    // ROW-LOCAL form (round-18, guide §2.4: remove shuffles outright):
+    // the input holds ONE (doc_id, sh) row per doc, so the old
+    // explode → groupBy → collect_list → sort_array re-aggregate was a
+    // full corpus-shingle EXCHANGE (40M+ rows at ×100, on every probe)
+    // that recomputed what sort_array(sh)/size(sh) compute per row with
+    // no shuffle at all. Row-identical: collect_list over one doc's
+    // exploded elements is that doc's own multiset (the streaming
+    // containment dual has always used this equivalence, spec-pinned);
+    // the one divergence — explode EMITS NOTHING for an empty array,
+    // dropping <k-token docs from the aggregate — is preserved by the
+    // size filter; the count(*) → size() type change is cast back to
+    // long so downstream arithmetic and output schemas are
+    // bit-identical.
     shingled
-      .select(col("doc_id"), explode(col("sh")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("h"))).as("hs"),
-        count(lit(1)).as("sz"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), sort_array(col("sh")).as("hs"),
+        size(col("sh")).cast("long").as("sz"))
 
   /** Prefix-filtered candidate pairs of [[containmentOn]] — ordered
     * (a, b) pairs surviving the prefix + length-bound filters, BEFORE

@@ -326,8 +326,8 @@ object MultimodalQueries extends Serializable {
     * rehearsal's measured frame for this family. */
   private[graft] def phashCandidatesOfChunks(chunks: DataFrame): DataFrame =
     chunks.as("a").join(chunks.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
+        graft.operators.DedupQueries.fusedChunkKey("a") ===
+          graft.operators.DedupQueries.fusedChunkKey("b") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))

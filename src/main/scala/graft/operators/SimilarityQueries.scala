@@ -173,9 +173,14 @@ object SimilarityQueries {
         signatureOf(t, col("vec"), sigBits, dim)): _*)).as(Seq("table_id", "sig")))
     val qSigs = sigs.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("table_id"), col("sig"))
-    val candidates = sigs.join(broadcast(qSigs), Seq("table_id", "sig"))
-      .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id")).distinct()
+    // single fused LONG join key (see [[fusedSigKey]]): the corpus
+    // posting side streams against a LongHashedRelation of the query
+    // signatures instead of the slower byte-keyed two-column relation
+    val candidates = sigs.as("a").join(broadcast(qSigs).as("b"),
+        fusedSigKey("a") === fusedSigKey("b"))
+      .where(col("a.vec_id") =!= col("b.query_id"))
+      .select(col("b.query_id").as("query_id"), col("a.vec_id").as("vec_id"))
+      .distinct()
     val scored = candidates
       .join(emb, Seq("vec_id"))
       .join(broadcast(emb.where(col("vec_id") < NQueries)
@@ -410,6 +415,20 @@ object SimilarityQueries {
     b
   }
 
+  /** The LSH posting key pair (table_id, sig) FUSED into one LONG —
+    * `table_id << 48 | sig` — the emb family's join key (round-18,
+    * the [[graft.operators.DedupQueries.fusedChunkKey]] finding: a
+    * two-column equi key builds a byte-keyed UnsafeHashedRelation
+    * whose per-row probe cost dominates large-index probes; a single
+    * long key builds a LongHashedRelation, measured 6–8× faster at
+    * ×100). INJECTIVE by construction: [[sigBitsFor]] caps signature
+    * width at 31 bits, so sig < 2^31 ≤ 2^48, and table_id is a small
+    * table index (< 256) — the fields never overlap in the fusion, so
+    * the fused equi-join is row-identical to the pair join. */
+  private[graft] def fusedSigKey(side: String): Column =
+    shiftleft(col(s"$side.table_id").cast("long"), 48)
+      .bitwiseOR(col(s"$side.sig"))
+
   /** Embedding-cosine near-dup pairs — the vector-space member of the
     * dedup family: random-hyperplane LSH blocking (candidates = pairs
     * sharing any of [[DedupTables]] table signatures), exact cosine
@@ -425,25 +444,42 @@ object SimilarityQueries {
     * oracled: the signature rule is pure integer arithmetic that the
     * DuckDB SQL replays bit-for-bit. */
   val dedupEmbCosine: Q = (spark, dir) =>
-    dedupEmbCosineOn(Tables.embeddings(spark, dir))
+    // signatures from the MAINTAINED posting store (round-18, the
+    // round-13 containment precedent: the full operator re-projected
+    // every corpus vector against the hyperplanes on every call while
+    // [[embSigsStored]] serves the identical postings — width =
+    // sigBitsFor(full count), append ≡ full derivation row-for-row,
+    // spec-pinned). The serving path is now a store read + the
+    // candidate join; the one hyperplane projection per corpus
+    // version covers this family's full query too. Cache-off runs
+    // fall through to the store's own fresh-derive thunks — the same
+    // rows either way.
+    dedupEmbCosineOfSigs(embSigsStored(spark, dir),
+      Tables.embeddings(spark, dir))
 
   /** Core of [[dedupEmbCosine]] over any frame with (vec_id,
     * embedding) — exposed so specs can plant duplicate vectors
     * (identical vectors share every table signature by construction,
     * so a true dup is ALWAYS a candidate). */
   private[graft] def dedupEmbCosineOn(embRaw: DataFrame): DataFrame = {
-    graft.functions.VectorExpressions.register(embRaw.sparkSession)
-    import graft.functions.VectorExpressions.cosine_similarity
     val emb = embRaw
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
     val bits = sigBitsFor(emb.count()) // O(1) scalar probe
     val dim = vecDim(emb)
-    val sigs = emb.select(col("vec_id"),
-      posexplode(array((0 until DedupTables).map(t =>
-        signatureOf(t, col("vec"), bits, dim)): _*)).as(Seq("table_id", "sig")))
+    dedupEmbCosineOfSigs(embSigsOf(emb, bits, dim), embRaw)
+  }
+
+  /** [[dedupEmbCosine]] over explicit posting + vector frames — the
+    * candidate join and exact-cosine verify shared by the store-served
+    * Q form and the fresh-deriving spec form. */
+  private[graft] def dedupEmbCosineOfSigs(sigs: DataFrame,
+      embRaw: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(embRaw.sparkSession)
+    import graft.functions.VectorExpressions.cosine_similarity
+    val emb = embRaw
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
     val cand = sigs.as("a").join(sigs.as("b"),
-        col("a.table_id") === col("b.table_id") &&
-          col("a.sig") === col("b.sig") &&
+        fusedSigKey("a") === fusedSigKey("b") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
@@ -617,8 +653,8 @@ object SimilarityQueries {
   private[graft] def incrementalEmbOfSigs(exS: DataFrame,
       inS: DataFrame, emb: DataFrame): DataFrame = {
     import graft.functions.VectorExpressions.cosine_similarity
-    val onKeys = col("a.table_id") === col("b.table_id") &&
-      col("a.sig") === col("b.sig")
+    // single fused LONG join key (see [[fusedSigKey]])
+    val onKeys = fusedSigKey("a") === fusedSigKey("b")
     // batch signatures carry the store-delta broadcast hint when the
     // delta metadata says they fit (round-17 per_probe decomposition:
     // the corpus posting store streams map-side, no exchange; r17
@@ -648,8 +684,7 @@ object SimilarityQueries {
   private[graft] def incrementalEmbCandidates(sigs: DataFrame): DataFrame = {
     val inS = sigs.where(isIngestBatchVec)
     val exS = sigs.where(!isIngestBatchVec)
-    val onKeys = col("a.table_id") === col("b.table_id") &&
-      col("a.sig") === col("b.sig")
+    val onKeys = fusedSigKey("a") === fusedSigKey("b")
     DedupQueries.carryBroadcastHint(inS.as("a")).join(exS.as("b"), onKeys)
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("match_id"))
       .unionByName(inS.as("a").join(DedupQueries.carryBroadcastHint(inS.as("b")),

@@ -523,10 +523,18 @@ object EventStreams {
         graft.functions.TextFunctions.shingleHashesMd5(col("w")).as("sh"))
       .where(size(col("sh")) >= 1)
       .select(col("doc_id"), D.simhashArrayCol(col("sh")).as("simhash"))
-    D.chunksAtLevel(signed, "simhash", level)
+    // single fused LONG join key (see
+    // [[graft.operators.DedupQueries.fusedChunkKey]]): the stream-
+    // static probe pays the same per-row UnsafeHashedRelation cost
+    // over the corpus index as the batch probe did — LongHashedRelation
+    // via the injective fusion, identical matches
+    D.chunksAtLevel(signed, "simhash", level).as("a")
       .join(corpusChunks.select(col("chunk_idx"), col("chunk_val"),
-        col("doc_id").as("match_id"), col("simhash").as("match_simhash")),
-        Seq("chunk_idx", "chunk_val"))
+        col("doc_id").as("match_id"), col("simhash").as("match_simhash"))
+        .as("b"),
+        D.fusedChunkKey("a") === D.fusedChunkKey("b"))
+      .select(col("a.doc_id").as("doc_id"), col("match_id"),
+        col("a.simhash").as("simhash"), col("match_simhash"))
       .select(col("doc_id"), col("match_id"),
         bit_count(col("simhash").bitwiseXOR(col("match_simhash")))
           .as("hamming"))
@@ -722,8 +730,16 @@ object EventStreams {
         posexplode(array((0 until S.DedupTables).map(t =>
           S.signatureOf(t, col("va"), bits, dim)): _*))
           .as(Seq("table_id", "sig")))
+      // single fused LONG join key (see
+      // [[graft.operators.SimilarityQueries.fusedSigKey]]): the
+      // stream-static probe of the corpus posting index pays the same
+      // per-row relation cost as the batch probe — identical matches
+      .as("a")
       .join(corpusSigs.select(col("table_id"), col("sig"),
-        col("vec_id").as("match_id")), Seq("table_id", "sig"))
+        col("vec_id").as("match_id")).as("b"),
+        S.fusedSigKey("a") === S.fusedSigKey("b"))
+      .select(col("a.vec_id").as("vec_id"), col("a.va").as("va"),
+        col("match_id"))
       .join(corpusVecs.select(col("vec_id").as("match_id"),
         col("embedding").cast("array<double>").as("vb")), Seq("match_id"))
       .select(col("vec_id"), col("match_id"),

@@ -139,12 +139,16 @@ class JoinWindowSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"phash blocking fell back to a cartesian:\n$plan")
     // the CANDIDATE join must be an equi hash join on the pigeonhole
-    // keys; the only nested-loop sites allowed are the round-11 lazy
-    // cardinality probes (1-row count broadcasts choosing the adaptive
-    // level — each BNLJ's build side must be that zero-key count)
-    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[chunk_idx".r
-      .findFirstIn(plan).isDefined,
-      s"candidate join is not an equi join on the chunk keys:\n$plan")
+    // keys — since round 18 the FUSED single-long form
+    // (chunk_idx << 48 | chunk_val, DedupQueries.fusedChunkKey: a
+    // LongHashedRelation probes ~8× faster than the two-column
+    // UnsafeHashedRelation); the only nested-loop sites allowed are
+    // the round-11 lazy cardinality probes (1-row count broadcasts
+    // choosing the adaptive level — each BNLJ's build side must be
+    // that zero-key count)
+    assert(("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) " +
+      "\\[\\(shiftleft\\(cast\\(chunk_idx").r.findFirstIn(plan).isDefined,
+      s"candidate join is not an equi join on the fused chunk key:\n$plan")
     val bnlj = plan.split("BroadcastNestedLoopJoin").length - 1
     val probeAggs = plan.split(
       java.util.regex.Pattern.quote("HashAggregate(keys=[], functions=[count("))

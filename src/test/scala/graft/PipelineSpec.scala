@@ -893,6 +893,48 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("fused chunk key: injective at every level (chunk_idx < 256, " +
+    "chunk_val < 2^48, so idx<<48|val never overlaps) and the fused-key " +
+    "candidate join == the (chunk_idx, chunk_val) pair join row-for-row") {
+    import spark.implicits._
+    val D = operators.DedupQueries
+    // planted population: an exact dup pair, a hamming-2 near pair,
+    // adversarial bit patterns, and unrelated hashes
+    val hs = Seq(
+      1L -> 0x0123456789ABCDEFL, 2L -> 0x0123456789ABCDEFL, // exact dup
+      3L -> 0x7777777777777777L,
+      4L -> (0x7777777777777777L ^ (1L << 3) ^ (1L << 40)), // hamming 2
+      5L -> 0x5555555555555555L, 6L -> ((1L << 60) - 1),
+      7L -> 0L, 8L -> 0x123456789ABCDEL)
+    val hashes = hs.toDF("doc_id", "h")
+    for (level <- Seq(2, 3, 4)) {
+      val chunks = D.chunksAtLevel(hashes, "h", level)
+      // injectivity bounds: both fields fit their fusion slots
+      val bounds = chunks.agg(max(col("chunk_idx")).as("mi"),
+        max(col("chunk_val")).as("mv")).head
+      assert(bounds.getInt(0) < 256,
+        s"chunk_idx ${bounds.getInt(0)} >= 256 at level $level")
+      assert(bounds.getLong(1) < (1L << 48),
+        s"chunk_val ${bounds.getLong(1)} >= 2^48 at level $level")
+      // fused-key production join == the two-column reference join
+      val got = chunks.as("a").join(chunks.as("b"),
+          D.fusedChunkKey("a") === D.fusedChunkKey("b") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val want = chunks.as("a").join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk_val") === col("b.chunk_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == want, s"fused-key join diverged at level $level")
+      assert(got.contains((1L, 2L)), "exact dup pair must block together")
+      assert(got.contains((3L, 4L)),
+        "hamming-2 pair must share a pigeonhole key")
+    }
+  }
+
   test("kmeans iteration: a mislabeled vector flips cluster in one Lloyd " +
     "step (both centroids shift); a perfectly-labeled corpus is a fixed " +
     "point (zero shift)") {
