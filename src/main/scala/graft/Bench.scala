@@ -233,8 +233,15 @@ object Bench {
         new java.io.File("rejected").mkdirs()
         val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
           .format(new java.util.Date())
-        System.err.println(s"[bench] thermometer spread " +
-          f"$thermSpread%.3f > 0.05 — full map diverted to rejected/")
+        // the -1.0 sentinel means the thermometer never ran (r18
+        // advice: an unmeasured probe must not be reported as a
+        // spread violation — the capture is still diverted, because
+        // an unadjudicable window can't serve as the current bench)
+        val reason =
+          if (thermSpread < 0) "thermometer unmeasured"
+          else f"thermometer spread $thermSpread%.3f > 0.05"
+        System.err.println(
+          s"[bench] $reason — full map diverted to rejected/")
         s"rejected/${fullMapFile.stripSuffix(".json")}_$ts.json"
       }
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

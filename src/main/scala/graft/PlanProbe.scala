@@ -56,7 +56,20 @@ object PlanProbe {
       if (p.children.length == 1) provableMaxRows(p.children.head)
       else None)
 
-  final case class PlanCensus(bnlj: Int, cartesian: Int,
+  /** Row budget an UNPARTITIONED Window's input must PROVABLY fit in
+    * (round-19, the r17 bounded-window doctrine machine-audited): a
+    * global window moves its whole input into ONE task, so it is legal
+    * only over frames bounded by something other than the data — a
+    * partition-count frame (GlobalRank's offsets), a group-count
+    * frame, a literal relation. Those carry a logical `maxRows` (via
+    * an explicit identity `limit`, see GlobalRank.boundedByPartitions);
+    * any data-sized input has none and fails the audit. The budget is
+    * generous — cluster shuffle-partition counts reach 10⁴–10⁵ — while
+    * still rejecting every corpus-proportional frame (which can prove
+    * no bound at all). */
+  val GlobalWindowMaxRows = 1000000L
+
+  final case class PlanCensus(bnlj: Int, cartesian: Int, globalWindow: Int,
       violations: Seq[String])
 
   /** Join census + bounded-build check of one query's physical plan
@@ -81,7 +94,26 @@ object PlanProbe {
             s"(maxRows=$got): ${build.nodeName}")
       }
     }
-    PlanCensus(bnlj.size, cart, bad)
+    // unpartitioned-window audit: every WindowExec / WindowGroupLimit
+    // with an EMPTY partition spec must have a provably bounded input
+    // — the "WindowExec: No Partition Defined" warning class, promoted
+    // from scaladoc doctrine to a hard census require (r17 item 6)
+    val gw = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase
+          if w.partitionSpec.isEmpty => w: SparkPlan
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty => w: SparkPlan
+    }
+    val badW = gw.flatMap { w =>
+      provableMaxRows(w.children.head) match {
+        case Some(n) if n <= GlobalWindowMaxRows => None
+        case got => Some(
+          s"unpartitioned Window input not provably ≤ " +
+            s"$GlobalWindowMaxRows rows (maxRows=$got): " +
+            w.children.head.nodeName)
+      }
+    }
+    PlanCensus(bnlj.size, cart, gw.size, bad ++ badW)
   }
 
   /** Every operator any round's probe has covered — append, never
@@ -123,7 +155,7 @@ object PlanProbe {
     val missing = selected.filterNot(registry.contains)
     require(missing.isEmpty,
       s"PlanProbe names not in SparkEntry.queries: ${missing.mkString(", ")}")
-    var (nBnlj, nCart) = (0, 0)
+    var (nBnlj, nCart, nGw) = (0, 0, 0)
     val allViolations = scala.collection.mutable.ArrayBuffer.empty[String]
     for (name <- selected) {
       println(s"========== $name ==========")
@@ -133,16 +165,18 @@ object PlanProbe {
       val c = census(qe)
       nBnlj += c.bnlj
       nCart += c.cartesian
+      nGw += c.globalWindow
       c.violations.foreach { v =>
         allViolations += s"$name: $v"
         System.err.println(s"[plan-audit] VIOLATION $name: $v")
       }
     }
     System.err.println(s"[plan-audit] queries=${selected.size} " +
-      s"bnlj=$nBnlj cartesian=$nCart violations=${allViolations.size}")
+      s"bnlj=$nBnlj cartesian=$nCart global_window=$nGw " +
+      s"violations=${allViolations.size}")
     require(nCart == 0 && allViolations.isEmpty,
       s"plan audit failed — cartesian=$nCart, unbounded BNLJ build " +
-        s"sides:\n${allViolations.mkString("\n")}")
+        s"sides / unbounded global windows:\n${allViolations.mkString("\n")}")
     spark.stop()
   }
 }

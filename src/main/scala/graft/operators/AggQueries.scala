@@ -806,13 +806,17 @@ object AggQueries {
     // sum over the ≤10-row aggregate, so the fact table is scanned
     // exactly ONCE (a second totals aggregate would re-read it; the
     // single-partition window is over bucket-grain rows, never
-    // data-sized)
+    // data-sized). The identity limit stamps the structural bound into
+    // the plan (r17 item 6): `bucket` is least(·, 9) — domain
+    // {0..9, null}, ≤ 11 groups — so the limit never drops a row and
+    // the unpartitioned-window census can prove the bound.
     val all = Window.partitionBy()
     val pS = (col("n_early").cast("double") + lit(1.0)) /
       (col("tot_early").cast("double") + lit(10.0))
     val qS = (col("n_late").cast("double") + lit(1.0)) /
       (col("tot_late").cast("double") + lit(10.0))
     counts
+      .limit(16)
       .withColumn("tot_early", sum(col("n_early")).over(all))
       .withColumn("tot_late", sum(col("n_late")).over(all))
       .select(col("bucket"), col("n_early"), col("n_late"),
@@ -852,11 +856,15 @@ object AggQueries {
       .agg(sum(when(col("early"), lit(1L)).otherwise(lit(0L))).as("n_early"),
         sum(when(!col("early"), lit(1L)).otherwise(lit(0L))).as("n_late"))
     // bounded-global-window: both windows run over the ≤100-row bucket
-    // aggregate (the KS statistic's CDF grid), never the observations
+    // aggregate (the KS statistic's CDF grid), never the observations.
+    // Identity limit (r17 item 6): `bucket` is least(·, 99) — domain
+    // {0..99, null}, ≤ 101 groups — a plan-provable maxRows for the
+    // unpartitioned-window census, never a dropped row.
     val cum = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy()
     counts
+      .limit(128)
       .withColumn("cum_early", sum(col("n_early")).over(cum))
       .withColumn("cum_late", sum(col("n_late")).over(cum))
       .withColumn("tot_early", sum(col("n_early")).over(all))

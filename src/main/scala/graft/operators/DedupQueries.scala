@@ -709,12 +709,30 @@ object DedupQueries {
     * probe frame would not reach the join. A frame with NO hint —
     * the fresh-filter fallback, a cache-off run — is returned as-is,
     * leaving the join strategy to the planner/AQE (the gated-hint
-    * contract, r17 advice). */
-  private[graft] def carryBroadcastHint(df: DataFrame): DataFrame =
-    if (df.queryExecution.analyzed.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ResolvedHint]))
-      broadcast(df)
-    else df
+    * contract, r17 advice).
+    *
+    * Detection walks the UNARY SPINE from the root only (round-19, r18
+    * advice): [[storeBatchSide]]'s hint always reaches a consumer
+    * through unary derivations (select / explode / filter /
+    * aggregate), so it sits on the root's single-child chain — while a
+    * hint inside any JOIN BRANCH is someone else's (the
+    * adaptiveChunksOf cardinality probe embeds crossJoin(broadcast(n))
+    * of a 1-row count, which the old whole-plan `exists` scan
+    * mistook for a batch-side hint and force-broadcast the entire
+    * corpus-growing fresh frame — exactly the unbounded-hint 8 GB-cap
+    * hazard the gating removed). The spine walk stops at the first
+    * multi-child or leaf node, so embedded-probe hints are invisible
+    * (DedupSpec pins the fresh-fallback frame hint-free). */
+  private[graft] def carryBroadcastHint(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint, UnaryNode}
+    @scala.annotation.tailrec
+    def spineHasHint(p: LogicalPlan): Boolean = p match {
+      case _: ResolvedHint => true
+      case u: UnaryNode    => spineHasHint(u.child)
+      case _               => false
+    }
+    if (spineHasHint(df.queryExecution.analyzed)) broadcast(df) else df
+  }
 
   /** The corpus's replayable shingle sets as a MAINTAINED, APPENDED
     * ARTIFACT — the root of the "one signature pass per corpus
@@ -2412,13 +2430,18 @@ object DedupQueries {
     // mod-5 batch is a fixed FRACTION of the corpus, so an unforced
     // hint must not grow past the broadcast cap — above the budget
     // the planner/AQE chooses the join strategy. None (no store
-    // metadata — fresh corpus, cache off) keeps the hint: those runs
-    // are the test-SF fixtures the hint was measured on.
+    // metadata — fresh corpus, cache off) also defers to the
+    // planner/AQE (round-19, r18 advice: `.exists`, aligned with
+    // [[storeBatchSide]]'s conservative default — the old `.forall`
+    // forced the hint on exactly the cache-off runs where the batch
+    // is an unbounded corpus fraction; at test SF the planner still
+    // broadcasts the small side on its own, so the fixtures are
+    // unaffected, DedupSpec pins the fresh path hint-free).
     incrementalContainmentOfSh(
       containmentShOfShingles(shingleStore(spark, dir)),
       hintBatch = ArtifactStore
         .deltaRowCount(shingleStorePath(dir), IngestBatchTag)
-        .forall(_ <= BatchArrayBroadcastMaxRows))
+        .exists(_ <= BatchArrayBroadcastMaxRows))
 
   /** Integer-exact pigeonhole prefix length at [[ContainT]] = 4/5 —
     * ⌊(1−t)·sz⌋+1 computed as sz − ⌈t·sz⌉ + 1 = sz − (sz·4+4) div 5

@@ -367,11 +367,15 @@ object JoinWindowQueries {
       .agg(min(date_trunc("hour", col("ts"))).as("hour"))
     // bounded-global-window: |distinct hours| rows (calendar-sized,
     // per the scaladoc) — the WindowExec single-partition warning
-    // this site emits is over bucket grain, never data grain
+    // this site emits is over bucket grain, never data grain. The
+    // identity limit encodes the calendar contract as a plan-provable
+    // maxRows (r17 item 6): a century of hours is ~877k < 10⁶, so the
+    // limit never drops a row on any event horizon this engine serves.
     val w = Window.orderBy(col("hour"))
       .rowsBetween(Window.unboundedPreceding, 0)
     firstSeen.groupBy(col("hour"))
       .agg(count(lit(1)).as("new_users"))
+      .limit(1000000)
       .withColumn("cum_users", sum(col("new_users")).over(w))
       .orderBy(col("hour"))
   }
@@ -631,11 +635,18 @@ object JoinWindowQueries {
       // bounded-global-window: input is the per-distinct-metric-value
       // aggregate (recency ≤ calendar days, monetary_k capped at 9999,
       // frequency ≤ distinct order counts) — quantile grain, never the
-      // customer table
+      // customer table. The identity limit stamps that value-grain
+      // contract into the plan (r17 item 6) so the unpartitioned-
+      // window census can prove the bound: recency and monetary_k are
+      // structurally ≤ 10⁶ (calendar / top-code), and a frequency
+      // grain past 10⁶ distinct per-customer order counts would mean
+      // single customers with ≥ 10⁶ orders — outside this segmentation
+      // query's own contract.
       val cum = Window.orderBy(col(metric))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val all = Window.partitionBy()
       cust.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
+        .limit(1000000)
         .withColumn("cum", sum(col("cnt")).over(cum))
         .withColumn("tot", sum(col("cnt")).over(all))
         .select(col(metric),

@@ -95,7 +95,13 @@ object PipelineOps {
     // A broadcast cross join of a separate total would re-execute the
     // whole scan+aggregate subtree (no CSE across join branches) —
     // verified by explain: that variant scans documents twice.
+    // The identity limit stamps the structural bound INTO THE PLAN
+    // (round-19, r17 item 6): `corpus` is a CASE over two literals, so
+    // the aggregate has ≤ 2 groups by the expression's value domain —
+    // the limit never drops a row; it exists so PlanProbe's
+    // unpartitioned-window census can prove the bound.
     agg
+      .limit(4)
       .withColumn("pct_docs",
         Tables.round6(col("n_docs") / sum(col("n_docs")).over(Window.partitionBy())))
       .orderBy(col("corpus"))
@@ -132,7 +138,13 @@ object PipelineOps {
       .groupBy(col("lang"), col("n_total"), col("rate_bp"))
       .agg(count(when(hash10k(col("doc_id")) < col("rate_bp"), 1)).as("n_kept"))
       // bounded-global-window: normalization over the |languages|-row
-      // aggregate, the pipeMixture shape
+      // aggregate, the pipeMixture shape. The identity limit encodes
+      // the query's own language-catalog contract (the rate dim above
+      // already broadcasts on that bound) as a plan-provable maxRows
+      // for the unpartitioned-window census — no real language catalog
+      // approaches 2^16 tags, and a corpus violating the contract
+      // already breaks the broadcast join this query is built on.
+      .limit(65536)
       .withColumn("pct_kept",
         Tables.round6(col("n_kept") / sum(col("n_kept")).over(Window.partitionBy())))
       .orderBy(col("lang"))

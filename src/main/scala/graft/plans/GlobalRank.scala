@@ -44,8 +44,17 @@ object GlobalRank {
     // P-row frame). Built from `ranged`
     // (not the windowed frame) so the offsets branch re-uses the range
     // exchange without re-running the within-partition sort.
+    //
+    // The IDENTITY limit stamps the bound INTO THE PLAN (round-19,
+    // r17 item 6): spark_partition_id() of a keyless repartitionByRange
+    // is < the session shuffle-partition count it planned with (AQE
+    // may only coalesce, never grow, that exchange), so the limit
+    // never drops a row — it exists so the frame carries a logical
+    // maxRows and PlanProbe's unpartitioned-window census can prove
+    // the bounded-global-window doctrine instead of trusting scaladoc.
     val offsets = ranged
       .groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_cnt"))
+      .limit(df.sparkSession.sessionState.conf.numShufflePartitions)
       .withColumn("__gr_offset",
         coalesce(sum(col("__gr_cnt")).over(
           Window.orderBy(col("__gr_pid"))

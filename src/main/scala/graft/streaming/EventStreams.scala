@@ -800,23 +800,49 @@ object EventStreams {
     // ONE non-empty micro-batch per corpus version is the store
     // contract here (the tag is fixed): once the tag is chained,
     // appendedCached serves the landed delta and never runs a derive
-    // thunk, so a second non-empty batch would be SILENTLY DROPPED —
-    // fail loudly instead (r17 advice). An EMPTY micro-batch (stream
+    // thunk, so a second DIFFERENT batch would be SILENTLY DROPPED —
+    // fail loudly on that (r17 advice). An EMPTY micro-batch (stream
     // start-up, idle trigger) is a no-op either way: landing it would
     // chain the tag with zero rows and doom the real batch to the
     // silent-drop path.
+    //
+    // At-least-once REPLAY of the SAME batch must fall through, not
+    // error (r18 advice): foreachBatch legitimately re-delivers a
+    // micro-batch after a crash/restart before checkpoint commit, and
+    // the digest store lands FIRST below — so a crash mid-sequence
+    // (digest chained, later stores not) would otherwise make the
+    // retry fail permanently with downstream stores missing their
+    // delta. The landed digest delta identifies the batch: an exact
+    // (count, order-free content hash) match over (doc_id, text_hash)
+    // means this is the same batch replayed — proceed, every land()
+    // below is idempotent (appendedCached serves already-landed
+    // deltas and derives only the missing ones), so a partially
+    // landed ingest COMPLETES on retry. A digest tag that is chained
+    // but unreadable (folded into the base / cache off) cannot be
+    // identity-checked and keeps the loud failure.
     if (batch.isEmpty) return
-    if (ArtifactStore.tagChained(spark, D.digestStorePath(dir), tag))
-      sys.error(s"stream ingest: batch tag '$tag' already chained for " +
-        s"$dir — one non-empty micro-batch per corpus version; a second " +
-        "batch under the same tag would be silently dropped")
+    val digestOf = batch.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    if (ArtifactStore.tagChained(spark, D.digestStorePath(dir), tag)) {
+      def sig(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(col("doc_id"), col("text_hash")))).head
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      val sameBatch = ArtifactStore
+        .deltaFrame(spark, D.digestStorePath(dir), tag)
+        .exists(landed => sig(landed) == sig(digestOf))
+      if (!sameBatch)
+        sys.error(s"stream ingest: batch tag '$tag' already chained for " +
+          s"$dir with DIFFERENT content — one non-empty micro-batch per " +
+          "corpus version; a second batch under the same tag would be " +
+          "silently dropped")
+    }
     def land(path: String)(delta: => DataFrame): Unit = {
       ArtifactStore.appendedCached(spark, path, tag)(
         sys.error(s"stream ingest requires a prebuilt base: $path"))(delta)
       ()
     }
-    land(D.digestStorePath(dir))(
-      batch.select(col("doc_id"), md5(col("text")).as("text_hash")))
+    land(D.digestStorePath(dir))(digestOf)
     land(D.shingleStorePath(dir))(D.shingledMd5On(batch))
     land(D.ngramPostingStorePath(dir))(D.ngramPostingsOn(batch))
     land(D.spanAnchorStorePath(dir))(D.spanAnchorsOn(batch))

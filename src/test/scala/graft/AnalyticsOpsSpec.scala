@@ -906,6 +906,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got == List((10L, 2L, "sup")), got.toString)
   }
 
+  test("containment admission hint gate (r18 advice): with the batch " +
+    "gate OFF — the fresh/cache-off default, deltaRowCount None ⇒ " +
+    ".exists ⇒ no hint — the only broadcast hint left is the 1-row " +
+    "batch-max-size cap; the gated form carries the batch-side hints; " +
+    "rows identical either way") {
+    val D = operators.DedupQueries
+    val big  = (1 to 20).map(i => f"w$i%02d").mkString(" ")
+    val smal = (1 to 8).map(i => s"m$i").mkString(" ")
+    val sup  = ((1 to 8).map(i => s"m$i") ++
+      (1 to 4).map(i => s"x$i")).mkString(" ")
+    val docs = Seq(1L -> big, 2L -> smal, 10L -> sup)
+      .toDF("doc_id", "text")
+    val sh = D.containmentShOn(docs)
+    def hints(hinted: Boolean): Int =
+      "ResolvedHint".r.findAllIn(
+        D.incrementalContainmentOfSh(sh, hintBatch = hinted)
+          .queryExecution.analyzed.toString).size
+    // ungated: exactly the 1-row max_bsz scalar — a corpus-fraction
+    // batch side must never be force-broadcast on the fresh path
+    assert(hints(false) == 1,
+      s"fresh path must carry only the 1-row size-cap hint, got ${hints(false)}")
+    assert(hints(true) > hints(false),
+      "gated form lost its batch-side hints")
+    def rows(hinted: Boolean) =
+      D.incrementalContainmentOfSh(sh, hintBatch = hinted)
+        .collect().map(_.toString).toList
+    assert(rows(true) == rows(false),
+      "hint gating changed the admission verdicts")
+  }
+
   test("duplication profile: planted cluster sizes produce the exact " +
     "histogram, its identities hold, and the result is partition-" +
     "invariant") {

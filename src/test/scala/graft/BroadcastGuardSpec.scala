@@ -91,4 +91,68 @@ class BroadcastGuardSpec extends AnyFunSuite {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
   }
+
+  test("carryBroadcastHint re-raises only a SPINE hint (r18 advice): a " +
+    "store-delta hint under select/explode is carried to the join " +
+    "input, while a hint embedded in a JOIN BRANCH — the " +
+    "adaptiveChunksOf 1-row cardinality probe — leaves the frame " +
+    "unhinted (the fresh-fallback batch side must stay planner-chosen)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def rootHinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.isInstanceOf[ResolvedHint]
+    // spine hint, buried under a derivation: select + explode over the
+    // hinted frame — the storeBatchSide consumer shape
+    val delta = broadcast(Tables.nation(spark, sf))
+    val derived = delta.select(col("n_nationkey"),
+      explode(split(col("n_name"), "")).as("ch"))
+    assert(rootHinted(operators.DedupQueries.carryBroadcastHint(derived)),
+      "spine hint under select/explode was not re-raised")
+    // join-branch hint: the fresh adaptive fallback embeds
+    // crossJoin(broadcast(1-row count)) — the whole-plan scan used to
+    // mistake it for a batch-side hint and force-broadcast the frame
+    val n = Tables.customer(spark, sf).agg(count(lit(1)).as("n"))
+    val freshLike = Tables.customer(spark, sf).crossJoin(broadcast(n))
+      .select(col("c_custkey"), col("n"))
+    val carried = operators.DedupQueries.carryBroadcastHint(freshLike)
+    assert(!rootHinted(carried),
+      "join-branch (cardinality-probe) hint wrongly re-raised onto the " +
+        "corpus-growing fresh frame")
+    assert(carried eq freshLike, "unhinted frame must be returned as-is")
+  }
+
+  test("plan-audit global-window census (r17 item 6): an unpartitioned " +
+    "window over an unbounded input is flagged; the partition-count " +
+    "frame shape (identity limit stamps logical maxRows) passes, and " +
+    "GlobalRank's production plan audits clean") {
+    import org.apache.spark.sql.expressions.Window
+    // unbounded: running total over the raw corpus with no partition —
+    // the single-task straggler the doctrine forbids
+    val w = Window.orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val badDf = Tables.orders(spark, sf)
+      .withColumn("rt", sum(col("o_totalprice")).over(w))
+    val cBad = PlanProbe.census(badDf.queryExecution)
+    assert(cBad.globalWindow >= 1,
+      s"planted global window not counted: $cBad")
+    assert(cBad.violations.exists(_.contains("unpartitioned Window")),
+      s"unbounded global window passed the audit: ${cBad.violations}")
+    // bounded: the SAME shape over a frame whose maxRows is stamped by
+    // an identity limit (the GlobalRank offsets discipline)
+    val okDf = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .limit(spark.sessionState.conf.numShufflePartitions)
+      .withColumn("rt", sum(col("n")).over(
+        Window.orderBy(col("o_orderstatus"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val cOk = PlanProbe.census(okDf.queryExecution)
+    assert(cOk.globalWindow >= 1, s"bounded fixture lost its window: $cOk")
+    assert(cOk.violations.isEmpty,
+      s"provably bounded global window wrongly flagged: ${cOk.violations}")
+    // the production consumer: win_global_rank's two-phase plan must
+    // carry only bounded global windows
+    val cProd = PlanProbe.census(
+      plans.GlobalRank.winGlobalRank(spark, sf).queryExecution)
+    assert(cProd.violations.isEmpty,
+      s"GlobalRank offsets window not provably bounded: ${cProd.violations}")
+  }
 }

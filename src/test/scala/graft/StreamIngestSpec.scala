@@ -159,6 +159,25 @@ class StreamIngestSpec extends AnyFunSuite {
     streaming.EventStreams.ingestAdmissionBatch(spark, dirB, emptyBatch)
     assert(verdicts(dirB) == ref,
       "empty micro-batch disturbed the landed chains")
+    // ---- the r18-advice replay guard: foreachBatch legitimately
+    // RE-DELIVERS the same micro-batch after a crash/restart before
+    // checkpoint commit (at-least-once), and the digest store lands
+    // FIRST — so a crash mid-sequence leaves the tag chained with
+    // later stores' deltas missing. The retry must (a) recognize the
+    // same batch by content and not error, (b) COMPLETE the partially
+    // landed ingest. Simulate the crash by deleting one downstream
+    // delta, then replay the identical batch.
+    rmTree(ArtifactStore.childPathFor(
+      D.spanAnchorStorePath(dirB), D.IngestBatchTag))
+    val replay = docsB.where(D.isIngestBatch)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    streaming.EventStreams.ingestAdmissionBatch(spark, dirB, replay)
+    assert(ArtifactStore.deltaFrame(spark,
+        D.spanAnchorStorePath(dirB), D.IngestBatchTag).isDefined,
+      "replay did not complete the partially-landed ingest")
+    assert(verdicts(dirB) == ref,
+      "replayed same-content ingest disturbed the landed chains")
+    // a genuinely NEW batch under the chained tag still fails loudly
     val secondBatch = spark.range(1)
       .select((col("id") + 25L).as("doc_id"),
         lit("late second batch content").as("text"), lit(25L).as("n_chars"))

@@ -116,7 +116,7 @@ fi
 # BNLJ bounds; a nonzero exit or missing census line is a FAIL
 audit=$(SPARK_GRAFT_PLAN_ONLY=all sbt -batch 'runMain graft.PlanProbe /root/testdata/sf0.001' 2>&1)
 rc=$?
-census=$(echo "$audit" | grep -oE 'queries=[0-9]+ bnlj=[0-9]+ cartesian=[0-9]+ violations=[0-9]+' | tail -1)
+census=$(echo "$audit" | grep -oE 'queries=[0-9]+ bnlj=[0-9]+ cartesian=[0-9]+ global_window=[0-9]+ violations=[0-9]+' | tail -1)
 if [ $rc -eq 0 ] && [ -n "$census" ]; then
   record "plan_audit" "PASS" "\"census\":$(jesc "$census")" "($census)"
 else
@@ -175,7 +175,7 @@ fi
 # Round-18 extension (r17 item 2): the single-thread probe cannot see
 # multicore/IO contention — a 231 s cold run passed it at the
 # committed 0.57 class — so each half's MULTI-thread probe readings
-# (t_par_start/t_par_end) must additionally sit within +/-15% of the
+# (t_par_start/t_par_end) must additionally sit within +/-20% of the
 # committed level in tools/therm_history.json's latest entry.
 therm_check=$(python3 - <<'EOF'
 import json, sys
@@ -201,12 +201,16 @@ for f in ("BENCH_CLEAN.json", "BENCH_CLEAN_WARM.json"):
             v = t.get(k)
             if v is None:
                 bad.append(f"{f}: no {k}")
-            elif abs(v - level) / level > 0.15:
-                bad.append(f"{f}: {k} {v} outside +/-15% of "
+            # +/-20% (r18 advice: the r18 history entry records level
+            # 0.60 with documented in-window readings 0.556-0.70, so
+            # the old +/-15% band rejected a capture at the window's
+            # own upper edge — a flaky gate on known-clean captures)
+            elif abs(v - level) / level > 0.20:
+                bad.append(f"{f}: {k} {v} outside +/-20% of "
                            f"committed t_par level {level}")
 if bad:
     print("; ".join(bad)); sys.exit(1)
-print(f"both halves spread <= 0.05 and t_par within 15% of {level}")
+print(f"both halves spread <= 0.05 and t_par within 20% of {level}")
 EOF
 )
 if [ $? -eq 0 ]; then
