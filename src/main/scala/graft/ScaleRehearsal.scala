@@ -71,6 +71,29 @@ object ScaleRehearsal {
         translate(lower(col("text")), Alpha, permutedAlpha(r)).as("text"),
         col("lang"), col("source"), col("n_chars"))
 
+  /** Realistic-OVERLAP replica (round-19, r17 item 5): the first ~20%
+    * of each doc stays VERBATIM (the tokenizer lowercases, so the
+    * prefix's tokens/shingles are shared across every replica of the
+    * same base doc — df-style artifacts grow with the corpus, the
+    * typical crawl regime), the rest substitutes through the replica
+    * alphabet as in [[docReplica]] (cross-replica overlap stays ~20%,
+    * below every family's output threshold: jaccard ≈ 0.2/1.8 ≈ 0.11
+    * < 0.5, containment ≈ 0.2 < 0.8 — so the measurement isolates
+    * candidate/posting growth, not true-pair growth). Lengths are
+    * preserved (translate is 1:1; the substrings partition the
+    * text), so length buckets match the base exactly. */
+  private[graft] def docReplicaOverlap(docs: DataFrame, r: Int): DataFrame =
+    if (r == 0) docs.select("doc_id", "text", "lang", "source", "n_chars")
+    else {
+      val t = lower(col("text"))
+      val keep = (length(t) / lit(5)).cast("int")
+      docs.select((col("doc_id") + lit(r * Stride)).as("doc_id"),
+        concat(t.substr(lit(1), keep),
+          translate(t.substr(keep + lit(1), length(t)), Alpha,
+            permutedAlpha(r))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+
   private[graft] def customerReplica(c: DataFrame, r: Int): DataFrame =
     if (r == 0) c.select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
       "c_mktsegment")
@@ -644,6 +667,99 @@ object ScaleRehearsal {
         s""""dedup_entity_incremental":{${entityRows.mkString(",")}}}"""
     }
 
+    // ---- realistic-OVERLAP admission regime (round-19, r17 item 5) ----
+    // The zero-overlap replica model above measures blocking overhead at
+    // constant content diversity — the WORST case for posting growth
+    // (every replica's shingles are fresh) but the BEST case for probe
+    // selectivity (no cross-replica candidates). The typical crawl has
+    // partial overlap: [[docReplicaOverlap]] keeps ~20% of each doc
+    // verbatim across replicas, so shared-shingle df grows with the
+    // corpus while true near-dup output stays sub-threshold. Measured
+    // here for the three text admission families whose floors the
+    // regime changes: ngram (df-cap absorption — hot_shingles counts
+    // postings the cap drops), containment (the sup probe's
+    // content-membership prune is now fed MATCHING content, so
+    // sup_scanned grows with shared postings — output-proportional by
+    // design, not corpus-proportional), and the simhash probe floor
+    // (correlated votes raise collision density). Endpoint scales keep
+    // the second grid affordable; the claim is growth SHAPE, read from
+    // three decades.
+    val ovActive = famActive("overlap")
+    val ovJson = if (!ovActive) "" else {
+      val ovScales = sys.env.getOrElse("SPARK_GRAFT_OVERLAP_SCALES", "1,10,100")
+        .split(",").map(_.trim.toInt).toSeq
+      for (k <- ovScales) {
+        val dir = s"$outRoot/x${k}ov"
+        scaled(Tables.documents(spark, baseDir), k, docReplicaOverlap)
+          .repartition(8 * k)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      val batchDocs = docReplicaOverlap(Tables.documents(spark, baseDir), 999)
+        .withColumn("doc_id", col("doc_id") * 5)
+      val nBatch = batchDocs.count()
+      def timed(f: => Long): (Long, Double) = {
+        f // warm pass: codegen/JIT lands here
+        val t0 = System.nanoTime()
+        val n = f
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val ovRows = for (k <- ovScales) yield {
+        val dir = s"$outRoot/x${k}ov"
+        val existing = Tables.documents(spark, dir)
+          .where(pmod(col("doc_id"), lit(5)) =!= 0)
+        val nEx = existing.count()
+        // ngram: store-shaped postings, df-filtered join — the cap must
+        // absorb the shared-prefix shingles whose df grows ∝ replicas
+        val postPath = s"$dir/ngram_postings_ov.parquet"
+        D.ngramPostingsOn(existing).write.mode("overwrite").parquet(postPath)
+        def rawInv = spark.read.parquet(postPath)
+          .unionByName(D.ngramPostingsOn(batchDocs))
+        def inv = D.dfFilteredPostings(rawInv)
+        val (ngOut, ngSec) = timed(D.incrementalNgramOfEdges(
+          D.ngramJaccardTouchingOfPostings(inv)).count())
+        val ngCand = D.ngramTouchingCandidatesOfPostings(inv).count()
+        val dfRow = rawInv.groupBy(col("shingle"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .agg(max(col("df")).as("mx"),
+            sum(when(col("df") > lit(D.NgramDfCap), 1L).otherwise(0L))
+              .as("hot")).head
+        val (maxDf, hotShingles) = (dfRow.getLong(0), dfRow.getLong(1))
+        // containment: the sup probe's scan volume under matching content
+        val shPath = s"$dir/cont_shingles_ov.parquet"
+        D.shingledMd5On(existing).write.mode("overwrite").parquet(shPath)
+        def sh = D.containmentShOfShingles(spark.read.parquet(shPath)
+          .unionByName(D.shingledMd5On(batchDocs)))
+        val (ctOut, ctSec) = timed(D.incrementalContainmentOfSh(sh).count())
+        val ctCand = D.incrementalContainmentCandidates(sh).count()
+        val supScanned = D.containmentSupProbe(sh).count()
+        // simhash: probe floor under correlated votes (level from the
+        // grown corpus size — the serving-path rule)
+        val level = D.pigeonholeLevelsFor(nEx + nBatch)
+        val chPath = s"$dir/simhash_chunks_ov.parquet"
+        D.chunksAtLevel(D.simhashesOn(existing), "simhash", level)
+          .write.mode("overwrite").parquet(chPath)
+        def chunks = spark.read.parquet(chPath).unionByName(
+          D.chunksAtLevel(D.simhashesOn(batchDocs), "simhash", level))
+        val (shOut, shSec) = timed(
+          D.incrementalHammingOfChunks(chunks, "simhash").count())
+        val shCand = D.incrementalHammingCandidates(chunks, "simhash").count()
+        System.err.println(s"[scale] overlap x$k: existing=$nEx " +
+          s"ngram cand=$ngCand out=$ngOut sec=${j(ngSec)} " +
+          s"max_df=$maxDf hot=$hotShingles | cont cand=$ctCand " +
+          s"out=$ctOut sup=$supScanned sec=${j(ctSec)} | simhash " +
+          s"cand=$shCand out=$shOut sec=${j(shSec)}")
+        s""""x$k":{"n_existing":$nEx,"n_batch":$nBatch,""" +
+          s""""ngram":{"candidates":$ngCand,"out":$ngOut,""" +
+          s""""sec":${j(ngSec)},"max_df":$maxDf,""" +
+          s""""hot_shingles":$hotShingles},""" +
+          s""""containment":{"candidates":$ctCand,"out":$ctOut,""" +
+          s""""sup_scanned":$supScanned,"sec":${j(ctSec)}},""" +
+          s""""simhash":{"candidates":$shCand,"out":$shOut,""" +
+          s""""sec":${j(shSec)}}}"""
+      }
+      s""","overlap":{"shared_frac":0.2,${ovRows.mkString(",")}}"""
+    }
+
     // ---- entity hot-block rehearsal (round-15 judge weak) --------------
     // The duplicated-name pathology PLANTED (the dedup_ngram_boiler
     // protocol for the structured-record family): every 20th customer's
@@ -1085,8 +1201,8 @@ object ScaleRehearsal {
       s"""{"metric":"scale_rehearsal","scales":[${scales.mkString(",")}],""" +
         s""""adaptive_scales":[${adaptiveScales.mkString(",")}],""" +
         s""""base":"$baseDir","cpus":$cpus,"families":{$famJson}""" +
-        s"""$incJson$admJson$entityHotJson$chainJson$widthJson$fpostJson""" +
-        s"""$admitJson$ingJson}"""
+        s"""$incJson$admJson$ovJson$entityHotJson$chainJson$widthJson""" +
+        s"""$fpostJson$admitJson$ingJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE10.json"),
       (line + "\n").getBytes("UTF-8"))
     println(line)

@@ -723,15 +723,24 @@ object DedupQueries {
     * hazard the gating removed). The spine walk stops at the first
     * multi-child or leaf node, so embedded-probe hints are invisible
     * (DedupSpec pins the fresh-fallback frame hint-free). */
-  private[graft] def carryBroadcastHint(df: DataFrame): DataFrame = {
+  private[graft] def carryBroadcastHint(df: DataFrame): DataFrame =
+    if (hasSpineHint(df)) broadcast(df) else df
+
+  /** Whether `df`'s analyzed plan carries a ResolvedHint on the root's
+    * unary spine — [[carryBroadcastHint]]'s detection, exposed so a
+    * consumer can gate a DERIVED batch-bounded frame (one whose own
+    * spine ends at a join, e.g. a semi-join of the vector table down
+    * to the batch's ids) on the SAME store-metadata decision its
+    * source frame carries. */
+  private[graft] def hasSpineHint(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint, UnaryNode}
     @scala.annotation.tailrec
-    def spineHasHint(p: LogicalPlan): Boolean = p match {
+    def spine(p: LogicalPlan): Boolean = p match {
       case _: ResolvedHint => true
-      case u: UnaryNode    => spineHasHint(u.child)
+      case u: UnaryNode    => spine(u.child)
       case _               => false
     }
-    if (spineHasHint(df.queryExecution.analyzed)) broadcast(df) else df
+    spine(df.queryExecution.analyzed)
   }
 
   /** The corpus's replayable shingle sets as a MAINTAINED, APPENDED

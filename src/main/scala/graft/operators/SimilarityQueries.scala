@@ -649,7 +649,36 @@ object SimilarityQueries {
       sigs.where(isIngestBatchVec), emb)
 
   /** [[incrementalEmbOfSigs]] with the existing/batch split supplied
-    * by the caller. */
+    * by the caller.
+    *
+    * VERIFY-JOIN SHAPE (round-19, guide §8 / §2.3 — the ×100 probe
+    * decomposition measured the verify stage at 12–17 s of the 19 s
+    * total): candidates are O(batch × √n) by design (~12M pairs at
+    * ×100 for a 2k-vector batch), and the old
+    * `distinct → join(va) → join(vb)` tail sort-merge-joined that pair
+    * stream against the vector table TWICE — the second exchange
+    * carried every pair WITH its 512-byte va array (≈6 GB shuffled and
+    * sorted at ×100 for ~80 MB of actual vectors). Now the heavy bytes
+    * move once and only at data grain:
+    *
+    *  - candidates stay KEYS-ONLY through dedup: one groupBy
+    *    (match_id, match_src) with collect_set(vec_id) replaces the
+    *    distinct — same set semantics, one keys-only exchange;
+    *  - the CORPUS-side vector attaches once per matched id (the
+    *    ≤n-row match grain), never per pair, and the pair set explodes
+    *    back LOCALLY — no exchange ever carries a per-pair vector;
+    *  - the BATCH-side vectors (the vector table semi-joined down to
+    *    the probe's ids — batch-bounded by construction) attach
+    *    map-side under the same gated broadcast decision the batch
+    *    postings carry ([[graft.operators.DedupQueries.hasSpineHint]]
+    *    re-raises the store-metadata gate onto the derived frame);
+    *    ungated paths are planner/AQE-chosen, and AQE's runtime sizing
+    *    converts the join to a broadcast anyway once the semi-join's
+    *    true cardinality is visible.
+    *
+    * Measured ×100 (x100_ing, local[32]): 6.8–17.8 s → 2.5–4.5 s,
+    * identical 421,663 rows; the DuckDB oracle pins row/hash equality
+    * at the verify SFs. */
   private[graft] def incrementalEmbOfSigs(exS: DataFrame,
       inS: DataFrame, emb: DataFrame): DataFrame = {
     import graft.functions.VectorExpressions.cosine_similarity
@@ -668,10 +697,20 @@ object SimilarityQueries {
         onKeys && col("a.vec_id") < col("b.vec_id"))
       .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("match_id"),
         lit("batch").as("match_src"))
-    cross.unionByName(inBatch).distinct()
-      .join(emb.select(col("vec_id"), col("vec").as("va")), Seq("vec_id"))
+    val grouped = cross.unionByName(inBatch)
+      .groupBy(col("match_id"), col("match_src"))
+      .agg(collect_set(col("vec_id")).as("vec_ids"))
+    val pairsVb = grouped
       .join(emb.select(col("vec_id").as("match_id"), col("vec").as("vb")),
         Seq("match_id"))
+      .select(col("match_id"), col("match_src"), col("vb"),
+        explode(col("vec_ids")).as("vec_id"))
+    val vaSide = emb
+      .join(inS.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("vec").as("va"))
+    val vaHinted =
+      if (DedupQueries.hasSpineHint(inS)) broadcast(vaSide) else vaSide
+    pairsVb.join(vaHinted, Seq("vec_id"))
       .select(col("vec_id"), col("match_id"), col("match_src"),
         Tables.round6(cosine_similarity(col("va"), col("vb"))).as("cos_sim"))
       .where(col("cos_sim") >= EmbDupTau)

@@ -661,7 +661,47 @@ object EventStreams {
     * multiplicity, closes at the next ingest (the batch operator
     * re-scores admission against the grown corpus), and is pinned as
     * a CONTRACT by StreamMlSpec's multi-record fixture alongside the
-    * solo-record equivalence pin. */
+    * solo-record equivalence pin. At a foreachBatch ingest point —
+    * where a micro-batch boundary exists and the batch is a plain
+    * DataFrame — use [[entityAdmitBatch]], which folds the batch's own
+    * block counts in and is EXACT (round-19, r17 item 4). */
+  /** BATCH-EXACT entity admission for a foreachBatch INGEST POINT —
+    * the exact form of [[entityStreamAppend]]'s hot-block rule
+    * (round-19, r17 item 4): inside foreachBatch the micro-batch is a
+    * plain DataFrame, so its own per-block counts fold into the hot
+    * predicate at no stateless-streaming cost — a block is hot iff its
+    * GROWN frequency (corpus bf + the batch's own members) exceeds the
+    * cap, exactly [[graft.operators.DedupQueries.incrementalEntityBlockOn]]'s
+    * rule, so ingest-point verdicts are bit-equal to the batch
+    * admission operator's corpus matches (StreamMlSpec pins the N ≥ 2
+    * same-block fixture the append-mode dual's solo-record
+    * approximation diverges on). The append-mode dual keeps the
+    * solo-record rule — BETWEEN ingest points, a continuous stream has
+    * no well-defined batch multiplicity (N would depend on arbitrary
+    * micro-batch boundaries), so the solo-record image is the correct
+    * continuous semantics and this form is the exact one wherever a
+    * micro-batch boundary exists. Same output contract as the
+    * append-mode dual: one (custkey, match_id, dist) row per corpus
+    * match; in-batch matches remain the batch operator's term. */
+  def entityAdmitBatch(records: DataFrame, corpusIndex: DataFrame,
+      cap: Long = graft.operators.DedupQueries.EntityBlockCap): DataFrame = {
+    import graft.operators.{DedupQueries => D}
+    val batchB  = D.entityBlocked(records)
+    val corpusB = D.entityBlocked(corpusIndex)
+    // hot set over the GROWN table — corpus ∪ this micro-batch — the
+    // grown-frequency rule; tiny by construction (≤ n / cap keys)
+    val hot = D.hotEntityBlocksOf(batchB.unionByName(corpusB), cap)
+    batchB.join(broadcast(hot), Seq("blk"), "left_anti")
+      .select(col("blk"), col("c_custkey").as("custkey"),
+        col("c_name").as("na"))
+      .join(corpusB.select(col("blk"), col("c_custkey").as("match_id"),
+        col("c_name").as("nb")), Seq("blk"))
+      .where(col("custkey") =!= col("match_id"))
+      .withColumn("dist", levenshtein(col("na"), col("nb"), 1))
+      .where(col("dist") =!= -1)
+      .select(col("custkey"), col("match_id"), col("dist"))
+  }
+
   def entityStreamAppend(records: DataFrame, corpusIndex: DataFrame,
       cap: Long = graft.operators.DedupQueries.EntityBlockCap): DataFrame = {
     import graft.operators.{DedupQueries => D}

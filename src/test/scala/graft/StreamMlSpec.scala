@@ -824,6 +824,49 @@ class StreamMlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ENTITY admission at a foreachBatch ingest point is " +
+    "EXACT (r17 item 4): entityAdmitBatch folds the micro-batch's own " +
+    "per-block counts into the hot predicate, so the N >= 2 same-block " +
+    "fixture the append-mode dual diverges on now matches the batch " +
+    "admission operator bit-for-bit — on the suppressed AND live sides") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val D = operators.DedupQueries
+    // cap = 3: WarmName corpus bf = 2; the micro-batch carries TWO
+    // WarmName records, so grown bf = 4 > 3 — the exact rule must
+    // suppress it (the solo-record dual matches here, pinned above).
+    // The AcmeCorp block (bf = 1, one batch member, grown 2) stays
+    // live and its dist-1 corpus match must flow through.
+    val existing = Seq(1L -> "WarmName001", 2L -> "WarmName002",
+      3L -> "AcmeCorp01")
+    val incoming = Seq(5L -> "WarmName003", 10L -> "WarmName004",
+      15L -> "AcmeCorp02")
+    val corpusIdx = existing.toDF("c_custkey", "c_name")
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF.toDF("c_custkey", "c_name").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= streaming.EventStreams.entityAdmitBatch(b, corpusIdx,
+            cap = 3L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        ()
+      }
+      .start()
+    try {
+      src.addData(incoming: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = D.incrementalEntityBlockOn(
+        (existing ++ incoming).toDF("c_custkey", "c_name"), cap = 3L)
+      .where($"match_src" === "corpus")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(batch == Set((15L, 3L, 1)),
+      s"fixture must suppress WarmName and keep the Acme match: $batch")
+    assert(got.toSet == batch,
+      s"ingest-point verdicts ${got.toSet} != batch operator $batch")
+  }
+
   test("streaming EMBEDDING admission: in-flight row-local hyperplane " +
     "signatures probe the static emb_sigs postings; exact-cosine " +
     "verify reproduces the batch admission operator's corpus matches") {

@@ -139,9 +139,9 @@ fi
 # partial artifact)
 scale_check=$(python3 - <<'EOF'
 import json, sys
-want_top = {"families", "incremental", "admission", "entity_hot",
-            "chain_store", "emb_width", "fpost_maintain", "admit_full",
-            "admit_ingest"}
+want_top = {"families", "incremental", "admission", "overlap",
+            "entity_hot", "chain_store", "emb_width", "fpost_maintain",
+            "admit_full", "admit_ingest"}
 want_fams = {"dedup_ngram_jaccard", "dedup_ngram_boiler",
              "dedup_minhash_lsh", "dedup_simhash", "dedup_containment",
              "dedup_entity_block", "mm_dedup_phash",
