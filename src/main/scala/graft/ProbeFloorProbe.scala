@@ -130,6 +130,61 @@ object ProbeFloorProbe {
       spark.stop(); return
     }
 
+    if (args.lift(3).contains("cont")) {
+      // deep decomposition of the containment probe: scan vs the sub
+      // term's full-index explode vs candidates vs the verify joins
+      val sh = D.containmentShOfShingles(D.shingleStore(spark, dir))
+      time("cont: sh frame (noop)") { noop(sh) }
+      time("cont: full-index explode (noop)") {
+        noop(sh.select(col("doc_id").as("b"), col("sz").as("sz_b"),
+          explode(col("hs")).as("h")))
+      }
+      time("cont: sup probe only (count)") {
+        D.containmentSupProbe(sh).count(); ()
+      }
+      time("cont: candidates only (count)") {
+        D.incrementalContainmentCandidates(sh).count(); ()
+      }
+      time("cont: full incremental probe (count)") {
+        D.dedupContainmentIncremental(spark, dir).count(); ()
+      }
+      // variant: verify joins with SHUFFLE_HASH on the array side (no
+      // sort of the pair stream or the array table)
+      val cand = D.incrementalContainmentCandidates(sh)
+      def verifyOf(candF: DataFrame, shF: DataFrame) = candF
+        .join(shF.hint("shuffle_hash").select(col("doc_id").as("a"),
+          col("hs").as("hs_a"), col("sz").as("sz_a")), Seq("a"))
+        .join(shF.hint("shuffle_hash").select(col("doc_id").as("b"),
+          col("hs").as("hs_b")), Seq("b"))
+        .select(col("a"), col("b"),
+          (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+            / col("sz_a").cast("double")).as("containment"))
+        .where(col("containment") >= lit(D.ContainT))
+      time("cont: verify w/ SHUFFLE_HASH (count)") {
+        verifyOf(cand, sh).count(); ()
+      }
+      // variant: grouped-first attach (the emb shape) — group pairs by
+      // a, attach hs_a at a-grain (broadcastable), explode locally,
+      // then one hash join attaches hs_b
+      val grouped = cand.groupBy(col("a")).agg(collect_set(col("b")).as("bs"))
+      val pairsA = sh.select(col("doc_id").as("a"), col("hs").as("hs_a"),
+          col("sz").as("sz_a"))
+        .join(grouped, Seq("a"))
+        .select(col("a"), col("hs_a"), col("sz_a"),
+          explode(col("bs")).as("b"))
+      time("cont: grouped verify (count)") {
+        pairsA
+          .join(sh.hint("shuffle_hash").select(col("doc_id").as("b"),
+            col("hs").as("hs_b")), Seq("b"))
+          .select(col("a"), col("b"),
+            (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+              / col("sz_a").cast("double")).as("containment"))
+          .where(col("containment") >= lit(D.ContainT))
+          .count(); ()
+      }
+      spark.stop(); return
+    }
+
     // ---- simhash family -------------------------------------------------
     time("simhash: chain scan (all cols, noop)") {
       noop(D.simhashChunksStored(spark, dir))

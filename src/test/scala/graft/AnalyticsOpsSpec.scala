@@ -920,11 +920,13 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val sh = D.containmentShOn(docs)
     def hints(hinted: Boolean): Int =
-      "ResolvedHint".r.findAllIn(
+      "strategy=broadcast".r.findAllIn(
         D.incrementalContainmentOfSh(sh, hintBatch = hinted)
           .queryExecution.analyzed.toString).size
     // ungated: exactly the 1-row max_bsz scalar — a corpus-fraction
     // batch side must never be force-broadcast on the fresh path
+    // (the verify's SHUFFLE_HASH hint is not a broadcast and is
+    // excluded by the strategy filter)
     assert(hints(false) == 1,
       s"fresh path must carry only the 1-row size-cap hint, got ${hints(false)}")
     assert(hints(true) > hints(false),
