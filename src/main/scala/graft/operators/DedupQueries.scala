@@ -2348,10 +2348,27 @@ object DedupQueries {
     // size filter; the count(*) → size() type change is cast back to
     // long so downstream arithmetic and output schemas are
     // bit-identical.
+    //
+    // The single-element explode is a ROW-LOCAL MATERIALIZATION
+    // BARRIER, not a transformation (round-19): when `sh` is a FRESH
+    // expression tree (tokenize → md5 — the rehearsal/spec paths; the
+    // store-served path reads it as a parquet column), the r18
+    // barrier-free form let the optimizer re-inline that tree into
+    // every downstream reference — the filter, the sort, the size,
+    // and each candidate/verify branch — measured 28 tokenizer copies
+    // in the fresh full-query plan and a 3–7× families-grid
+    // regression (x10: 3.3 → 23.0 s) that the store-served bench
+    // never saw. A Generate blocks that inlining (the round-5
+    // decontaminateOn lesson), and exploding a 1-element wrapper
+    // array keeps it one-row-in/one-row-out with no exchange: the
+    // shingle tree evaluates once per row, the empty-array drop moves
+    // AFTER the barrier (same rows), and the store path's plan merely
+    // gains a no-op generate over the parquet column.
     shingled
-      .where(size(col("sh")) > 0)
-      .select(col("doc_id"), sort_array(col("sh")).as("hs"),
-        size(col("sh")).cast("long").as("sz"))
+      .select(col("doc_id"), explode(array(col("sh"))).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .select(col("doc_id"), sort_array(col("__sh")).as("hs"),
+        size(col("__sh")).cast("long").as("sz"))
 
   /** Prefix-filtered candidate pairs of [[containmentOn]] — ordered
     * (a, b) pairs surviving the prefix + length-bound filters, BEFORE
