@@ -678,7 +678,10 @@ object SimilarityQueries {
     *
     * Measured ×100 (x100_ing, local[32]): 6.8–17.8 s → 2.5–4.5 s,
     * identical 421,663 rows; the DuckDB oracle pins row/hash equality
-    * at the verify SFs. */
+    * at the verify SFs. The grouped tail applies ONLY when the batch
+    * side carries the gated broadcast (see the shape gate below);
+    * ungated paths keep the classic two-join tail, which measures
+    * faster there. */
   private[graft] def incrementalEmbOfSigs(exS: DataFrame,
       inS: DataFrame, emb: DataFrame): DataFrame = {
     import graft.functions.VectorExpressions.cosine_similarity
@@ -697,20 +700,43 @@ object SimilarityQueries {
         onKeys && col("a.vec_id") < col("b.vec_id"))
       .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("match_id"),
         lit("batch").as("match_src"))
-    val grouped = cross.unionByName(inBatch)
-      .groupBy(col("match_id"), col("match_src"))
-      .agg(collect_set(col("vec_id")).as("vec_ids"))
-    val pairsVb = grouped
-      .join(emb.select(col("vec_id").as("match_id"), col("vec").as("vb")),
-        Seq("match_id"))
-      .select(col("match_id"), col("match_src"), col("vb"),
-        explode(col("vec_ids")).as("vec_id"))
-    val vaSide = emb
-      .join(inS.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
-      .select(col("vec_id"), col("vec").as("va"))
-    val vaHinted =
-      if (DedupQueries.hasSpineHint(inS)) broadcast(vaSide) else vaSide
-    pairsVb.join(vaHinted, Seq("vec_id"))
+    // SHAPE IS GATED BY THE SAME SIGNAL AS THE HINT (round-19): the
+    // grouped tail only wins when the batch-side vectors can attach
+    // map-side — i.e. exactly when the batch side carries the
+    // store-metadata broadcast gate. On UNGATED paths (cache-off,
+    // fresh frames, the rehearsal's r12 parquet-posting protocol) the
+    // grouped form's exploded pair stream carries vb into a
+    // sort-merge join and measured 4× SLOWER than the classic
+    // distinct → join(va) → join(vb) tail (33.9 vs ~9 s at ×100), so
+    // those paths keep the classic shape. Both shapes are
+    // row-identical (same candidate set, same verify predicate —
+    // StreamMlSpec pins the planted fixture through both, and the
+    // oracle hashes the gated path).
+    val verified =
+      if (DedupQueries.hasSpineHint(inS)) {
+        val grouped = cross.unionByName(inBatch)
+          .groupBy(col("match_id"), col("match_src"))
+          .agg(collect_set(col("vec_id")).as("vec_ids"))
+        val pairsVb = grouped
+          .join(emb.select(col("vec_id").as("match_id"), col("vec").as("vb")),
+            Seq("match_id"))
+          .select(col("match_id"), col("match_src"), col("vb"),
+            explode(col("vec_ids")).as("vec_id"))
+        val vaSide = broadcast(emb
+          .join(inS.select(col("vec_id")).distinct(), Seq("vec_id"),
+            "left_semi")
+          .select(col("vec_id"), col("vec").as("va")))
+        pairsVb.join(vaSide, Seq("vec_id"))
+          .select(col("vec_id"), col("match_id"), col("match_src"),
+            col("va"), col("vb"))
+      } else
+        cross.unionByName(inBatch).distinct()
+          .join(emb.select(col("vec_id"), col("vec").as("va")), Seq("vec_id"))
+          .join(emb.select(col("vec_id").as("match_id"), col("vec").as("vb")),
+            Seq("match_id"))
+          .select(col("vec_id"), col("match_id"), col("match_src"),
+            col("va"), col("vb"))
+    verified
       .select(col("vec_id"), col("match_id"), col("match_src"),
         Tables.round6(cosine_similarity(col("va"), col("vb"))).as("cos_sim"))
       .where(col("cos_sim") >= EmbDupTau)

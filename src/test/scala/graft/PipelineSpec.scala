@@ -501,6 +501,23 @@ class PipelineSpec extends AnyFunSuite {
     }.toSet
     assert(got.toSet == expected,
       s"incremental diverged from batch-touching full pairs:\n$got\n$expected")
+    // SHAPE-GATE parity (round-19): the verify tail has two shapes —
+    // the grouped/broadcast form on gated (spine-hinted) batch sides
+    // and the classic two-join form elsewhere. Drive both through the
+    // split-form entry point on the same fixture and pin equal rows.
+    val embV = emb.select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val bits = S.sigBitsFor(emb.count())
+    val sigs = S.embSigsOf(embV, bits, 8)
+    def viaSplit(hinted: Boolean) = {
+      val inS = sigs.where(expr("pmod(vec_id, 5) = 0"))
+      val exS = sigs.where(expr("pmod(vec_id, 5) != 0"))
+      S.incrementalEmbOfSigs(exS,
+          if (hinted) org.apache.spark.sql.functions.broadcast(inS) else inS,
+          embV)
+        .collect().map(_.toString).toList
+    }
+    assert(viaSplit(hinted = true) == viaSplit(hinted = false),
+      "gated (grouped) and ungated (classic) verify shapes diverged")
   }
 
   test("embedding near-dup LSH blocking: a planted exact duplicate is " +
